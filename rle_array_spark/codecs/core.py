@@ -1,0 +1,95 @@
+"""Codec kernel interface + shared helpers.
+
+Every codec encodes a 1-D non-negative ``int32`` token array into a
+self-describing ``bytes`` payload and decodes it back bit-identically
+(round-trip contract mirroring the reference's compress/decompress pair,
+/root/reference/rle_array/_algorithms.py:28-59,117-152).
+
+Payload layouts are little-endian and fully self-contained (all widths,
+bases and symbol/dict tables live inside the payload), so a block row
+``(codec: string, payload: binary, n_values: int)`` is decodable with no
+side-channel state — a hard requirement for distributed decode where any
+executor must decode any block.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+TOKEN_DTYPE = np.dtype("<i4")  # logical element type of the `tokens` column
+
+
+@dataclass(frozen=True)
+class BlockStats:
+    """Per-array statistics driving the analytic codec cost model.
+
+    Mirrors the statistics the reference derives from its encoded form:
+    run count (``calc_lengths``), cardinality (``unique`` on run values,
+    /root/reference/rle_array/array.py:918-923), min/max
+    (/root/reference/rle_array/array.py:502-513,556-567).
+    """
+
+    n: int
+    n_runs: int
+    cardinality: int
+    vmin: int  # 0 for empty arrays
+    vmax: int  # 0 for empty arrays
+
+    @property
+    def raw_bytes(self) -> int:
+        return self.n * TOKEN_DTYPE.itemsize
+
+
+def compute_stats(values: np.ndarray) -> BlockStats:
+    """Single-pass NumPy stats over one token array."""
+    n = int(values.size)
+    if n == 0:
+        return BlockStats(n=0, n_runs=0, cardinality=0, vmin=0, vmax=0)
+    # Run boundaries: value change between adjacent slots
+    # (reference `detect_changes`, _algorithms.py:155-171; tokens are non-null
+    # so the null==null special case collapses to plain inequality).
+    n_runs = 1 + int(np.count_nonzero(values[1:] != values[:-1]))
+    uniq = np.unique(values)
+    return BlockStats(
+        n=n,
+        n_runs=n_runs,
+        cardinality=int(uniq.size),
+        vmin=int(uniq[0]),
+        vmax=int(uniq[-1]),
+    )
+
+
+def check_tokens(values: np.ndarray) -> np.ndarray:
+    """Normalize input to a contiguous int32 array; reject negatives."""
+    v = np.ascontiguousarray(values)
+    if v.dtype != np.int32:
+        v = v.astype(np.int32)
+    if v.size and int(v.min()) < 0:
+        raise ValueError("token values must be non-negative int32")
+    return v
+
+
+class Codec:
+    """Base codec. Subclasses set ``name`` and implement the three kernels."""
+
+    name: str = "?"
+
+    def encode(self, values: np.ndarray) -> bytes:
+        raise NotImplementedError
+
+    def decode(self, payload: bytes | memoryview, n: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def estimate_size(self, stats: BlockStats) -> int | None:
+        """Analytic payload-size estimate from stats; None = not estimable
+        (the chooser then requires a trial encode, cf. the reference's
+        measured-ratio approach in autoconversion.py:93-99)."""
+        return None
+
+
+def _read_struct(fmt: str, buf: memoryview, offset: int):
+    size = struct.calcsize(fmt)
+    return struct.unpack_from(fmt, buf, offset), offset + size

@@ -1,0 +1,64 @@
+"""DICT codec — dictionary encoding.
+
+Generalizes the reference's ``factorize`` (dictionary-encode run values,
+/root/reference/rle_array/array.py:294-306) into a standalone codec: the
+sorted unique-value table plus bit-packed codes. The dict table itself is
+FOR+bit-packed (it is a sorted int array, so deltas would pack even tighter;
+kept absolute-FOR for decode simplicity — the table is the minor term).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rle_array_spark.codecs.bitpack import bit_width, pack_bits, packed_nbytes, unpack_bits
+from rle_array_spark.codecs.core import BlockStats, Codec, check_tokens
+
+_HEADER = "<IqBB"  # cardinality:uint32, dbase:int64, dwidth:uint8, cwidth:uint8
+_HEADER_SIZE = struct.calcsize(_HEADER)
+
+
+class DictCodec(Codec):
+    name = "dict"
+
+    def encode(self, values: np.ndarray) -> bytes:
+        v = check_tokens(values)
+        table, codes = np.unique(v, return_inverse=True)
+        card = int(table.size)
+        if card == 0:
+            return struct.pack(_HEADER, 0, 0, 0, 0)
+        dbase = int(table[0])
+        dwidth = bit_width(int(table[-1]) - dbase)
+        cwidth = bit_width(card - 1)
+        header = struct.pack(_HEADER, card, dbase, dwidth, cwidth)
+        return (
+            header
+            + pack_bits(table.astype(np.int64) - dbase, dwidth)
+            + pack_bits(codes, cwidth)
+        )
+
+    def decode(self, payload, n: int) -> np.ndarray:
+        buf = memoryview(payload)
+        card, dbase, dwidth, cwidth = struct.unpack_from(_HEADER, buf, 0)
+        if card == 0:
+            return np.zeros(0, dtype=np.int32)
+        off = _HEADER_SIZE
+        tbytes = packed_nbytes(card, dwidth)
+        table = (
+            unpack_bits(buf[off : off + tbytes], card, dwidth).astype(np.int64) + dbase
+        ).astype(np.int32)
+        codes = unpack_bits(buf[off + tbytes :], n, cwidth).astype(np.int64)
+        return table[codes]
+
+    def estimate_size(self, stats: BlockStats) -> int:
+        if stats.n == 0:
+            return _HEADER_SIZE
+        dwidth = bit_width(stats.vmax - stats.vmin)
+        cwidth = bit_width(max(stats.cardinality - 1, 0))
+        return (
+            _HEADER_SIZE
+            + packed_nbytes(stats.cardinality, dwidth)
+            + packed_nbytes(stats.n, cwidth)
+        )
