@@ -1,0 +1,304 @@
+"""Spark jobs: encode / decode / verify over tokenized-sequence tables.
+
+All kernels are ``mapInArrow`` batch functions (Iterator[pa.RecordBatch] →
+Iterator[pa.RecordBatch]); token arrays are accessed through Arrow list
+offsets/values as NumPy views — no per-row Python UDFs (BASELINE.json
+`input_hint`). Everything relational above the kernels is the stock
+DataFrame API, so Catalyst keeps predicate pushdown / column pruning /
+AQE for free (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rle_array_spark.chooser import DEFAULT_THRESHOLD, choose_codec
+from rle_array_spark.codecs import CODECS, compute_stats
+from rle_array_spark.codecs.rle import reference_rle_nbytes
+
+TOKENS_FIELD = pa.field("tokens", pa.list_(pa.int32()))
+
+BLOCK_SCHEMA = (
+    "doc_id string, source string, codec string, payload binary, "
+    "n_values int, n_runs int, tok_sum long, raw_bytes long, "
+    "encoded_bytes long, ref_rle_bytes long"
+)
+
+DECODED_SCHEMA = "doc_id string, source string, tokens array<int>"
+
+STATS_SCHEMA = (
+    "doc_id string, source string, n_tok int, tok_sum long, "
+    "tok_min int, tok_max int, tok_wsum long, n_runs int, card int"
+)
+
+
+def session(
+    app: str = "rle-array-spark",
+    cores: int | str = "*",
+    shuffle_partitions: int = 32,
+    arrow_batch_rows: int = 1024,
+) -> SparkSession:
+    """Local session with the engine's required configs. On a real cluster
+    the same configs ride spark-submit --conf; nothing here is local-only."""
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Cap Arrow batch rows so a batch of giant sequences stays bounded;
+        # the salted repartition below keeps giants from clumping anyway.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow helpers
+# ---------------------------------------------------------------------------
+
+def _list_to_numpy(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values int32, offsets int64 of len n+1) for a list<int32> array.
+
+    Uses list_value_length + list_flatten, which are offset/slice-safe
+    (ListArray.offsets is not, after Arrow-level slicing).
+    """
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if flat.dtype != np.int32:
+        flat = flat.astype(np.int32)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    return flat, offsets
+
+
+def _numpy_to_list(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted repartition (SURVEY.md §4 physical execution)
+# ---------------------------------------------------------------------------
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 64) -> DataFrame:
+    """Repartition on (source, log2-length bucket, salt).
+
+    Token sequences are heavily skewed by length and source; hashing on
+    (source, length_bucket) alone would send every `giant` row to a handful
+    of partitions, so a doc_id-derived salt splits hot buckets. AQE cannot
+    fix skew *entering* a mapInArrow stage — this shuffle is the explicit
+    defense (north_rule: salted repartitioning on source/length buckets).
+    """
+    length_bucket = F.ceil(F.log2(F.col("n_tok") + F.lit(2.0))).cast("int")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.col("source"), length_bucket, salt)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.RecordBatch:
+    doc_id = batch.column("doc_id")
+    source = batch.column("source")
+    flat, offsets = _list_to_numpy(batch.column("tokens"))
+    n_rows = batch.num_rows
+
+    codecs_out: list[str] = []
+    payloads: list[bytes] = []
+    n_values = np.empty(n_rows, dtype=np.int32)
+    n_runs = np.empty(n_rows, dtype=np.int32)
+    tok_sum = np.empty(n_rows, dtype=np.int64)
+    enc_bytes = np.empty(n_rows, dtype=np.int64)
+    ref_bytes = np.empty(n_rows, dtype=np.int64)
+
+    # Batch-level vectorization: change mask + per-row sums over the flat
+    # values buffer, one pass for the whole batch (not per row).
+    if flat.size:
+        change = np.empty(flat.size, dtype=bool)
+        change[0] = True
+        np.not_equal(flat[1:], flat[:-1], out=change[1:])
+        change[offsets[:-1][offsets[:-1] < flat.size]] = True
+        run_counts_cum = np.concatenate(([0], np.cumsum(change)))
+        sums_cum = np.concatenate(([0], np.cumsum(flat.astype(np.int64))))
+    else:
+        run_counts_cum = np.zeros(1, dtype=np.int64)
+        sums_cum = np.zeros(1, dtype=np.int64)
+
+    for i in range(n_rows):
+        lo, hi = offsets[i], offsets[i + 1]
+        row = flat[lo:hi]
+        if codec == "auto":
+            name, payload = choose_codec(row, threshold=threshold)
+        else:
+            name, payload = codec, CODECS[codec].encode(row)
+        r = int(run_counts_cum[hi] - run_counts_cum[lo])
+        codecs_out.append(name)
+        payloads.append(payload)
+        n_values[i] = hi - lo
+        n_runs[i] = r
+        tok_sum[i] = sums_cum[hi] - sums_cum[lo]
+        enc_bytes[i] = len(payload)
+        ref_bytes[i] = reference_rle_nbytes(r)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_id,
+            source,
+            pa.array(codecs_out, type=pa.string()),
+            pa.array(payloads, type=pa.binary()),
+            pa.array(n_values),
+            pa.array(n_runs),
+            pa.array(tok_sum),
+            pa.array((n_values.astype(np.int64)) * 4),
+            pa.array(enc_bytes),
+            pa.array(ref_bytes),
+        ],
+        names=[
+            "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+            "tok_sum", "raw_bytes", "encoded_bytes", "ref_rle_bytes",
+        ],
+    )
+
+
+def encode_df(
+    df: DataFrame,
+    codec: str = "auto",
+    threshold: float = DEFAULT_THRESHOLD,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """sequences DataFrame → encoded-blocks DataFrame.
+
+    `codec='auto'` runs the cost-based chooser per block; a concrete codec
+    name forces it (used by the per-codec round-trip queries).
+    """
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows:
+                yield _encode_batch(batch, codec, threshold)
+
+    return df.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def _decode_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
+    codecs_col = batch.column("codec").to_pylist()
+    n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+    payload_col = batch.column("payload")
+    parts = []
+    for i in range(batch.num_rows):
+        payload = payload_col[i].as_buffer()
+        parts.append(CODECS[codecs_col[i]].decode(memoryview(payload), int(n_col[i])))
+    flat = np.concatenate(parts) if parts else np.array([], dtype=np.int32)
+    offsets = np.concatenate(([0], np.cumsum(n_col, dtype=np.int64)))
+    return flat, offsets
+
+
+def decode_df(blocks: DataFrame) -> DataFrame:
+    """encoded-blocks DataFrame → (doc_id, source, tokens) DataFrame."""
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            flat, offsets = _decode_rows(batch)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), batch.column("source"), _numpy_to_list(flat, offsets)],
+                names=["doc_id", "source", "tokens"],
+            )
+
+    return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
+        kernel, DECODED_SCHEMA
+    )
+
+
+def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -> pa.RecordBatch:
+    n = batch.num_rows
+    tok_sum = np.zeros(n, dtype=np.int64)
+    tok_min = np.zeros(n, dtype=np.int32)
+    tok_max = np.zeros(n, dtype=np.int32)
+    tok_wsum = np.zeros(n, dtype=np.int64)
+    n_runs = np.zeros(n, dtype=np.int32)
+    card = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        row = flat[offsets[i] : offsets[i + 1]]
+        if row.size == 0:
+            continue
+        s = compute_stats(row)
+        tok_sum[i] = int(row.sum(dtype=np.int64))
+        tok_min[i], tok_max[i] = s.vmin, s.vmax
+        tok_wsum[i] = int(
+            np.dot(row.astype(np.int64), np.arange(1, row.size + 1, dtype=np.int64))
+        )
+        n_runs[i] = s.n_runs
+        card[i] = s.cardinality
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_id"),
+            batch.column("source"),
+            pa.array((offsets[1:] - offsets[:-1]).astype(np.int32)),
+            pa.array(tok_sum),
+            pa.array(tok_min),
+            pa.array(tok_max),
+            pa.array(tok_wsum),
+            pa.array(n_runs),
+            pa.array(card),
+        ],
+        names=[
+            "doc_id", "source", "n_tok", "tok_sum", "tok_min",
+            "tok_max", "tok_wsum", "n_runs", "card",
+        ],
+    )
+
+
+def decode_stats_df(blocks: DataFrame) -> DataFrame:
+    """Decode and reduce to per-row scalar stats in one kernel (never ships
+    the decoded arrays through a shuffle — the audit/verify fast path)."""
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows:
+                yield _stats_batch(batch, *_decode_rows(batch))
+
+    return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
+        kernel, STATS_SCHEMA
+    )
+
+
+def tokens_stats_df(df: DataFrame) -> DataFrame:
+    """Same per-row scalar stats computed directly on a sequences DataFrame
+    (no codec involved) — the differential-oracle twin of decode_stats_df."""
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows:
+                yield _stats_batch(batch, *_list_to_numpy(batch.column("tokens")))
+
+    return df.select("doc_id", "source", "tokens").mapInArrow(kernel, STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Verification (differential vs the uncompressed input, the reference's
+# dominant test pattern — tests/test_operators.py, tests/test_reduce.py:91-112)
+# ---------------------------------------------------------------------------
+
+def verify_roundtrip(df: DataFrame, blocks: DataFrame) -> int:
+    """Join decoded blocks back to the input on doc_id and count rows whose
+    token arrays are NOT bit-identical. 0 == pass."""
+    decoded = decode_df(blocks).select("doc_id", F.col("tokens").alias("decoded"))
+    joined = df.select("doc_id", "tokens").join(decoded, "doc_id", "inner")
+    n_in = df.count()
+    n_ok = joined.filter(F.col("tokens").eqNullSafe(F.col("decoded"))).count()
+    return n_in - n_ok

@@ -1,0 +1,77 @@
+"""Checkpointed-resume tests (SURVEY.md §5 plan: kill after k partitions,
+rerun, assert identical final table and no double-encoded partitions)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rle_array_spark.engine import verify_roundtrip
+from rle_array_spark.tableio import encode_to_dir, read_blocks, read_manifest
+
+N_PARTS = 6
+
+
+def _file_hashes(out_dir):
+    out = {}
+    for p in sorted(glob.glob(os.path.join(out_dir, "blocks", "*.parquet"))):
+        out[os.path.basename(p)] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_encode_to_dir_roundtrip_and_lineage(spark, sequences, tmp_path):
+    out = str(tmp_path / "enc")
+    lineage = encode_to_dir(sequences, out, num_partitions=N_PARTS)
+    assert len(lineage) == N_PARTS
+    assert {r["status"] for r in lineage} == {"encoded"}
+    assert sum(r["n_rows"] for r in lineage) == sequences.count()
+    blocks = read_blocks(spark, out)
+    assert verify_roundtrip(sequences, blocks) == 0
+    man = read_manifest(out)
+    assert len(man["partitions"]) == N_PARTS
+    # lineage byte accounting matches the blocks table
+    agg = blocks.agg(F.sum("encoded_bytes").alias("e")).collect()[0]
+    assert agg["e"] == sum(r["encoded_bytes"] for r in lineage)
+
+
+def test_rerun_skips_all_partitions(spark, sequences, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_to_dir(sequences, out, num_partitions=N_PARTS)
+    before = _file_hashes(out)
+    lineage2 = encode_to_dir(sequences, out, num_partitions=N_PARTS)
+    assert {r["status"] for r in lineage2} == {"skipped"}
+    assert _file_hashes(out) == before
+
+
+def test_resume_after_injected_failure(spark, sequences, tmp_path):
+    out = str(tmp_path / "enc")
+    with pytest.raises(Exception, match="injected failure"):
+        encode_to_dir(sequences, out, num_partitions=N_PARTS, fail_at_partition=N_PARTS - 1)
+    done_before = len(glob.glob(os.path.join(out, "blocks", "*.parquet")))
+    assert 0 < done_before < N_PARTS  # some partitions committed, not all
+
+    lineage = encode_to_dir(sequences, out, num_partitions=N_PARTS)
+    statuses = {r["part_id"]: r["status"] for r in lineage}
+    assert sum(1 for s in statuses.values() if s == "skipped") >= done_before - 1
+    assert sum(1 for s in statuses.values() if s == "encoded") >= 1
+
+    blocks = read_blocks(spark, out)
+    assert blocks.select("doc_id").distinct().count() == sequences.count()
+    assert verify_roundtrip(sequences, blocks) == 0
+
+    # A clean from-scratch encode produces byte-identical partition files.
+    ref = str(tmp_path / "ref")
+    encode_to_dir(sequences, ref, num_partitions=N_PARTS)
+    assert _file_hashes(out) == _file_hashes(ref)
+
+
+def test_param_change_invalidates_checkpoint(spark, sequences, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_to_dir(sequences, out, num_partitions=N_PARTS, codec="rle")
+    lineage = encode_to_dir(sequences, out, num_partitions=N_PARTS, codec="auto")
+    assert {r["status"] for r in lineage} == {"encoded"}
+    assert read_manifest(out)["codec"] == "auto"
