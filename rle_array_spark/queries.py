@@ -1,0 +1,342 @@
+"""Driver-contract query registry: (spark, sf_dir) -> DataFrame per operator,
+with matching DuckDB oracle SQL (CORRECTNESS gate).
+
+Design: every codec round-trip query pushes the documents table through
+tokenize → encode(codec) → decode → per-row stats, while the oracle computes
+the same stats straight from `text` in SQL — the oracle never sees the codec,
+so any encode/decode bug breaks the hash match. This is the reference's
+differential-vs-uncompressed pattern (/root/reference/tests/test_reduce.py:91-112)
+recast as a SQL oracle.
+
+Column names/types are aligned pairwise (driver hashes sort columns by name).
+Floating aggregates are rounded to fixed decimals so summation order can't
+flip the hash; integer aggregates are exact.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rle_array_spark.engine import decode_df, decode_stats_df, encode_df
+from rle_array_spark.tokenize import tokenize_documents
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_documents(_docs(spark, sf_dir))
+
+
+_ORACLE_TOK_CTE = """WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           source,
+           list_transform(string_split(text, ''), c -> unicode(c)) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)"""
+
+_ORACLE_STATS_SELECT = """SELECT doc_id,
+       source,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
+FROM tok"""
+
+_STATS_COLS = ["doc_id", "source", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"]
+
+
+def _roundtrip_stats(codec: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        seq = _sequences(spark, sf_dir)
+        blocks = encode_df(seq, codec=codec)
+        return decode_stats_df(blocks).select(*_STATS_COLS)
+
+    return q
+
+
+_ROUNDTRIP_ORACLE = f"{_ORACLE_TOK_CTE}\n{_ORACLE_STATS_SELECT}"
+
+
+# ---------------------------------------------------------------------------
+# individual queries
+# ---------------------------------------------------------------------------
+
+def q_meta_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free audit: token totals from block metadata only
+    (compressed-domain aggregate, cf. reference sum-on-runs
+    /root/reference/rle_array/array.py:608-616)."""
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return blocks.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("n_values").cast("long")).alias("total_tokens"),
+        F.sum("tok_sum").alias("token_value_sum"),
+    )
+
+
+ORACLE_META_TOKENS = """SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(length(string_split(text, ''))) AS BIGINT) AS total_tokens,
+       CAST(sum(list_sum(list_transform(string_split(text, ''), c -> unicode(c)))) AS BIGINT)
+           AS token_value_sum
+FROM documents
+WHERE length(text) > 0
+GROUP BY source"""
+
+
+def q_groupby_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregate (Catalyst partial+final, SURVEY §2.d)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_GROUPBY_AGG = """SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_filter_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style filtered scan; predicate + projection reach parquet."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_FILTER_PUSHDOWN = """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+
+def q_value_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts (reference array.py:688-691) → groupBy().count()."""
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+ORACLE_VALUE_COUNTS = """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type"""
+
+
+def q_unique_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique (reference array.py:918-923) → distinct."""
+    return _table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+ORACLE_UNIQUE = "SELECT DISTINCT event_type FROM events"
+
+
+def q_factorize_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """factorize/dictionary-encode (reference array.py:294-306) →
+    dense_rank over the sorted distinct values."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    return (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("code", (F.dense_rank().over(w) - 1).cast("long"))
+    )
+
+
+ORACLE_FACTORIZE = """SELECT event_type,
+       CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+FROM (SELECT DISTINCT event_type FROM events)"""
+
+
+def q_window_shift_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift + fillna (reference array.py:875-900, 902-911) → lag + coalesce."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 6).alias("prev_value_filled"),
+    )
+
+
+ORACLE_WINDOW_SHIFT = """SELECT user_id,
+       event_id,
+       round(coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0), 6)
+           AS prev_value_filled
+FROM events"""
+
+
+def q_slice_head_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getitem[slice] (reference _algorithms.py:230-297) → decode + F.slice;
+    sum of each doc's first 8 tokens."""
+    seq = _sequences(spark, sf_dir)
+    decoded = decode_df(encode_df(seq, codec="auto"))
+    head = F.slice("tokens", 1, 8)
+    return decoded.select(
+        "doc_id",
+        F.aggregate(head, F.lit(0).cast("long"), lambda a, t: a + t).alias("head_sum"),
+    )
+
+
+ORACLE_SLICE_HEAD = f"""{_ORACLE_TOK_CTE}
+SELECT doc_id, CAST(list_sum(tokens[1:8]) AS BIGINT) AS head_sum FROM tok"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getitem[int] (reference _algorithms.py:202-227) → element_at on the
+    decoded column: first and last token per doc."""
+    seq = _sequences(spark, sf_dir)
+    decoded = decode_df(encode_df(seq, codec="auto"))
+    return decoded.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", F.size("tokens")).alias("last_tok"),
+    )
+
+
+ORACLE_POINT_LOOKUP = f"""{_ORACLE_TOK_CTE}
+SELECT doc_id,
+       CAST(tokens[1] AS INT) AS first_tok,
+       CAST(tokens[length(tokens)] AS INT) AS last_tok
+FROM tok"""
+
+
+def q_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat (reference _algorithms.py:62-96) → DataFrame.union of two
+    disjoint encoded halves, then metadata aggregate over the union."""
+    seq = _sequences(spark, sf_dir)
+    even = encode_df(seq.filter(F.col("doc_id").cast("long") % 2 == 0), codec="auto")
+    odd = encode_df(seq.filter(F.col("doc_id").cast("long") % 2 == 1), codec="auto")
+    return (
+        even.unionByName(odd)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("n_values").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_CONCAT_UNION = """SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(length(string_split(text, ''))) AS BIGINT) AS total_tokens
+FROM documents
+WHERE length(text) > 0
+GROUP BY source"""
+
+
+def q_runs_and_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc run count + cardinality — the codec chooser's statistics,
+    cross-checked against a pure-SQL run/distinct computation."""
+    seq = _sequences(spark, sf_dir)
+    stats = decode_stats_df(encode_df(seq, codec="rle"))
+    return stats.select("doc_id", "n_runs", "card")
+
+
+ORACLE_RUNS_CARD = f"""{_ORACLE_TOK_CTE}
+SELECT doc_id,
+       CAST(1 + list_sum(list_transform(tokens, (x, i) ->
+            CASE WHEN i > 1 AND x != tokens[i - 1] THEN 1 ELSE 0 END)) AS INT) AS n_runs,
+       CAST(length(list_distinct(tokens)) AS INT) AS card
+FROM tok"""
+
+
+def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-selection distribution — no SQL oracle (codec choice is the
+    engine's own policy); driver records the weaker rows-only check."""
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return blocks.groupBy("codec").agg(
+        F.count("*").alias("blocks"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+    )
+
+
+def q_compression_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression accounting vs the reference's analytic r×(4+8) formula —
+    rows-only check (the reference size is our own derived metric)."""
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return blocks.groupBy("source").agg(
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.sum("ref_rle_bytes").alias("ref_rle_bytes"),
+        F.round(F.sum("raw_bytes") / F.sum("encoded_bytes"), 3).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for codec in ("rle", "dict", "bitpack", "for", "ngram", "raw", "auto"):
+        out[f"roundtrip_{codec}"] = _roundtrip_stats(codec)
+    out["meta_tokens_by_source"] = q_meta_tokens_by_source
+    out["groupby_agg_lineitem"] = q_groupby_agg_lineitem
+    out["filter_pushdown_revenue"] = q_filter_pushdown_revenue
+    out["value_counts_events"] = q_value_counts_events
+    out["unique_event_types"] = q_unique_event_types
+    out["factorize_event_types"] = q_factorize_event_types
+    out["window_shift_fill"] = q_window_shift_fill
+    out["slice_head_sum"] = q_slice_head_sum
+    out["point_lookup"] = q_point_lookup
+    out["concat_union"] = q_concat_union
+    out["runs_and_cardinality"] = q_runs_and_cardinality
+    out["codec_histogram"] = q_codec_histogram
+    out["compression_vs_reference"] = q_compression_vs_reference
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for codec in ("rle", "dict", "bitpack", "for", "ngram", "raw", "auto"):
+        out[f"roundtrip_{codec}"] = _ROUNDTRIP_ORACLE
+    out["meta_tokens_by_source"] = ORACLE_META_TOKENS
+    out["groupby_agg_lineitem"] = ORACLE_GROUPBY_AGG
+    out["filter_pushdown_revenue"] = ORACLE_FILTER_PUSHDOWN
+    out["value_counts_events"] = ORACLE_VALUE_COUNTS
+    out["unique_event_types"] = ORACLE_UNIQUE
+    out["factorize_event_types"] = ORACLE_FACTORIZE
+    out["window_shift_fill"] = ORACLE_WINDOW_SHIFT
+    out["slice_head_sum"] = ORACLE_SLICE_HEAD
+    out["point_lookup"] = ORACLE_POINT_LOOKUP
+    out["concat_union"] = ORACLE_CONCAT_UNION
+    out["runs_and_cardinality"] = ORACLE_RUNS_CARD
+    # codec_histogram / compression_vs_reference: intentionally no oracle.
+    return out
