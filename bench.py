@@ -1,0 +1,221 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds plus the
+north-rule metrics: encode throughput (tokens/sec) at multiple parallelism
+levels (the sandbox evidence for N→4N executor scaling), scaling efficiency,
+and compression ratio vs the reference's analytic r×(4+8)-bytes RLE size.
+
+Protocol notes (measured on this sandbox):
+- the first Spark job in a session pays ~20 s of Python-worker spawn +
+  imports at 32 workers → a warm-up job precedes every timed run;
+- the VM's CPUs are memory-bandwidth/SMT-bound above ~8-16 active workers
+  (a pure-numpy multiprocessing control shows per-process slowdown 0.7 s →
+  1.8 s from 8 → 32 procs), so scaling efficiency is reported for both
+  2→8 and 8→32 cores;
+- each timed cell is best-of-2 (the VM shows occasional 2-3× stalls).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1) — relational queries
+  SPARK_GRAFT_CPUS     (default 32)                   — max parallelism
+  RLE_BENCH_TOKENS_M   (default 240)                  — synthetic corpus size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rle_array_spark import datagen  # noqa: E402
+from rle_array_spark.engine import decode_stats_df, encode_df, session  # noqa: E402
+from rle_array_spark.queries import build_queries  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_TOKENS_M = int(os.environ.get("RLE_BENCH_TOKENS_M", "240"))
+
+ROWS_PER_SOURCE = 120
+TOKENS_PER_BLOCK = 930_000  # empirical for ROWS_PER_SOURCE=120
+N_BLOCKS = max(4, (TARGET_TOKENS_M * 1_000_000) // TOKENS_PER_BLOCK)
+CORPUS_DIR = f"/tmp/rle_bench_corpus_b{N_BLOCKS}_r{ROWS_PER_SOURCE}"
+
+
+def ensure_corpus(spark) -> None:
+    if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        return
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+
+    def gen(iterator):
+        for batch in iterator:
+            for block_id in batch.column("id").to_pylist():
+                yield datagen.generate_block(int(block_id), ROWS_PER_SOURCE)
+
+    (
+        spark.range(N_BLOCKS)
+        .repartition(CPUS * 2)
+        .mapInArrow(gen, "doc_id string, tokens array<int>, n_tok int, source string")
+        .write.mode("overwrite")
+        .parquet(CORPUS_DIR)
+    )
+
+
+def warm_workers(spark, cores: int) -> None:
+    """Force the Python worker pool to spawn + import the kernels so timed
+    runs measure encode, not interpreter startup (workers are reused within
+    a session: spark.python.worker.reuse)."""
+    tiny = spark.range(cores * 4).selectExpr(
+        "cast(id as string) doc_id",
+        "array(1, 2, 2, 3) tokens",
+        "4 n_tok",
+        "'warm' source",
+    )
+    encode_df(tiny.repartition(cores * 2), codec="auto").count()
+
+
+def encode_job(spark, num_partitions: int | None) -> dict:
+    """Auto-encode of the corpus (salted-shuffle path when num_partitions is
+    set, scan-parallel otherwise); returns totals (forces materialization)."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(CORPUS_DIR)
+    blocks = encode_df(df, codec="auto", num_partitions=num_partitions)
+    row = blocks.agg(
+        F.sum("n_values").alias("toks"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("encoded_bytes").alias("enc"),
+        F.sum(F.least("ref_rle_bytes", "raw_bytes")).alias("ref"),
+    ).collect()[0]
+    return {"tokens": row["toks"], "raw": row["raw"], "enc": row["enc"], "ref": row["ref"]}
+
+
+def timed(fn, reps: int = 1) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+SCALING_PARTITIONS = 128  # identical job plan at every parallelism level
+
+
+def throughput_at(cores: int, reps: int = 2) -> tuple[float, float, dict]:
+    """Best-of-reps wall time for the salted-shuffle and scan-parallel
+    encode jobs at a given core count. The job (partition count, plan) is
+    IDENTICAL at every level — only executor parallelism varies, which is
+    the sandbox stand-in for N vs 4N executors."""
+    spark = session(
+        app=f"bench-local{cores}", cores=cores, shuffle_partitions=SCALING_PARTITIONS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        ensure_corpus(spark)
+        warm_workers(spark, cores)
+        totals: dict = {}
+        best_salted = best_scan = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            totals = encode_job(spark, num_partitions=SCALING_PARTITIONS)
+            best_salted = min(best_salted, time.monotonic() - t0)
+            t0 = time.monotonic()
+            encode_job(spark, num_partitions=None)
+            best_scan = min(best_scan, time.monotonic() - t0)
+        return best_salted, best_scan, totals
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+
+    # --- scaling evidence: identical encode jobs, same input, varying cores ---
+    levels = sorted({2, 8, min(32, CPUS), CPUS})
+    thr_salted: dict[int, float] = {}
+    thr_scan: dict[int, float] = {}
+    totals: dict = {}
+    for cores in levels:
+        wall_salted, wall_scan, totals = throughput_at(cores, reps=1 if cores <= 2 else 2)
+        thr_salted[cores] = totals["tokens"] / wall_salted
+        thr_scan[cores] = totals["tokens"] / wall_scan
+        queries[f"encode_auto_salted_local{cores}"] = round(wall_salted, 3)
+        queries[f"encode_auto_scan_local{cores}"] = round(wall_scan, 3)
+
+    def eff(thr: dict[int, float], a: int, b: int):
+        if a in thr and b in thr:
+            return round((thr[b] / thr[a]) / (b / a), 3)
+        return None
+
+    eff_scan_2_8 = eff(thr_scan, 2, 8)
+    eff_salted_2_8 = eff(thr_salted, 2, 8)
+    eff_scan_8_32 = eff(thr_scan, 8, 32)
+    eff_salted_8_32 = eff(thr_salted, 8, 32)
+
+    # --- headline queries at full parallelism ---
+    spark = session(app="bench", cores=CPUS, shuffle_partitions=CPUS * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        import pyspark.sql.functions as F
+
+        warm_workers(spark, CPUS)
+        df = spark.read.parquet(CORPUS_DIR)
+
+        # forced-RLE encode (the reference's one codec, like-for-like rate)
+        queries["encode_rle_scanparallel"] = timed(
+            lambda: encode_df(df, codec="rle").agg(F.sum("encoded_bytes")).collect(),
+            reps=2,
+        )
+
+        # encode→decode→stats full pipeline (the flagship path)
+        queries["encode_decode_stats"] = timed(
+            lambda: decode_stats_df(encode_df(df, codec="auto"))
+            .agg(F.sum("tok_sum"))
+            .collect()
+        )
+
+        # decode-free metadata audit on a cached blocks table
+        blocks_cached = encode_df(df, codec="auto").cache()
+        blocks_cached.count()
+        queries["audit_metadata_agg"] = timed(
+            lambda: blocks_cached.groupBy("source", "codec")
+            .agg(F.sum("encoded_bytes"), F.sum("tok_sum"))
+            .collect()
+        )
+        blocks_cached.unpersist()
+
+        # relational queries on driver testdata
+        q = build_queries()
+        for name in (
+            "groupby_agg_lineitem",
+            "filter_pushdown_revenue",
+            "window_shift_fill",
+            "roundtrip_auto",
+        ):
+            queries[name] = timed(lambda n=name: q[n](spark, SF_DIR).collect())
+    finally:
+        spark.stop()
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "corpus_tokens": int(totals["tokens"]),
+        "encode_throughput_tokens_per_sec": {
+            "scan_parallel": {f"local[{c}]": int(t) for c, t in sorted(thr_scan.items())},
+            "salted_shuffle": {f"local[{c}]": int(t) for c, t in sorted(thr_salted.items())},
+        },
+        "scaling_efficiency_2_to_8": {"scan_parallel": eff_scan_2_8, "salted_shuffle": eff_salted_2_8},
+        "scaling_efficiency_8_to_32": {"scan_parallel": eff_scan_8_32, "salted_shuffle": eff_salted_8_32},
+        "compression_ratio_vs_raw": round(totals["raw"] / totals["enc"], 3),
+        "compression_ratio_vs_reference_rle": round(totals["ref"] / totals["enc"], 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,12 +3,16 @@
 Generalizes the reference's measured-ratio threshold rule
 (``auto_convert_to_rle``: keep compressed iff compressed_nbytes /
 raw_nbytes <= threshold, /root/reference/rle_array/autoconversion.py:40-103)
-into a two-stage chooser:
+into a three-stage chooser:
 
 1. analytic size model per codec from per-block stats (run count → RLE,
-   cardinality → DICT, value range → BITPACK/FOR) ranks candidates cheaply;
-2. the top candidates are trial-encoded and the measured smallest wins —
-   preserving the reference's "measure, don't trust the model" semantics;
+   cardinality → DICT, value range → BITPACK/FOR) ranks candidates for free;
+2. the top candidate is trial-encoded (plus the runner-up when the estimates
+   are within 10% — the models are near-exact except RLE's run-length width
+   guess), and NGRAM — which has no analytic model — is trial-encoded on a
+   bounded sample window and kept only if its projected full-size beats the
+   measured best (keeps grammar building off the hot path for blocks where
+   it cannot win);
 3. threshold-vs-raw guard: if the winner does not beat ``threshold × raw``,
    keep RAW (the reference's `rain` column case, README.rst:85).
 """
@@ -20,14 +24,21 @@ import numpy as np
 from rle_array_spark.codecs import CODECS, compute_stats
 from rle_array_spark.codecs.core import BlockStats
 
-# Codecs eligible for auto-selection, cheapest-to-estimate first.
+# Codecs with analytic size models, eligible for auto-selection.
 AUTO_CANDIDATES = ("rle", "dict", "for", "bitpack")
-# NGRAM has no analytic model; trial it only when the block is big enough to
-# amortize grammar building and no candidate already achieves this ratio.
 NGRAM_MIN_TOKENS = 64
+# Skip the NGRAM trial when the best analytic candidate already compresses
+# below this ratio — grammar coding cannot meaningfully improve on it.
 NGRAM_SKIP_IF_RATIO_BELOW = 0.15
+NGRAM_SAMPLE_TOKENS = 8192
+# Minimum fraction of adjacent-pair occurrences that round 1 could replace
+# for the grammar build to be worth trying on small blocks.
+NGRAM_MIN_REPEAT_FRACTION = 0.30
+# Sampled projection must beat the measured best by this margin to pay for
+# the full grammar encode.
+NGRAM_PROJECTION_MARGIN = 0.9
+RUNNER_UP_SLACK = 1.10
 DEFAULT_THRESHOLD = 1.0
-TRIAL_TOP_K = 2
 
 
 def choose_codec(
@@ -46,10 +57,17 @@ def choose_codec(
     estimates = sorted(
         (CODECS[name].estimate_size(stats), name) for name in AUTO_CANDIDATES
     )
+    trial_names = [estimates[0][1]]
+    if estimates[1][0] <= RUNNER_UP_SLACK * max(estimates[0][0], 1):
+        trial_names.append(estimates[1][1])
+
     best_name, best_payload = "raw", None
     best_size = raw_bytes
-    for _, name in estimates[:TRIAL_TOP_K]:
-        payload = CODECS[name].encode(values)
+    for name in trial_names:
+        if name == "dict":
+            payload = CODECS["dict"].encode(values, table=stats.uniq)
+        else:
+            payload = CODECS[name].encode(values)
         if len(payload) < best_size:
             best_name, best_payload, best_size = name, payload, len(payload)
 
@@ -58,9 +76,21 @@ def choose_codec(
         and stats.n >= NGRAM_MIN_TOKENS
         and best_size > NGRAM_SKIP_IF_RATIO_BELOW * raw_bytes
     ):
-        payload = CODECS["ngram"].encode(values)
-        if len(payload) < best_size:
-            best_name, best_payload, best_size = "ngram", payload, len(payload)
+        if stats.n > NGRAM_SAMPLE_TOKENS:
+            sample = values[: NGRAM_SAMPLE_TOKENS]
+            sample_payload = CODECS["ngram"].encode(sample)
+            projected = len(sample_payload) / (sample.size * 4) * raw_bytes
+            worth_it = projected < NGRAM_PROJECTION_MARGIN * best_size
+        else:
+            # Round-1 digram repetition bounds the whole grammar's gain at
+            # ~1/MAX_ROUNDS of a full build; skip blocks it cannot help.
+            from rle_array_spark.codecs.ngram import NgramCodec
+
+            worth_it = NgramCodec.repeat_fraction(values) >= NGRAM_MIN_REPEAT_FRACTION
+        if worth_it:
+            payload = CODECS["ngram"].encode(values)
+            if len(payload) < best_size:
+                best_name, best_payload, best_size = "ngram", payload, len(payload)
 
     # Threshold-vs-raw guard (autoconversion.py:93-99 semantics).
     if best_payload is None or best_size > threshold * raw_bytes:

@@ -1,9 +1,12 @@
 """Bit-packing primitives: pack non-negative ints into ``width`` bits each.
 
-Pure NumPy, fully vectorized (no per-element Python). These are the shared
-substrate for the BITPACK / FOR codecs and for the packed run-values /
-run-lengths inside the RLE, DICT and NGRAM payloads.
+Pure NumPy, fully vectorized. Byte-aligned widths (8/16/32/64) take a direct
+dtype-cast fast path; other widths route through C-level
+``np.unpackbits``/``np.packbits`` (little-endian bit order) on the smallest
+containing integer dtype — no Python-level bit loops anywhere.
 
+These are the shared substrate for the BITPACK / FOR codecs and for the
+packed run-values / run-lengths inside the RLE, DICT and NGRAM payloads.
 The reference engine stores run-end positions as raw int64
 (/root/reference/rle_array/types.py:7); packing them is one of this engine's
 size wins over the reference's ``r * (value_bytes + 8)`` formula.
@@ -13,7 +16,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["bit_width", "pack_bits", "unpack_bits"]
+__all__ = ["bit_width", "pack_bits", "unpack_bits", "packed_nbytes"]
+
+_EXACT = {8: np.dtype("<u1"), 16: np.dtype("<u2"), 32: np.dtype("<u4"), 64: np.dtype("<u8")}
 
 
 def bit_width(max_value: int) -> int:
@@ -23,21 +28,27 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
-def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack non-negative integers into ``width`` bits each (little-endian bit order).
+def _container(width: int) -> tuple[np.dtype, int]:
+    for w in (8, 16, 32, 64):
+        if width <= w:
+            return _EXACT[w], w
+    raise ValueError(f"width {width} > 64 unsupported")
 
-    ``width == 0`` encodes a constant-zero stream as zero bytes.
-    """
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative integers into ``width`` bits each (little-endian bit
+    order). ``width == 0`` encodes a constant-zero stream as zero bytes."""
     if width == 0:
         return b""
-    if width > 64:
-        raise ValueError(f"width {width} > 64 unsupported")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = np.asarray(values)
     if v.size == 0:
         return b""
-    # (n, width) bit matrix, LSB first, then pack to bytes.
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    exact = _EXACT.get(width)
+    if exact is not None:
+        return v.astype(exact, copy=False).tobytes()
+    dtype, w = _container(width)
+    cells = v.astype(dtype, copy=False).reshape(-1, 1).view(np.uint8)
+    bits = np.unpackbits(cells, axis=1, bitorder="little")[:, :width]
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
@@ -45,10 +56,20 @@ def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`; returns uint64 array of length ``n``."""
     if n == 0 or width == 0:
         return np.zeros(n, dtype=np.uint64)
+    exact = _EXACT.get(width)
+    if exact is not None:
+        return np.frombuffer(buf, dtype=exact, count=n).astype(np.uint64)
+    dtype, w = _container(width)
     raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) // 8)
     bits = np.unpackbits(raw, count=n * width, bitorder="little").reshape(n, width)
-    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
-    return bits.astype(np.uint64) @ weights
+    padded = np.zeros((n, w), dtype=np.uint8)
+    padded[:, :width] = bits
+    return (
+        np.packbits(padded, axis=1, bitorder="little")
+        .view(dtype)
+        .ravel()
+        .astype(np.uint64)
+    )
 
 
 def packed_nbytes(n: int, width: int) -> int:

@@ -15,7 +15,7 @@ executor must decode any block.
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -30,6 +30,9 @@ class BlockStats:
     run count (``calc_lengths``), cardinality (``unique`` on run values,
     /root/reference/rle_array/array.py:918-923), min/max
     (/root/reference/rle_array/array.py:502-513,556-567).
+
+    ``uniq`` (the sorted distinct values) rides along so the DICT codec can
+    reuse it instead of re-sorting; it is excluded from equality.
     """
 
     n: int
@@ -37,6 +40,7 @@ class BlockStats:
     cardinality: int
     vmin: int  # 0 for empty arrays
     vmax: int  # 0 for empty arrays
+    uniq: np.ndarray | None = field(default=None, compare=False, repr=False)
 
     @property
     def raw_bytes(self) -> int:
@@ -44,21 +48,32 @@ class BlockStats:
 
 
 def compute_stats(values: np.ndarray) -> BlockStats:
-    """Single-pass NumPy stats over one token array."""
+    """Vectorized stats over one token array.
+
+    Cardinality is computed on *run values*, not raw values — identical
+    result (adjacent duplicates add nothing to the distinct set) but the
+    sort shrinks with the run count, exactly the reference's unique-on-runs
+    optimization (/root/reference/rle_array/array.py:918-923)."""
     n = int(values.size)
     if n == 0:
         return BlockStats(n=0, n_runs=0, cardinality=0, vmin=0, vmax=0)
     # Run boundaries: value change between adjacent slots
     # (reference `detect_changes`, _algorithms.py:155-171; tokens are non-null
     # so the null==null special case collapses to plain inequality).
-    n_runs = 1 + int(np.count_nonzero(values[1:] != values[:-1]))
-    uniq = np.unique(values)
+    change = values[1:] != values[:-1]
+    n_runs = 1 + int(np.count_nonzero(change))
+    if n_runs == n:
+        run_values = values
+    else:
+        run_values = np.concatenate((values[:1], values[1:][change]))
+    uniq = np.unique(run_values)
     return BlockStats(
         n=n,
         n_runs=n_runs,
         cardinality=int(uniq.size),
         vmin=int(uniq[0]),
         vmax=int(uniq[-1]),
+        uniq=uniq,
     )
 
 

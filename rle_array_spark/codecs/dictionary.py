@@ -23,9 +23,11 @@ _HEADER_SIZE = struct.calcsize(_HEADER)
 class DictCodec(Codec):
     name = "dict"
 
-    def encode(self, values: np.ndarray) -> bytes:
+    def encode(self, values: np.ndarray, table: np.ndarray | None = None) -> bytes:
         v = check_tokens(values)
-        table, codes = np.unique(v, return_inverse=True)
+        if table is None:
+            table = np.unique(v)
+        codes = np.searchsorted(table, v)
         card = int(table.size)
         if card == 0:
             return struct.pack(_HEADER, 0, 0, 0, 0)

@@ -52,6 +52,23 @@ def _greedy_nonoverlapping(positions: np.ndarray) -> np.ndarray:
 class NgramCodec(Codec):
     name = "ngram"
 
+    @staticmethod
+    def repeat_fraction(values: np.ndarray) -> float:
+        """Fraction of adjacent-pair occurrences that round-1 could replace
+        (pairs appearing >= MIN_PAIR_COUNT times). One np.unique over the
+        fused digram keys — ~1/MAX_ROUNDS of a full grammar build — used by
+        the chooser to skip hopeless blocks; later rounds only compound what
+        round 1 finds, so a weak round 1 bounds the whole grammar's gain."""
+        n = values.size
+        if n < 2:
+            return 0.0
+        s = values.astype(np.int64)
+        key_mult = np.int64(int(values.max()) + MAX_SYMS + 2)
+        keys = s[:-1] * key_mult + s[1:]
+        _, counts = np.unique(keys, return_counts=True)
+        eligible = counts[counts >= MIN_PAIR_COUNT].sum()
+        return float(eligible) / float(n)
+
     def encode(self, values: np.ndarray) -> bytes:
         v = check_tokens(values)
         n = int(v.size)

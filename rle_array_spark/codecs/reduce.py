@@ -1,0 +1,119 @@
+"""Compressed-domain reductions and slicing — never materialize the array.
+
+Reference semantics:
+- sum  = dot(run_values, run_lengths)      (/root/reference/rle_array/array.py:608-616)
+- min/max/any/all over run values only     (array.py:478-513,556-567)
+- getitem[slice] via searchsorted on end positions, O(log n_runs + out)
+  (find_slice, /root/reference/rle_array/_algorithms.py:230-297)
+
+Per codec:
+- rle:     all reductions O(n_runs); slice O(log n_runs + out_runs)
+- dict:    min/max O(1) on the sorted table; sum needs code counts (bincount
+           over codes, O(n) but integer-cheap, no value materialization)
+- bitpack/for/raw: reductions over the unpacked stream (O(n), vectorized);
+           slice unpacks only the requested window
+- ngram:   decode-fallback (grammar hides positions)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rle_array_spark.codecs import CODECS
+from rle_array_spark.codecs.bitpack import packed_nbytes, unpack_bits
+from rle_array_spark.codecs.rle import _HEADER as _RLE_HEADER
+from rle_array_spark.codecs.rle import _HEADER_SIZE as _RLE_HEADER_SIZE
+
+_DICT_HEADER = "<IqBB"
+_DICT_HEADER_SIZE = struct.calcsize(_DICT_HEADER)
+
+
+def _rle_parts(payload) -> tuple[np.ndarray, np.ndarray]:
+    buf = memoryview(payload)
+    n_runs, vbase, vwidth, lwidth = struct.unpack_from(_RLE_HEADER, buf, 0)
+    if n_runs == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
+    off = _RLE_HEADER_SIZE
+    vbytes = packed_nbytes(n_runs, vwidth)
+    run_values = (
+        unpack_bits(buf[off : off + vbytes], n_runs, vwidth).astype(np.int64) + vbase
+    ).astype(np.int32)
+    run_lengths = unpack_bits(buf[off + vbytes :], n_runs, lwidth).astype(np.int64) + 1
+    return run_values, run_lengths
+
+
+def _dict_parts(payload, n: int) -> tuple[np.ndarray, np.ndarray]:
+    buf = memoryview(payload)
+    card, dbase, dwidth, cwidth = struct.unpack_from(_DICT_HEADER, buf, 0)
+    if card == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
+    off = _DICT_HEADER_SIZE
+    tbytes = packed_nbytes(card, dwidth)
+    table = (
+        unpack_bits(buf[off : off + tbytes], card, dwidth).astype(np.int64) + dbase
+    ).astype(np.int32)
+    codes = unpack_bits(buf[off + tbytes :], n, cwidth).astype(np.int64)
+    return table, codes
+
+
+def block_sum(codec: str, payload, n: int) -> int:
+    """Σ values without decoding the array."""
+    if n == 0:
+        return 0
+    if codec == "rle":
+        run_values, run_lengths = _rle_parts(payload)
+        return int(np.dot(run_values.astype(np.int64), run_lengths))
+    if codec == "dict":
+        table, codes = _dict_parts(payload, n)
+        counts = np.bincount(codes, minlength=table.size)
+        return int(np.dot(table.astype(np.int64), counts))
+    values = CODECS[codec].decode(payload, n)  # bitpack/for/raw: stream unpack
+    return int(values.sum(dtype=np.int64))
+
+
+def block_min_max(codec: str, payload, n: int) -> tuple[int, int]:
+    """(min, max) without decode; O(n_runs) for RLE, O(1) for DICT."""
+    if n == 0:
+        return 0, 0
+    if codec == "rle":
+        run_values, _ = _rle_parts(payload)
+        return int(run_values.min()), int(run_values.max())
+    if codec == "dict":
+        table, _ = _dict_parts(payload, n)
+        return int(table[0]), int(table[-1])  # table is sorted
+    values = CODECS[codec].decode(payload, n)
+    return int(values.min()), int(values.max())
+
+
+def decode_slice(codec: str, payload, n: int, start: int, stop: int) -> np.ndarray:
+    """values[start:stop] with work proportional to the slice, not the block
+    (reference find_slice, _algorithms.py:230-297). start/stop are clamped."""
+    start = max(0, min(start, n))
+    stop = max(start, min(stop, n))
+    if stop == start:
+        return np.zeros(0, np.int32)
+    if codec == "rle":
+        run_values, run_lengths = _rle_parts(payload)
+        ends = np.cumsum(run_lengths)
+        first = int(np.searchsorted(ends, start, side="right"))
+        last = int(np.searchsorted(ends, stop - 1, side="right"))
+        vals = run_values[first : last + 1]
+        lens = run_lengths[first : last + 1].copy()
+        prev_end = int(ends[first - 1]) if first > 0 else 0
+        lens[0] -= start - prev_end
+        lens[-1] = min(int(ends[last]), stop) - max(start, int(ends[last - 1]) if last > 0 else 0)
+        if len(lens) == 1:
+            lens[0] = stop - start
+        return np.repeat(vals, lens)
+    if codec == "raw":
+        return np.frombuffer(payload, dtype="<i4", count=stop, offset=0)[start:stop].astype(
+            np.int32
+        )
+    if codec == "dict":
+        table, codes = _dict_parts(payload, n)
+        return table[codes[start:stop]]
+    # bitpack/for/ngram: decode then slice (bit-level window math is possible
+    # for bitpack/for but the stream unpack is already a single C pass)
+    return CODECS[codec].decode(payload, n)[start:stop]

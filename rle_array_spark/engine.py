@@ -24,8 +24,8 @@ TOKENS_FIELD = pa.field("tokens", pa.list_(pa.int32()))
 
 BLOCK_SCHEMA = (
     "doc_id string, source string, codec string, payload binary, "
-    "n_values int, n_runs int, tok_sum long, raw_bytes long, "
-    "encoded_bytes long, ref_rle_bytes long"
+    "n_values int, n_runs int, tok_sum long, tok_min int, tok_max int, "
+    "raw_bytes long, encoded_bytes long, ref_rle_bytes long"
 )
 
 DECODED_SCHEMA = "doc_id string, source string, tokens array<int>"
@@ -41,6 +41,7 @@ def session(
     cores: int | str = "*",
     shuffle_partitions: int = 32,
     arrow_batch_rows: int = 1024,
+    max_partition_bytes: int = 16 * 1024 * 1024,
 ) -> SparkSession:
     """Local session with the engine's required configs. On a real cluster
     the same configs ride spark-submit --conf; nothing here is local-only."""
@@ -53,7 +54,14 @@ def session(
         # Cap Arrow batch rows so a batch of giant sequences stays bounded;
         # the salted repartition below keeps giants from clumping anyway.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.driver.memory", "8g")
+        # Small scan splits bound per-task token mass — the no-shuffle skew
+        # defense for the scan-parallel encode path.
+        .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        .config("spark.driver.memory", "16g")
+        # Shuffle scratch on tmpfs: the sandbox's virtual disk stalls on
+        # writeback and adds multi-second variance to shuffle-heavy stages.
+        # On a real cluster this is the usual local-SSD spark.local.dir.
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .getOrCreate()
     )
 
@@ -76,6 +84,69 @@ def _list_to_numpy(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+def _bin_to_numpy(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values int32, offsets int64) for a binary column of packed
+    little-endian int32 tokens (the shuffle-friendly transport form)."""
+    if col.null_count:
+        raise ValueError("tok_bin must be non-null")
+    byte_lengths = pc.binary_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    # value_offsets buffer covers [col.offset, col.offset + n] entries
+    value_offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    start = int(value_offsets[col.offset])
+    end = int(value_offsets[col.offset + len(col)])
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[start:end]
+    try:
+        flat = data.view("<i4")
+    except ValueError:  # unaligned slice start — copy once
+        flat = np.frombuffer(data.tobytes(), dtype="<i4")
+    offsets = np.concatenate(([0], np.cumsum(byte_lengths // 4)))
+    return flat, offsets
+
+
+def _tokens_from_batch(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
+    names = batch.schema.names
+    if "tok_bin" in names:
+        return _bin_to_numpy(batch.column("tok_bin"))
+    return _list_to_numpy(batch.column("tokens"))
+
+
+PACKED_SCHEMA = "doc_id string, source string, n_tok int, tok_bin binary"
+
+
+def pack_tokens_df(df: DataFrame) -> DataFrame:
+    """Re-encode the tokens column as packed int32-LE binary.
+
+    Spark's row shuffle serializes ``array<int>`` element-by-element
+    (UnsafeArrayData), which measured 3-5× slower than shuffling the same
+    bytes as a single binary value (one memcpy). Any encode path that must
+    shuffle raw tokens converts to this transport form first — the scale
+    lever: never shuffle a token array as an array.
+    """
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            flat, offsets = _list_to_numpy(batch.column("tokens"))
+            byte_offsets = (offsets * 4).astype(np.int64)
+            binarr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                batch.num_rows,
+                [None, pa.py_buffer(byte_offsets), pa.py_buffer(flat.view(np.uint8))],
+            ).cast(pa.binary())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    batch.column("n_tok"),
+                    binarr,
+                ],
+                names=["doc_id", "source", "n_tok", "tok_bin"],
+            )
+
+    return df.select("doc_id", "source", "n_tok", "tokens").mapInArrow(kernel, PACKED_SCHEMA)
+
+
 def _numpy_to_list(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
@@ -86,7 +157,9 @@ def _numpy_to_list(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
 # Salted repartition (SURVEY.md §4 physical execution)
 # ---------------------------------------------------------------------------
 
-def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 64) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, num_partitions: int, salt_buckets: int | None = None
+) -> DataFrame:
     """Repartition on (source, log2-length bucket, salt).
 
     Token sequences are heavily skewed by length and source; hashing on
@@ -94,7 +167,16 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 6
     of partitions, so a doc_id-derived salt splits hot buckets. AQE cannot
     fix skew *entering* a mapInArrow stage — this shuffle is the explicit
     defense (north_rule: salted repartitioning on source/length buckets).
+
+    The salt space must scale with the partition count: with k distinct
+    (source, bucket, salt) keys per hot group, per-partition token mass has
+    relative spread ~1/sqrt(keys-per-partition), so we keep ≥8 keys per
+    partition for the hottest group alone (measured: 64 fixed salts at 128
+    partitions left a 4.4×-median straggler partition; 8×num_partitions
+    brings max/median under ~1.6).
     """
+    if salt_buckets is None:
+        salt_buckets = num_partitions * 8
     length_bucket = F.ceil(F.log2(F.col("n_tok") + F.lit(2.0))).cast("int")
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
     return df.repartition(num_partitions, F.col("source"), length_bucket, salt)
@@ -107,7 +189,7 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 6
 def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.RecordBatch:
     doc_id = batch.column("doc_id")
     source = batch.column("source")
-    flat, offsets = _list_to_numpy(batch.column("tokens"))
+    flat, offsets = _tokens_from_batch(batch)
     n_rows = batch.num_rows
 
     codecs_out: list[str] = []
@@ -118,18 +200,27 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
     enc_bytes = np.empty(n_rows, dtype=np.int64)
     ref_bytes = np.empty(n_rows, dtype=np.int64)
 
-    # Batch-level vectorization: change mask + per-row sums over the flat
-    # values buffer, one pass for the whole batch (not per row).
+    # Batch-level vectorization: change mask, per-row sums and min/max over
+    # the flat values buffer — one pass for the whole batch (not per row).
+    starts = offsets[:-1]
+    valid = offsets[1:] > starts
     if flat.size:
         change = np.empty(flat.size, dtype=bool)
         change[0] = True
         np.not_equal(flat[1:], flat[:-1], out=change[1:])
-        change[offsets[:-1][offsets[:-1] < flat.size]] = True
+        change[starts[starts < flat.size]] = True
         run_counts_cum = np.concatenate(([0], np.cumsum(change)))
         sums_cum = np.concatenate(([0], np.cumsum(flat.astype(np.int64))))
+        idx = np.minimum(starts, flat.size - 1).astype(np.int64)
+        tok_min = np.minimum.reduceat(flat, idx)
+        tok_max = np.maximum.reduceat(flat, idx)
+        tok_min[~valid] = 0
+        tok_max[~valid] = 0
     else:
         run_counts_cum = np.zeros(1, dtype=np.int64)
         sums_cum = np.zeros(1, dtype=np.int64)
+        tok_min = np.zeros(n_rows, dtype=np.int32)
+        tok_max = np.zeros(n_rows, dtype=np.int32)
 
     for i in range(n_rows):
         lo, hi = offsets[i], offsets[i + 1]
@@ -156,13 +247,16 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
             pa.array(n_values),
             pa.array(n_runs),
             pa.array(tok_sum),
+            pa.array(tok_min.astype(np.int32)),
+            pa.array(tok_max.astype(np.int32)),
             pa.array((n_values.astype(np.int64)) * 4),
             pa.array(enc_bytes),
             pa.array(ref_bytes),
         ],
         names=[
             "doc_id", "source", "codec", "payload", "n_values", "n_runs",
-            "tok_sum", "raw_bytes", "encoded_bytes", "ref_rle_bytes",
+            "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+            "ref_rle_bytes",
         ],
     )
 
@@ -177,9 +271,17 @@ def encode_df(
 
     `codec='auto'` runs the cost-based chooser per block; a concrete codec
     name forces it (used by the per-codec round-trip queries).
+
+    With ``num_partitions=None`` (default) the encode runs at scan
+    parallelism — no shuffle; per-task work is bounded by
+    ``spark.sql.files.maxPartitionBytes``, which is the cheap skew defense
+    when the input layout is sane. With ``num_partitions`` set, tokens are
+    first packed to binary (cheap to shuffle) and salted-repartitioned —
+    the deterministic-partition path used by the checkpointing writer and
+    the explicit defense for pathological input layouts.
     """
     if num_partitions:
-        df = salted_repartition(df, num_partitions)
+        df = salted_repartition(pack_tokens_df(df), num_partitions)
 
     def kernel(batches):
         for batch in batches:
@@ -187,6 +289,88 @@ def encode_df(
                 yield _encode_batch(batch, codec, threshold)
 
     return df.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Compute-on-compressed: value-map over encoded blocks
+# ---------------------------------------------------------------------------
+
+TRANSFORM_OPS = {
+    "add": lambda v, k: v + k,
+    "mul": lambda v, k: v * k,
+}
+
+
+def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
+    """Apply an affine value-map to every encoded block WITHOUT full decode:
+    RLE transforms run values (O(n_runs)), DICT transforms the table
+    (O(cardinality)) — the reference's compute-on-compressed operators
+    (/root/reference/rle_array/array.py:846-849) at block granularity.
+    Metadata columns are updated analytically."""
+    if op not in TRANSFORM_OPS:
+        raise ValueError(f"unsupported op {op!r}; one of {sorted(TRANSFORM_OPS)}")
+    if operand < 0:
+        raise ValueError("operand must be non-negative (tokens stay non-negative)")
+
+    def kernel(batches):
+        from rle_array_spark.codecs.transform import transform_block
+
+        base_fn = TRANSFORM_OPS[op]
+
+        def fn(v: np.ndarray) -> np.ndarray:
+            return base_fn(v.astype(np.int64), operand)
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            payload_col = batch.column("payload")
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            for i in range(batch.num_rows):
+                c, p = transform_block(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                    fn,
+                )
+                new_codecs.append(c)
+                new_payloads.append(p)
+            n64 = n_col.astype(np.int64)
+            old_sum = batch.column("tok_sum").to_numpy(zero_copy_only=False)
+            old_min = batch.column("tok_min").to_numpy(zero_copy_only=False).astype(np.int64)
+            old_max = batch.column("tok_max").to_numpy(zero_copy_only=False).astype(np.int64)
+            if op == "add":
+                new_sum, new_min, new_max = old_sum + operand * n64, old_min + operand, old_max + operand
+            else:
+                new_sum, new_min, new_max = old_sum * operand, old_min * operand, old_max * operand
+            empty = n64 == 0
+            new_min[empty] = 0
+            new_max[empty] = 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    batch.column("n_values"),
+                    batch.column("n_runs"),
+                    pa.array(new_sum),
+                    pa.array(new_min.astype(np.int32)),
+                    pa.array(new_max.astype(np.int32)),
+                    batch.column("raw_bytes"),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                    batch.column("ref_rle_bytes"),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+                    "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+                    "ref_rle_bytes",
+                ],
+            )
+
+    return blocks.mapInArrow(kernel, BLOCK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rle_array_spark.engine import decode_df, decode_stats_df, encode_df
+from rle_array_spark.engine import decode_df, decode_stats_df, encode_df, transform_blocks
 from rle_array_spark.tokenize import tokenize_documents
 
 # ---------------------------------------------------------------------------
@@ -276,6 +276,50 @@ SELECT doc_id,
 FROM tok"""
 
 
+def q_compressed_add_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-on-compressed: +7 applied to run values / dict tables inside
+    the encoded payloads (reference scalar-op semantics, array.py:846-849),
+    then decoded — the oracle adds 7 to the raw tokens and never sees a
+    codec."""
+    seq = _sequences(spark, sf_dir)
+    blocks = encode_df(seq, codec="auto")
+    shifted = transform_blocks(blocks, "add", 7)
+    return decode_stats_df(shifted).select(*_STATS_COLS)
+
+
+ORACLE_COMPRESSED_ADD = f"""WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           source,
+           list_transform(string_split(text, ''), c -> unicode(c) + 7) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)
+{_ORACLE_STATS_SELECT}"""
+
+
+def q_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map style pruning metadata: per-source min/max token straight
+    from block metadata columns — no decode (SURVEY §4: expose block stats
+    as plain columns so Catalyst can prune/aggregate on them)."""
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return blocks.groupBy("source").agg(
+        F.min("tok_min").alias("min_tok"),
+        F.max("tok_max").alias("max_tok"),
+        F.sum(F.col("n_runs").cast("long")).alias("total_runs"),
+    )
+
+
+ORACLE_METADATA_MINMAX = f"""{_ORACLE_TOK_CTE}
+SELECT source,
+       CAST(min(list_min(tokens)) AS INT) AS min_tok,
+       CAST(max(list_max(tokens)) AS INT) AS max_tok,
+       CAST(sum(1 + list_sum(list_transform(tokens, (x, i) ->
+            CASE WHEN i > 1 AND x != tokens[i - 1] THEN 1 ELSE 0 END))) AS BIGINT)
+           AS total_runs
+FROM tok
+GROUP BY source"""
+
+
 def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selection distribution — no SQL oracle (codec choice is the
     engine's own policy); driver records the weaker rows-only check."""
@@ -318,6 +362,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["point_lookup"] = q_point_lookup
     out["concat_union"] = q_concat_union
     out["runs_and_cardinality"] = q_runs_and_cardinality
+    out["compressed_add_const"] = q_compressed_add_const
+    out["metadata_minmax"] = q_metadata_minmax
     out["codec_histogram"] = q_codec_histogram
     out["compression_vs_reference"] = q_compression_vs_reference
     return out
@@ -338,5 +384,7 @@ def build_oracles() -> dict[str, str]:
     out["point_lookup"] = ORACLE_POINT_LOOKUP
     out["concat_union"] = ORACLE_CONCAT_UNION
     out["runs_and_cardinality"] = ORACLE_RUNS_CARD
+    out["compressed_add_const"] = ORACLE_COMPRESSED_ADD
+    out["metadata_minmax"] = ORACLE_METADATA_MINMAX
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     return out
