@@ -1,0 +1,62 @@
+"""RLE ⊕ RLE binary operations on the run-boundary union grid.
+
+The reference merges the two sorted end-position streams, expands both value
+arrays onto the union grid, applies the op, and recompresses — never
+materializing either array (extend_positions
+/root/reference/rle_array/_algorithms.py:484-546, extend_data :549-585,
+driver array.py:850-866). Work is O(runs_a + runs_b), independent of n.
+
+Non-RLE codec pairs fall back to decode → op → re-choose (the reference's
+"any other array-like → full decode" branch, array.py:867-870).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from rle_array_spark.codecs import CODECS
+from rle_array_spark.codecs.reduce import _rle_parts
+from rle_array_spark.codecs.transform import _repack_rle
+
+
+def _merge_equal_runs(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if values.size > 1:
+        keep = np.concatenate(([True], values[1:] != values[:-1]))
+        if not keep.all():
+            starts = np.flatnonzero(keep)
+            return values[starts], np.add.reduceat(lengths, starts)
+    return values, lengths
+
+
+def zip_blocks(
+    codec_a: str,
+    payload_a,
+    codec_b: str,
+    payload_b,
+    n: int,
+    op: Callable[[np.ndarray, np.ndarray], np.ndarray],
+) -> tuple[str, bytes]:
+    """Elementwise ``op(a, b)`` over two equal-length encoded blocks.
+    Returns (codec, payload) of the result; int32 non-negative contract."""
+    if n == 0:
+        return "raw", CODECS["raw"].encode(np.zeros(0, np.int32))
+    if codec_a == "rle" and codec_b == "rle":
+        vals_a, lens_a = _rle_parts(payload_a)
+        vals_b, lens_b = _rle_parts(payload_b)
+        ends_a = np.cumsum(lens_a)
+        ends_b = np.cumsum(lens_b)
+        union_ends = np.union1d(ends_a, ends_b)  # both end with n
+        a_exp = vals_a[np.searchsorted(ends_a, union_ends, side="left")]
+        b_exp = vals_b[np.searchsorted(ends_b, union_ends, side="left")]
+        out_vals = op(a_exp.astype(np.int64), b_exp.astype(np.int64)).astype(np.int32)
+        out_lens = np.diff(np.concatenate(([0], union_ends)))
+        out_vals, out_lens = _merge_equal_runs(out_vals, out_lens)
+        return "rle", _repack_rle(out_vals, out_lens)
+    # decode fallback for mixed codecs
+    from rle_array_spark.chooser import choose_codec
+
+    a = CODECS[codec_a].decode(payload_a, n)
+    b = CODECS[codec_b].decode(payload_b, n)
+    return choose_codec(op(a.astype(np.int64), b.astype(np.int64)).astype(np.int32))

@@ -447,6 +447,45 @@ def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -
     )
 
 
+def decode_slice_df(blocks: DataFrame, start: int, stop: int) -> DataFrame:
+    """Decode only ``tokens[start:stop]`` of every block — O(log n_runs +
+    slice) per RLE block, window-unpack for the others (reference
+    find_slice fast path, _algorithms.py:230-297). Returns
+    (doc_id, source, tokens)."""
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import decode_slice
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            payload_col = batch.column("payload")
+            parts = []
+            for i in range(batch.num_rows):
+                parts.append(
+                    decode_slice(
+                        codecs_col[i],
+                        memoryview(payload_col[i].as_buffer()),
+                        int(n_col[i]),
+                        start,
+                        stop,
+                    )
+                )
+            lengths = np.array([p.size for p in parts], dtype=np.int64)
+            flat = np.concatenate(parts) if parts else np.array([], dtype=np.int32)
+            offsets = np.concatenate(([0], np.cumsum(lengths)))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), batch.column("source"), _numpy_to_list(flat, offsets)],
+                names=["doc_id", "source", "tokens"],
+            )
+
+    return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
+        kernel, DECODED_SCHEMA
+    )
+
+
 def decode_stats_df(blocks: DataFrame) -> DataFrame:
     """Decode and reduce to per-row scalar stats in one kernel (never ships
     the decoded arrays through a shuffle — the audit/verify fast path)."""

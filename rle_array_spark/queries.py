@@ -202,14 +202,16 @@ FROM events"""
 
 
 def q_slice_head_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getitem[slice] (reference _algorithms.py:230-297) → decode + F.slice;
-    sum of each doc's first 8 tokens."""
+    """getitem[slice] via the compressed fast path (reference find_slice,
+    _algorithms.py:230-297): decode only tokens[0:8] of each block —
+    O(log n_runs + 8) for RLE — then sum the slice."""
+    from rle_array_spark.engine import decode_slice_df
+
     seq = _sequences(spark, sf_dir)
-    decoded = decode_df(encode_df(seq, codec="auto"))
-    head = F.slice("tokens", 1, 8)
-    return decoded.select(
+    sliced = decode_slice_df(encode_df(seq, codec="auto"), 0, 8)
+    return sliced.select(
         "doc_id",
-        F.aggregate(head, F.lit(0).cast("long"), lambda a, t: a + t).alias("head_sum"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, t: a + t).alias("head_sum"),
     )
 
 

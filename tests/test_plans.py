@@ -1,0 +1,73 @@
+"""Catalyst plan-quality tests: filters and projections must reach the
+parquet scan (PushedFilters/ReadSchema), relational aggregates must run in
+WholeStageCodegen — the Spark-side analog of the reference's fast-path
+enforcement (tests/test_fastpath.py escalates PerformanceWarning to error)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rle_array_spark.engine import encode_df
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_blocks_metadata_filter_pushdown(spark, sequences, tmp_path):
+    """A tok_max predicate on the encoded-blocks table must be pushed to the
+    parquet scan — the zone-map metadata columns exist precisely so Catalyst
+    can prune without touching payloads."""
+    out = str(tmp_path / "blocks.parquet")
+    encode_df(sequences, codec="auto").write.parquet(out)
+    df = spark.read.parquet(out).filter(F.col("tok_max") < 100).select("doc_id", "n_values")
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(tok_max,100)" in plan.replace(" ", "").replace("`", "") or "tok_max" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_blocks_column_pruning(spark, sequences, tmp_path):
+    """Selecting metadata columns must not read the payload column."""
+    out = str(tmp_path / "blocks2.parquet")
+    encode_df(sequences, codec="auto").write.parquet(out)
+    df = spark.read.parquet(out).select("source", "encoded_bytes")
+    plan = explain_str(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "payload" not in read_schema
+    assert "encoded_bytes" in read_schema
+
+
+def test_lineitem_agg_wholestage_codegen(spark):
+    """The relational aggregate path stays JVM-side (whole-stage codegen)."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = explain_str(q)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    # partial + final hash aggregate around a single exchange
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") >= 1
+    codegen = explain_str(q, mode="codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_shuffle_count_encode_path(spark, sequences):
+    """The default encode path must be shuffle-free (scan-parallel); the
+    salted path must have exactly one exchange."""
+    plan_default = explain_str(encode_df(sequences, codec="auto"))
+    assert "Exchange" not in plan_default
+    plan_salted = explain_str(encode_df(sequences, codec="auto", num_partitions=4))
+    # exactly one user-requested repartition exchange, shuffling the packed
+    # binary form (tok_bin), never the array<int> column
+    assert plan_salted.count("REPARTITION_BY_NUM") == 1
+    exchange_input = plan_salted.split(") Exchange\n")[1].splitlines()[0]
+    assert "tok_bin" in exchange_input and "tokens" not in exchange_input

@@ -1,0 +1,82 @@
+"""RLE⊕RLE union-grid op tests (reference tests/test_algorithms.py:1344-1378
+extend cases + operator differential pattern)."""
+
+from __future__ import annotations
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from rle_array_spark.codecs import CODECS, decode_block, encode_block
+from rle_array_spark.codecs.zip_ops import zip_blocks
+
+RNG = np.random.default_rng(11)
+
+
+def _runs_array(n_runs: int, max_len: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.repeat(
+        rng.integers(0, 100, n_runs).astype(np.int32), rng.integers(1, max_len, n_runs)
+    )
+
+
+CASES = []
+for seed in range(5):
+    a = _runs_array(20, 50, seed)
+    b = _runs_array(35, 40, 100 + seed)
+    m = min(a.size, b.size)
+    CASES.append((a[:m], b[:m]))
+CASES.append((np.array([7], np.int32), np.array([9], np.int32)))
+CASES.append((np.zeros(100, np.int32), np.arange(100, dtype=np.int32)))
+
+
+@pytest.mark.parametrize("op", [lambda x, y: x + y, lambda x, y: x * y, np.maximum])
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_zip_rle_rle(case, op):
+    a, b = CASES[case]
+    pa_, pb = encode_block(a, "rle"), encode_block(b, "rle")
+    codec, payload = zip_blocks("rle", pa_, "rle", pb, a.size, op)
+    assert codec == "rle"
+    out = decode_block(payload, codec, a.size)
+    np.testing.assert_array_equal(out, op(a.astype(np.int64), b.astype(np.int64)).astype(np.int32))
+
+
+@pytest.mark.parametrize("cb", ["dict", "bitpack", "for", "raw", "ngram"])
+def test_zip_mixed_codecs_fallback(cb):
+    a, b = CASES[0]
+    pa_, pb = encode_block(a, "rle"), encode_block(b, cb)
+    codec, payload = zip_blocks("rle", pa_, cb, pb, a.size, lambda x, y: x + y)
+    out = decode_block(payload, codec, a.size)
+    np.testing.assert_array_equal(out, (a.astype(np.int64) + b).astype(np.int32))
+
+
+def test_zip_empty():
+    codec, payload = zip_blocks(
+        "rle", encode_block(np.array([], np.int32), "rle"),
+        "rle", encode_block(np.array([], np.int32), "rle"),
+        0, lambda x, y: x + y,
+    )
+    assert decode_block(payload, codec, 0).size == 0
+
+
+def test_zip_result_run_count_bounded():
+    """Union grid has at most runs_a + runs_b runs (reference invariant)."""
+    a = np.repeat(np.array([1, 2, 3], np.int32), [1000, 1000, 1000])
+    b = np.repeat(np.array([5, 6], np.int32), [1500, 1500])
+    codec, payload = zip_blocks(
+        "rle", encode_block(a, "rle"), "rle", encode_block(b, "rle"), a.size, lambda x, y: x + y
+    )
+    n_runs = struct.unpack_from("<I", payload, 0)[0]
+    assert n_runs <= 5
+
+
+def test_zip_work_is_run_proportional():
+    a = np.repeat(np.array([1, 2], np.int32), [500_000, 500_000])
+    b = np.repeat(np.array([3, 4], np.int32), [400_000, 600_000])
+    pa_, pb = encode_block(a, "rle"), encode_block(b, "rle")
+    t0 = time.monotonic()
+    for _ in range(200):
+        zip_blocks("rle", pa_, "rle", pb, a.size, lambda x, y: x + y)
+    assert time.monotonic() - t0 < 0.5
