@@ -87,6 +87,37 @@ def block_min_max(codec: str, payload, n: int) -> tuple[int, int]:
     return int(values.min()), int(values.max())
 
 
+def block_any_all(codec: str, payload, n: int) -> tuple[bool, bool]:
+    """(any, all) of values-as-booleans (nonzero test) without decode —
+    run values only for RLE, table only for DICT (reference any/all,
+    /root/reference/rle_array/array.py:478-494)."""
+    if n == 0:
+        return False, True
+    if codec == "rle":
+        run_values, _ = _rle_parts(payload)
+        return bool((run_values != 0).any()), bool((run_values != 0).all())
+    if codec == "dict":
+        table, _ = _dict_parts(payload, n)
+        return bool((table != 0).any()), bool((table != 0).all())
+    values = CODECS[codec].decode(payload, n)
+    return bool((values != 0).any()), bool((values != 0).all())
+
+
+def block_prod(codec: str, payload, n: int) -> float:
+    """Π values without decode: RLE uses prod(values ** lengths) in float64
+    (reference prod, /root/reference/rle_array/array.py:569-579; like the
+    reference, large blocks overflow — to inf here rather than wrapping)."""
+    if n == 0:
+        return 1.0
+    if codec == "rle":
+        run_values, run_lengths = _rle_parts(payload)
+        with np.errstate(over="ignore"):
+            return float(np.prod(np.power(run_values.astype(np.float64), run_lengths)))
+    values = CODECS[codec].decode(payload, n)
+    with np.errstate(over="ignore"):
+        return float(np.prod(values.astype(np.float64)))
+
+
 def decode_slice(codec: str, payload, n: int, start: int, stop: int) -> np.ndarray:
     """values[start:stop] with work proportional to the slice, not the block
     (reference find_slice, _algorithms.py:230-297). start/stop are clamped."""

@@ -1,0 +1,150 @@
+"""spark-submit entrypoints: encode / decode / verify / bench-corpus.
+
+Usage (cluster):
+    spark-submit --py-files rle_array_spark.zip -m rle_array_spark.jobs ...
+Usage (local, same code path):
+    python -m rle_array_spark.jobs encode --input DIR --output DIR \
+        [--codec auto] [--threshold 1.0] [--partitions 128] [--salted]
+    python -m rle_array_spark.jobs decode --blocks DIR --output DIR
+    python -m rle_array_spark.jobs verify --input DIR --blocks DIR
+    python -m rle_array_spark.jobs stream --input DIR --output DIR --checkpoint DIR
+
+The encode job uses the checkpointed writer (tableio) when --salted is set
+(deterministic partitions + lineage + resume); otherwise it writes encoded
+blocks at scan parallelism via the plain DataFrame writer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _session(args) -> SparkSession:
+    from rle_array_spark.engine import session
+
+    return session(app=f"rle-array-spark-{args.cmd}", cores=args.cores)
+
+
+def cmd_encode(args) -> int:
+    from rle_array_spark.engine import encode_df
+    from rle_array_spark.tableio import encode_to_dir
+
+    spark = _session(args)
+    df = spark.read.schema(
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).parquet(args.input)
+    if args.salted:
+        lineage = encode_to_dir(
+            df,
+            args.output,
+            codec=args.codec,
+            threshold=args.threshold,
+            num_partitions=args.partitions,
+        )
+        summary = {
+            "partitions": len(lineage),
+            "skipped": sum(1 for r in lineage if r["status"] == "skipped"),
+            "rows": sum(r["n_rows"] for r in lineage),
+            "tokens": sum(r["n_tokens"] for r in lineage),
+            "raw_bytes": sum(r["raw_bytes"] for r in lineage),
+            "encoded_bytes": sum(r["encoded_bytes"] for r in lineage),
+        }
+    else:
+        blocks = encode_df(df, codec=args.codec, threshold=args.threshold)
+        blocks.write.mode(args.mode).parquet(args.output)
+        import pyspark.sql.functions as F
+
+        row = spark.read.parquet(args.output).agg(
+            F.count("*").alias("rows"),
+            F.sum("n_values").alias("tokens"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        ).collect()[0]
+        summary = {k: int(row[k]) for k in ("rows", "tokens", "raw_bytes", "encoded_bytes")}
+    print(json.dumps({"job": "encode", **summary}))
+    spark.stop()
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from rle_array_spark.engine import decode_df
+
+    spark = _session(args)
+    blocks = spark.read.parquet(args.blocks)
+    decode_df(blocks).write.mode(args.mode).parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"job": "decode", "rows": int(n)}))
+    spark.stop()
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from rle_array_spark.engine import verify_roundtrip
+
+    spark = _session(args)
+    df = spark.read.schema(
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).parquet(args.input)
+    blocks = spark.read.parquet(args.blocks)
+    mismatches = verify_roundtrip(df, blocks)
+    print(json.dumps({"job": "verify", "mismatches": int(mismatches)}))
+    spark.stop()
+    return 0 if mismatches == 0 else 1
+
+
+def cmd_stream(args) -> int:
+    from rle_array_spark.streaming import encode_stream
+
+    spark = _session(args)
+    encode_stream(
+        spark, args.input, args.output, args.checkpoint, codec=args.codec
+    )
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"job": "stream", "rows": int(n)}))
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rle_array_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--output", required=True)
+    enc.add_argument("--codec", default="auto")
+    enc.add_argument("--threshold", type=float, default=1.0)
+    enc.add_argument("--partitions", type=int, default=128)
+    enc.add_argument("--salted", action="store_true")
+    enc.add_argument("--mode", default="overwrite")
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("--blocks", required=True)
+    dec.add_argument("--output", required=True)
+    dec.add_argument("--mode", default="overwrite")
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--input", required=True)
+    ver.add_argument("--blocks", required=True)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--input", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--codec", default="auto")
+
+    for s in sub.choices.values():
+        s.add_argument("--cores", default="*")
+
+    args = p.parse_args(argv)
+    return {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify, "stream": cmd_stream}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

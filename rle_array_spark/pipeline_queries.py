@@ -1,0 +1,276 @@
+"""Driver-contract queries + DuckDB oracles for the pipeline operators.
+
+The oracle SQL re-derives every hash from the same md5 primitives, so a
+Spark-side logic bug (wrong shingling, band slicing, bit packing, cosine
+fold) breaks the cross-engine hash match. Registered into the main registry
+by queries.py."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rle_array_spark import pipeline as P
+
+SHINGLE_K = P.SHINGLE_K
+NUM_HASHES = P.NUM_HASHES
+BANDS = P.BANDS
+R = P.ROWS_PER_BAND
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---- shared oracle CTEs ----------------------------------------------------
+
+_D_CTE = f"""d AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, source
+    FROM documents WHERE length(text) >= {SHINGLE_K}
+)"""
+
+_SH_CTE = f"""sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, length(text) - {SHINGLE_K} + 2),
+                                        i -> substring(text, i, {SHINGLE_K}))) AS shingles
+    FROM d
+)"""
+
+_SIG_LIST = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || ':{j}')))" for j in range(NUM_HASHES)
+)
+_SIG_CTE = f"sig AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM sh)"
+
+_BANDS_CTE = f"""bands AS (
+    SELECT doc_id, t.i AS band_idx,
+           md5(array_to_string(sig[t.i * {R} + 1 : t.i * {R} + {R}], '|')) AS band_key
+    FROM sig, range({BANDS}) t(i)
+)"""
+
+_CAND_CTE = """cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+
+# ---- queries ----------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = f"""WITH {_D_CTE}
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS representative
+FROM d GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+ORACLE_MINHASH_CAND = f"""WITH {_D_CTE}, {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE}
+SELECT doc_a, doc_b FROM cand"""
+
+
+def q_dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.near_dup_pairs_jaccard(_docs(spark, sf_dir), threshold=0.8)
+
+
+ORACLE_JACCARD = f"""WITH {_D_CTE}, {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE}
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.8"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.simhash(_docs(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(P.SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(P.SIMHASH_BITS)
+    )
+    return f"""WITH {_D_CTE},
+w AS (SELECT doc_id, unnest({_WORDS}) AS w FROM d),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM b"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+def q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.knn_top1(_emb(spark, sf_dir), n_queries=10)
+
+
+ORACLE_KNN_TOP1 = """WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10
+), c AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 10
+), s AS (
+    SELECT qid, cid,
+           round(list_dot_product(qe, ce)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 9) AS cos
+    FROM q, c
+), r AS (
+    SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+    FROM s
+)
+SELECT qid, cid AS nn_id, round(cos, 6) AS cos_sim FROM r WHERE rk = 1"""
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.cosine_threshold_pairs(_emb(spark, sf_dir), limit_ids=150, threshold=0.35)
+
+
+ORACLE_COSINE_PAIRS = """WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 150
+)
+SELECT a.vec_id AS ida, b.vec_id AS idb,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35"""
+
+
+def q_signlsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate — no SQL oracle; recall vs brute force asserted in pytest
+    return P.signlsh_knn_top1(_emb(spark, sf_dir), n_queries=10)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.lang_id(_docs(spark, sf_dir))
+
+
+def _ratio_sql(stops: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stops)
+    return f"len(list_filter({_WORDS}, x -> x in ({lst}))) / greatest(len({_WORDS}), 1)"
+
+
+ORACLE_LANG_ID = f"""WITH {_D_CTE},
+r AS (
+    SELECT doc_id, source,
+           {_ratio_sql(P.EN_STOP)} AS r_en,
+           {_ratio_sql(P.DE_STOP)} AS r_de,
+           {_ratio_sql(P.FR_STOP)} AS r_fr,
+           {_ratio_sql(P.ES_STOP)} AS r_es
+    FROM d
+)
+SELECT doc_id, source,
+       CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+            WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END AS pred_lang
+FROM r"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.quality_scores(_docs(spark, sf_dir))
+
+
+ORACLE_QUALITY = f"""WITH {_D_CTE}
+SELECT doc_id,
+       CAST(len({_WORDS}) AS INT) AS n_words,
+       round(list_sum(list_transform({_WORDS}, x -> length(x))) / greatest(len({_WORDS}), 1), 6) AS mean_word_len,
+       round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 6) AS punct_ratio,
+       round(len(list_filter({_WORDS}, x -> x in ('the','and','of','to','in','is','a')))
+             / greatest(len({_WORDS}), 1), 6) AS stop_ratio,
+       round(least(len({_WORDS}) / 100.0, 1.0) * 0.4
+             + round(len(list_filter({_WORDS}, x -> x in ('the','and','of','to','in','is','a')))
+                / greatest(len({_WORDS}), 1), 6) * 0.4
+             + least(round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 6) * 10, 1.0) * 0.2, 4) AS quality
+FROM d"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.token_counts(_docs(spark, sf_dir))
+
+
+ORACLE_TOKEN_COUNTS = f"""WITH {_D_CTE}
+SELECT doc_id,
+       CAST(len({_WORDS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM d"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.doc_fingerprints(_docs(spark, sf_dir))
+
+
+ORACLE_FINGERPRINTS = """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(list_reduce(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+                        (a, x) -> (a * 31 + x) % 2147483647) AS BIGINT) AS fingerprint
+FROM documents WHERE length(text) > 0"""
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.extract_image_features(P.fake_image_table(_docs(spark, sf_dir)))
+
+
+ORACLE_IMAGE_FEATURES = f"""WITH {_D_CTE}
+SELECT doc_id,
+       CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS width,
+       CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, 16),
+                                    i -> CAST(('0x' || substr(md5(text), i * 2 + 1, 2)) AS INT))) AS BIGINT)
+           AS byte_sum,
+       CAST(16 AS INT) AS n_bytes
+FROM d"""
+
+
+def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_candidates": q_dedup_minhash_candidates,
+        "dedup_jaccard_verified": q_dedup_jaccard_verified,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_top1_cosine": q_knn_top1,
+        "cosine_threshold_pairs": q_cosine_pairs,
+        "signlsh_knn_top1": q_signlsh_knn,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "image_features": q_image_features,
+    }
+
+
+def pipeline_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_candidates": ORACLE_MINHASH_CAND,
+        "dedup_jaccard_verified": ORACLE_JACCARD,
+        "dedup_simhash": ORACLE_SIMHASH,
+        "knn_top1_cosine": ORACLE_KNN_TOP1,
+        "cosine_threshold_pairs": ORACLE_COSINE_PAIRS,
+        # signlsh_knn_top1: approximate, rows-only
+        "lang_id": ORACLE_LANG_ID,
+        "quality_scores": ORACLE_QUALITY,
+        "token_counts": ORACLE_TOKEN_COUNTS,
+        "doc_fingerprints": ORACLE_FINGERPRINTS,
+        "image_features": ORACLE_IMAGE_FEATURES,
+    }

@@ -278,6 +278,78 @@ SELECT doc_id,
 FROM tok"""
 
 
+def q_token_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decompress-fallback statistics (reference median/std/var,
+    array.py:537-554,587-606 — PerformanceWarning there, Catalyst-native
+    here): per-source moments over all decoded tokens."""
+    seq = _sequences(spark, sf_dir)
+    decoded = decode_df(encode_df(seq, codec="auto"))
+    exploded = decoded.select("source", F.explode("tokens").alias("tok"))
+    return exploded.groupBy("source").agg(
+        F.round(F.avg("tok"), 6).alias("mean_tok"),
+        F.round(F.stddev_samp("tok"), 6).alias("sd_tok"),
+        F.round(F.expr("percentile(tok, 0.5)"), 6).alias("median_tok"),
+        F.count("*").alias("n_toks"),
+    )
+
+
+ORACLE_TOKEN_MOMENTS = f"""{_ORACLE_TOK_CTE}
+SELECT source,
+       round(avg(tok), 6) AS mean_tok,
+       round(stddev(tok), 6) AS sd_tok,
+       round(quantile_cont(tok, 0.5), 6) AS median_tok,
+       CAST(count(*) AS BIGINT) AS n_toks
+FROM (SELECT source, unnest(tokens) AS tok FROM tok)
+GROUP BY source"""
+
+
+def q_ffill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna(ffill) (reference array.py:902-911) → last(ignorenulls) over an
+    ordered window; nulls injected deterministically via nullif."""
+    ev = _table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nulled = ev.withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    )
+    return nulled.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0)), 6).alias(
+            "v_ffill"
+        ),
+    )
+
+
+ORACLE_FFILL = """SELECT user_id,
+       event_id,
+       round(coalesce(last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 6) AS v_ffill
+FROM events"""
+
+
+def q_topk_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort + limit (reference take-with-sorted-indices analog,
+    benchmarks/benchmarks.py:61-82): top 20 docs by token count, doc_id
+    tie-break for determinism."""
+    seq = _sequences(spark, sf_dir)
+    return seq.select("doc_id", "n_tok").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
+    ).limit(20)
+
+
+ORACLE_TOPK = """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(length(text) AS INT) AS n_tok
+FROM documents
+WHERE length(text) > 0
+ORDER BY n_tok DESC, doc_id ASC
+LIMIT 20"""
+
+
 def q_compressed_add_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-on-compressed: +7 applied to run values / dict tables inside
     the encoded payloads (reference scalar-op semantics, array.py:846-849),
@@ -366,8 +438,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["runs_and_cardinality"] = q_runs_and_cardinality
     out["compressed_add_const"] = q_compressed_add_const
     out["metadata_minmax"] = q_metadata_minmax
+    out["token_moments"] = q_token_moments
+    out["ffill_window"] = q_ffill_window
+    out["topk_longest_docs"] = q_topk_longest_docs
     out["codec_histogram"] = q_codec_histogram
     out["compression_vs_reference"] = q_compression_vs_reference
+    from rle_array_spark.pipeline_queries import pipeline_queries
+
+    out.update(pipeline_queries())
     return out
 
 
@@ -388,5 +466,11 @@ def build_oracles() -> dict[str, str]:
     out["runs_and_cardinality"] = ORACLE_RUNS_CARD
     out["compressed_add_const"] = ORACLE_COMPRESSED_ADD
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
+    out["token_moments"] = ORACLE_TOKEN_MOMENTS
+    out["ffill_window"] = ORACLE_FFILL
+    out["topk_longest_docs"] = ORACLE_TOPK
     # codec_histogram / compression_vs_reference: intentionally no oracle.
+    from rle_array_spark.pipeline_queries import pipeline_oracles
+
+    out.update(pipeline_oracles())
     return out

@@ -1,0 +1,118 @@
+"""Pipeline operator tests: planted duplicates must be found (recall), the
+approximate ANN path is measured against the exact baseline, and the
+multimodal UDF plumbing round-trips binary payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rle_array_spark import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 random docs + 3 exact-dup pairs + 3 near-dup pairs (small edits)."""
+    rng = np.random.default_rng(5)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.choice(words, size=40))
+        rows.append((i, text, "src"))
+    for j in range(3):  # exact dups
+        rows.append((100 + j, rows[j][1], "src"))
+    for j in range(3):  # near dups: one word changed
+        base = rows[10 + j][1].split()
+        base[5] = "zulu"
+        rows.append((200 + j, " ".join(base), "src"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_finds_planted(planted_docs):
+    groups = P.exact_dedup_groups(planted_docs).collect()
+    assert len(groups) == 3
+    assert all(g["n_docs"] == 2 for g in groups)
+
+
+def test_minhash_finds_exact_and_near_dups(planted_docs):
+    # pair ordering is lexicographic on the string doc_id → normalize to sets
+    pairs = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in P.minhash_candidate_pairs(planted_docs).collect()
+    }
+    for j in range(3):  # exact dups always collide in every band
+        assert frozenset((str(j), str(100 + j))) in pairs
+    near_found = sum(
+        1 for j in range(3) if frozenset((str(10 + j), str(200 + j))) in pairs
+    )
+    assert near_found >= 2  # LSH is probabilistic; 1-word edits at J~0.9
+
+
+def test_jaccard_verification_filters_false_positives(planted_docs):
+    verified = P.near_dup_pairs_jaccard(planted_docs, threshold=0.8).collect()
+    got = {frozenset((r["doc_a"], r["doc_b"])) for r in verified}
+    for j in range(3):  # exact dups (J=1.0) must survive verification
+        assert frozenset((str(j), str(100 + j))) in got
+    for r in verified:
+        assert r["jaccard"] >= 0.8
+
+
+def test_simhash_exact_dups_equal_near_dups_close(planted_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in P.simhash(planted_docs).collect()}
+    for j in range(3):
+        assert sh[str(j)] == sh[str(100 + j)]
+    for j in range(3):
+        ham = bin(sh[str(10 + j)] ^ sh[str(200 + j)]).count("1")
+        assert ham <= 6  # one word of ~40 changed
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), i % 4))
+    # vectors 50..59: near-copies of 10..19 (strong nearest neighbors)
+    for j in range(10):
+        v = base[10 + j] + rng.normal(scale=0.05, size=64)
+        rows.append((50 + j, (v / np.linalg.norm(v)).astype(float).tolist(), 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_top1_finds_planted_neighbors(embeddings):
+    # queries 0..9 are base vectors; 50+ are noisy copies of 10..19 — so for
+    # query i in 10..19 the nn must be 40+i... use n_queries=20 to cover them
+    nn = {r["qid"]: r["nn_id"] for r in P.knn_top1(embeddings, n_queries=20).collect()}
+    hits = sum(1 for j in range(10) if nn.get(10 + j) == 50 + j)
+    assert hits == 10
+
+
+def test_signlsh_recall_vs_bruteforce(embeddings):
+    exact = {r["qid"]: r["nn_id"] for r in P.knn_top1(embeddings, n_queries=20).collect()}
+    approx = {r["qid"]: r["nn_id"] for r in P.signlsh_knn_top1(embeddings, n_queries=20).collect()}
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert len(approx) >= 10  # some buckets may be empty (no fallback)
+    assert hits / max(len(approx), 1) >= 0.6  # 8-plane LSH recall on 64-d
+
+
+def test_image_feature_plumbing(planted_docs):
+    images = P.fake_image_table(planted_docs)
+    feats = P.extract_image_features(images)
+    rows = feats.collect()
+    assert len(rows) == planted_docs.filter(F.length("text") >= 5).count()
+    for r in rows[:10]:
+        assert r["n_bytes"] == 16
+        assert 0 <= r["width"] <= 255 and 0 <= r["height"] <= 255
+        assert 0 <= r["byte_sum"] <= 255 * 16
+
+
+def test_fingerprint_order_sensitivity(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "s"), (2, "acb", "s"), (3, "abc", "s")],
+        "doc_id long, text string, source string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in P.doc_fingerprints(docs).collect()}
+    assert fp["1"] == fp["3"]
+    assert fp["1"] != fp["2"]  # same chars, different order

@@ -7,7 +7,13 @@ import numpy as np
 import pytest
 
 from rle_array_spark.codecs import CODECS, encode_block
-from rle_array_spark.codecs.reduce import block_min_max, block_sum, decode_slice
+from rle_array_spark.codecs.reduce import (
+    block_any_all,
+    block_min_max,
+    block_prod,
+    block_sum,
+    decode_slice,
+)
 
 ARRAYS = {
     "runs": np.repeat(np.array([5, 9, 5, 0], dtype=np.int32), [100, 1, 200, 57]),
@@ -26,6 +32,25 @@ def test_block_sum_minmax(codec, name):
     payload = encode_block(arr, codec)
     assert block_sum(codec, payload, arr.size) == int(arr.sum(dtype=np.int64))
     assert block_min_max(codec, payload, arr.size) == (int(arr.min()), int(arr.max()))
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_block_any_all_prod(codec):
+    cases = [
+        np.array([0, 0, 0], np.int32),
+        np.array([0, 1, 2], np.int32),
+        np.array([3, 1, 2], np.int32),
+        np.repeat(np.array([2, 3], np.int32), [5, 4]),
+    ]
+    for arr in cases:
+        payload = encode_block(arr, codec)
+        assert block_any_all(codec, payload, arr.size) == (
+            bool((arr != 0).any()),
+            bool((arr != 0).all()),
+        )
+        assert block_prod(codec, payload, arr.size) == pytest.approx(
+            float(np.prod(arr.astype(np.float64)))
+        )
 
 
 def test_block_reduce_empty():
