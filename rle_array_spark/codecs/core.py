@@ -47,13 +47,34 @@ class BlockStats:
         return self.n * TOKEN_DTYPE.itemsize
 
 
+# Above this many runs, cardinality is estimated from a sample instead of an
+# exact sort — it only feeds the codec *ranking*; the trial encode measures
+# the real size, so a rough estimate can never corrupt data, only slightly
+# misrank borderline candidates.
+EXACT_CARDINALITY_MAX_RUNS = 32768
+_CARD_SAMPLE = 2048
+
+
+def _estimate_cardinality(run_values: np.ndarray, vmin: int, vmax: int) -> int:
+    step = max(1, run_values.size // _CARD_SAMPLE)
+    sample = run_values[::step]
+    u, counts = np.unique(sample, return_counts=True)
+    d = int(u.size)
+    f1 = int(np.count_nonzero(counts == 1))
+    f2 = int(np.count_nonzero(counts == 2))
+    chao1 = d + (f1 * f1) / (2.0 * max(f2, 1))  # Chao1 lower-bound estimator
+    return int(min(max(chao1, d), vmax - vmin + 1, run_values.size))
+
+
 def compute_stats(values: np.ndarray) -> BlockStats:
     """Vectorized stats over one token array.
 
     Cardinality is computed on *run values*, not raw values — identical
     result (adjacent duplicates add nothing to the distinct set) but the
     sort shrinks with the run count, exactly the reference's unique-on-runs
-    optimization (/root/reference/rle_array/array.py:918-923)."""
+    optimization (/root/reference/rle_array/array.py:918-923). Very large
+    high-run-count blocks use a sampled Chao1 estimate instead of an exact
+    sort (see EXACT_CARDINALITY_MAX_RUNS)."""
     n = int(values.size)
     if n == 0:
         return BlockStats(n=0, n_runs=0, cardinality=0, vmin=0, vmax=0)
@@ -66,14 +87,25 @@ def compute_stats(values: np.ndarray) -> BlockStats:
         run_values = values
     else:
         run_values = np.concatenate((values[:1], values[1:][change]))
-    uniq = np.unique(run_values)
+    if n_runs <= EXACT_CARDINALITY_MAX_RUNS:
+        uniq = np.unique(run_values)
+        return BlockStats(
+            n=n,
+            n_runs=n_runs,
+            cardinality=int(uniq.size),
+            vmin=int(uniq[0]),
+            vmax=int(uniq[-1]),
+            uniq=uniq,
+        )
+    vmin = int(run_values.min())
+    vmax = int(run_values.max())
     return BlockStats(
         n=n,
         n_runs=n_runs,
-        cardinality=int(uniq.size),
-        vmin=int(uniq[0]),
-        vmax=int(uniq[-1]),
-        uniq=uniq,
+        cardinality=_estimate_cardinality(run_values, vmin, vmax),
+        vmin=vmin,
+        vmax=vmax,
+        uniq=None,
     )
 
 

@@ -15,8 +15,8 @@ number of elements. This module is that idea per codec:
   transform may collide with symbol ids) — the PerformanceWarning analog;
   re-encoded with the chooser.
 
-``fn`` must map int32→int32 non-negative (affine transforms with
-non-negative results are the intended surface).
+``fn`` receives int64 inputs and must produce values in the non-negative
+int32 token range; out-of-range results raise (never wrap silently).
 """
 
 from __future__ import annotations
@@ -33,6 +33,21 @@ from rle_array_spark.codecs.rle import _HEADER_SIZE as _RLE_HEADER_SIZE
 
 _DICT_HEADER = "<IqBB"
 _DICT_HEADER_SIZE = struct.calcsize(_DICT_HEADER)
+
+_INT32_MAX = np.int64(2**31 - 1)
+
+
+def _checked_int32(values: np.ndarray) -> np.ndarray:
+    """Cast transform output to int32, raising on overflow/negatives instead
+    of silently wrapping (a wrapped token would decode 'successfully' to
+    corrupt data — the one failure mode a codec must never have)."""
+    v = np.asarray(values)
+    if v.size and (int(v.min()) < 0 or int(v.max()) > _INT32_MAX):
+        raise ValueError(
+            f"transform result out of int32 token range: "
+            f"[{int(v.min())}, {int(v.max())}]"
+        )
+    return v.astype(np.int32)
 
 
 def _repack_rle(run_values: np.ndarray, run_lengths: np.ndarray) -> bytes:
@@ -60,7 +75,7 @@ def _transform_rle(payload, n: int, fn) -> bytes:
         unpack_bits(buf[off : off + vbytes], n_runs, vwidth).astype(np.int64) + vbase
     ).astype(np.int32)
     run_lengths = unpack_bits(buf[off + vbytes :], n_runs, lwidth).astype(np.int64) + 1
-    new_values = fn(run_values).astype(np.int32)
+    new_values = _checked_int32(fn(run_values.astype(np.int64)))
     # recompress: merge adjacent runs made equal by the transform
     # (reference recompress, _algorithms.py:343-367)
     if n_runs > 1:
@@ -83,7 +98,7 @@ def _transform_dict(payload, n: int, fn) -> bytes:
         unpack_bits(buf[off : off + tbytes], card, dwidth).astype(np.int64) + dbase
     ).astype(np.int32)
     codes = unpack_bits(buf[off + tbytes :], n, cwidth).astype(np.int64)
-    new_table_raw = fn(table).astype(np.int32)
+    new_table_raw = _checked_int32(fn(table.astype(np.int64)))
     # canonicalize: the transform may unsort or collide table entries
     canon, inverse = np.unique(new_table_raw, return_inverse=True)
     new_codes = inverse[codes]
@@ -109,9 +124,9 @@ def transform_block(
         return "dict", _transform_dict(payload, n, fn)
     if codec in ("raw", "bitpack", "for"):
         values = CODECS[codec].decode(payload, n)
-        return codec, CODECS[codec].encode(fn(values).astype(np.int32))
+        return codec, CODECS[codec].encode(_checked_int32(fn(values.astype(np.int64))))
     # decode-fallback path (ngram): re-pick the codec after the transform
     from rle_array_spark.chooser import choose_codec
 
     values = CODECS[codec].decode(payload, n)
-    return choose_codec(fn(values).astype(np.int32))
+    return choose_codec(_checked_int32(fn(values.astype(np.int64))))
