@@ -25,8 +25,16 @@ TOKENS_FIELD = pa.field("tokens", pa.list_(pa.int32()))
 BLOCK_SCHEMA = (
     "doc_id string, source string, codec string, payload binary, "
     "n_values int, n_runs int, tok_sum long, tok_min int, tok_max int, "
-    "raw_bytes long, encoded_bytes long, ref_rle_bytes long"
+    "raw_bytes long, encoded_bytes long, ref_rle_bytes long, "
+    "chunk_idx int, n_chunks int, chunk_offset long"
 )
+
+# A single sequence longer than this is split into multiple blocks before
+# the shuffle — the skew floor otherwise is one row (a 1-billion-token
+# sequence would pin one task and one Arrow batch). Chunk boundaries follow
+# the reference's concat semantics (_algorithms.py:62-96): decode reassembles
+# by (doc_id, chunk_idx) and the boundary runs simply abut.
+DEFAULT_CHUNK_TOKENS = 1 << 20
 
 DECODED_SCHEMA = "doc_id string, source string, tokens array<int>"
 
@@ -110,17 +118,24 @@ def _tokens_from_batch(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
     return _list_to_numpy(batch.column("tokens"))
 
 
-PACKED_SCHEMA = "doc_id string, source string, n_tok int, tok_bin binary"
+PACKED_SCHEMA = (
+    "doc_id string, source string, n_tok int, tok_bin binary, "
+    "chunk_idx int, n_chunks int, chunk_offset long"
+)
 
 
-def pack_tokens_df(df: DataFrame) -> DataFrame:
-    """Re-encode the tokens column as packed int32-LE binary.
+def pack_tokens_df(df: DataFrame, chunk_tokens: int | None = None) -> DataFrame:
+    """Re-encode the tokens column as packed int32-LE binary, optionally
+    splitting sequences longer than ``chunk_tokens`` into multiple rows.
 
     Spark's row shuffle serializes ``array<int>`` element-by-element
     (UnsafeArrayData), which measured 3-5× slower than shuffling the same
     bytes as a single binary value (one memcpy). Any encode path that must
     shuffle raw tokens converts to this transport form first — the scale
     lever: never shuffle a token array as an array.
+
+    Chunking happens here, BEFORE the salted repartition, so a giant
+    sequence's chunks spread across partitions instead of pinning one task.
     """
 
     def kernel(batches):
@@ -128,20 +143,69 @@ def pack_tokens_df(df: DataFrame) -> DataFrame:
             if not batch.num_rows:
                 continue
             flat, offsets = _list_to_numpy(batch.column("tokens"))
-            byte_offsets = (offsets * 4).astype(np.int64)
+            doc_ids = batch.column("doc_id").to_pylist()
+            sources = batch.column("source").to_pylist()
+
+            out_doc, out_src = [], []
+            out_lo, out_hi, out_idx, out_nch, out_off = [], [], [], [], []
+            for i in range(batch.num_rows):
+                lo, hi = int(offsets[i]), int(offsets[i + 1])
+                n = hi - lo
+                if chunk_tokens is None or n <= chunk_tokens:
+                    out_doc.append(doc_ids[i])
+                    out_src.append(sources[i])
+                    out_lo.append(lo)
+                    out_hi.append(hi)
+                    out_idx.append(0)
+                    out_nch.append(1)
+                    out_off.append(0)
+                else:
+                    n_chunks = -(-n // chunk_tokens)
+                    for c in range(n_chunks):
+                        s = lo + c * chunk_tokens
+                        e = min(lo + (c + 1) * chunk_tokens, hi)
+                        out_doc.append(doc_ids[i])
+                        out_src.append(sources[i])
+                        out_lo.append(s)
+                        out_hi.append(e)
+                        out_idx.append(c)
+                        out_nch.append(n_chunks)
+                        out_off.append(c * chunk_tokens)
+
+            lo_arr = np.array(out_lo, dtype=np.int64)
+            hi_arr = np.array(out_hi, dtype=np.int64)
+            lengths = hi_arr - lo_arr
+            # contiguous value buffer for the (possibly re-sliced) rows
+            new_flat = (
+                flat
+                if chunk_tokens is None
+                else np.concatenate([flat[s:e] for s, e in zip(out_lo, out_hi)])
+                if out_lo
+                else flat[:0]
+            )
+            if chunk_tokens is None:
+                byte_offsets = (offsets * 4).astype(np.int64)
+            else:
+                byte_offsets = np.concatenate(([0], np.cumsum(lengths))) * 4
             binarr = pa.LargeBinaryArray.from_buffers(
                 pa.large_binary(),
-                batch.num_rows,
-                [None, pa.py_buffer(byte_offsets), pa.py_buffer(flat.view(np.uint8))],
+                len(out_doc),
+                [None, pa.py_buffer(byte_offsets), pa.py_buffer(new_flat.view(np.uint8))],
             ).cast(pa.binary())
             yield pa.RecordBatch.from_arrays(
                 [
-                    batch.column("doc_id"),
-                    batch.column("source"),
-                    batch.column("n_tok"),
+                    pa.array(out_doc, type=pa.string()),
+                    pa.array(out_src, type=pa.string()),
+                    pa.array(lengths.astype(np.int32)),
                     binarr,
+                    pa.array(np.array(out_idx, dtype=np.int32)),
+                    pa.array(np.array(out_nch, dtype=np.int32)),
+                    pa.array(np.array(out_off, dtype=np.int64)),
                 ],
-                names=["doc_id", "source", "n_tok", "tok_bin"],
+                names=[
+                    "doc_id", "source", "n_tok", "tok_bin",
+                    "chunk_idx", "n_chunks", "chunk_offset",
+                ],
             )
 
     return df.select("doc_id", "source", "n_tok", "tokens").mapInArrow(kernel, PACKED_SCHEMA)
@@ -178,13 +242,34 @@ def salted_repartition(
     if salt_buckets is None:
         salt_buckets = num_partitions * 8
     length_bucket = F.ceil(F.log2(F.col("n_tok") + F.lit(2.0))).cast("int")
-    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+    # chunk_idx joins the salt when present so the chunks of one giant
+    # sequence spread instead of inheriting the doc's single salt value
+    salt_cols = [F.col("doc_id")] + (
+        [F.col("chunk_idx")] if "chunk_idx" in df.columns else []
+    )
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
     return df.repartition(num_partitions, F.col("source"), length_bucket, salt)
 
 
 # ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------
+
+def _chunk_cols(batch: pa.RecordBatch) -> tuple[pa.Array, pa.Array, pa.Array]:
+    names = batch.schema.names
+    if "chunk_idx" in names:
+        return (
+            batch.column("chunk_idx"),
+            batch.column("n_chunks"),
+            batch.column("chunk_offset"),
+        )
+    n = batch.num_rows
+    return (
+        pa.array(np.zeros(n, dtype=np.int32)),
+        pa.array(np.ones(n, dtype=np.int32)),
+        pa.array(np.zeros(n, dtype=np.int64)),
+    )
+
 
 def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.RecordBatch:
     doc_id = batch.column("doc_id")
@@ -252,11 +337,12 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
             pa.array((n_values.astype(np.int64)) * 4),
             pa.array(enc_bytes),
             pa.array(ref_bytes),
+            *_chunk_cols(batch),
         ],
         names=[
             "doc_id", "source", "codec", "payload", "n_values", "n_runs",
             "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
-            "ref_rle_bytes",
+            "ref_rle_bytes", "chunk_idx", "n_chunks", "chunk_offset",
         ],
     )
 
@@ -266,6 +352,7 @@ def encode_df(
     codec: str = "auto",
     threshold: float = DEFAULT_THRESHOLD,
     num_partitions: int | None = None,
+    chunk_tokens: int | None = None,
 ) -> DataFrame:
     """sequences DataFrame → encoded-blocks DataFrame.
 
@@ -279,9 +366,15 @@ def encode_df(
     first packed to binary (cheap to shuffle) and salted-repartitioned —
     the deterministic-partition path used by the checkpointing writer and
     the explicit defense for pathological input layouts.
+
+    ``chunk_tokens`` splits sequences longer than the limit into multiple
+    blocks (decode with ``decode_df(..., reassemble_chunks=True)``) —
+    the skew defense for individual giant sequences.
     """
-    if num_partitions:
-        df = salted_repartition(pack_tokens_df(df), num_partitions)
+    if num_partitions or chunk_tokens:
+        df = pack_tokens_df(df, chunk_tokens=chunk_tokens)
+        if num_partitions:
+            df = salted_repartition(df, num_partitions)
 
     def kernel(batches):
         for batch in batches:
@@ -362,11 +455,12 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
                     batch.column("raw_bytes"),
                     pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
                     batch.column("ref_rle_bytes"),
+                    *_chunk_cols(batch),
                 ],
                 names=[
                     "doc_id", "source", "codec", "payload", "n_values", "n_runs",
                     "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
-                    "ref_rle_bytes",
+                    "ref_rle_bytes", "chunk_idx", "n_chunks", "chunk_offset",
                 ],
             )
 
@@ -390,8 +484,13 @@ def _decode_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
-def decode_df(blocks: DataFrame) -> DataFrame:
-    """encoded-blocks DataFrame → (doc_id, source, tokens) DataFrame."""
+def decode_df(blocks: DataFrame, reassemble_chunks: bool = False) -> DataFrame:
+    """encoded-blocks DataFrame → (doc_id, source, tokens) DataFrame.
+
+    ``reassemble_chunks=True`` stitches chunked sequences back together
+    (groupBy doc_id + ordered flatten — the reference's concat semantics,
+    _algorithms.py:62-96, as a relational aggregate). Leave False for
+    unchunked corpora: the default path is shuffle-free."""
 
     def kernel(batches):
         for batch in batches:
@@ -399,13 +498,26 @@ def decode_df(blocks: DataFrame) -> DataFrame:
                 continue
             flat, offsets = _decode_rows(batch)
             yield pa.RecordBatch.from_arrays(
-                [batch.column("doc_id"), batch.column("source"), _numpy_to_list(flat, offsets)],
-                names=["doc_id", "source", "tokens"],
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    batch.column("chunk_idx"),
+                    _numpy_to_list(flat, offsets),
+                ],
+                names=["doc_id", "source", "chunk_idx", "tokens"],
             )
 
-    return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
-        kernel, DECODED_SCHEMA
-    )
+    decoded = blocks.select(
+        "doc_id", "source", "chunk_idx", "codec", "payload", "n_values"
+    ).mapInArrow(kernel, "doc_id string, source string, chunk_idx int, tokens array<int>")
+    if not reassemble_chunks:
+        return decoded.select("doc_id", "source", "tokens")
+    return decoded.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.flatten(
+            F.expr("transform(array_sort(collect_list(struct(chunk_idx, tokens))), x -> x.tokens)")
+        ).alias("tokens"),
+    ).select("doc_id", "source", "tokens")
 
 
 def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -> pa.RecordBatch:
@@ -517,10 +629,12 @@ def tokens_stats_df(df: DataFrame) -> DataFrame:
 # dominant test pattern — tests/test_operators.py, tests/test_reduce.py:91-112)
 # ---------------------------------------------------------------------------
 
-def verify_roundtrip(df: DataFrame, blocks: DataFrame) -> int:
+def verify_roundtrip(df: DataFrame, blocks: DataFrame, reassemble_chunks: bool = False) -> int:
     """Join decoded blocks back to the input on doc_id and count rows whose
     token arrays are NOT bit-identical. 0 == pass."""
-    decoded = decode_df(blocks).select("doc_id", F.col("tokens").alias("decoded"))
+    decoded = decode_df(blocks, reassemble_chunks=reassemble_chunks).select(
+        "doc_id", F.col("tokens").alias("decoded")
+    )
     joined = df.select("doc_id", "tokens").join(decoded, "doc_id", "inner")
     n_in = df.count()
     n_ok = joined.filter(F.col("tokens").eqNullSafe(F.col("decoded"))).count()

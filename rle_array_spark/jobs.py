@@ -44,6 +44,7 @@ def cmd_encode(args) -> int:
             codec=args.codec,
             threshold=args.threshold,
             num_partitions=args.partitions,
+            chunk_tokens=args.chunk_tokens,
         )
         summary = {
             "partitions": len(lineage),
@@ -54,7 +55,9 @@ def cmd_encode(args) -> int:
             "encoded_bytes": sum(r["encoded_bytes"] for r in lineage),
         }
     else:
-        blocks = encode_df(df, codec=args.codec, threshold=args.threshold)
+        blocks = encode_df(
+            df, codec=args.codec, threshold=args.threshold, chunk_tokens=args.chunk_tokens
+        )
         blocks.write.mode(args.mode).parquet(args.output)
         import pyspark.sql.functions as F
 
@@ -120,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--threshold", type=float, default=1.0)
     enc.add_argument("--partitions", type=int, default=128)
     enc.add_argument("--salted", action="store_true")
+    enc.add_argument("--chunk-tokens", type=int, default=None)
     enc.add_argument("--mode", default="overwrite")
 
     dec = sub.add_parser("decode")

@@ -48,6 +48,9 @@ BLOCKS_ARROW_SCHEMA = pa.schema(
         ("raw_bytes", pa.int64()),
         ("encoded_bytes", pa.int64()),
         ("ref_rle_bytes", pa.int64()),
+        ("chunk_idx", pa.int32()),
+        ("n_chunks", pa.int32()),
+        ("chunk_offset", pa.int64()),
     ]
 )
 
@@ -58,11 +61,12 @@ LINEAGE_SCHEMA = (
 )
 
 
-def _fingerprint(doc_ids: list[str], n_toks: list[int]) -> str:
-    """Order-insensitive fingerprint of a partition's input rows."""
+def _fingerprint(doc_ids: list[str], n_toks: list[int], chunk_idxs: list[int]) -> str:
+    """Order-insensitive fingerprint of a partition's input rows (chunk_idx
+    included so two equal-length chunks of one doc don't XOR-cancel)."""
     acc = 0
-    for d, n in zip(doc_ids, n_toks):
-        h = hashlib.sha256(f"{d}:{n}".encode()).digest()[:16]
+    for d, n, c in zip(doc_ids, n_toks, chunk_idxs):
+        h = hashlib.sha256(f"{d}:{c}:{n}".encode()).digest()[:16]
         acc ^= int.from_bytes(h, "little")
     return f"{acc:032x}"
 
@@ -84,6 +88,7 @@ def encode_to_dir(
     threshold: float = DEFAULT_THRESHOLD,
     num_partitions: int = 32,
     fail_at_partition: int | None = None,
+    chunk_tokens: int | None = None,
 ) -> list[dict]:
     """Encode a sequences DataFrame into ``out_dir/blocks`` with one parquet
     file + lineage sidecar per partition; returns the lineage records and
@@ -99,6 +104,7 @@ def encode_to_dir(
             prior.get("codec") != codec
             or prior.get("threshold") != threshold
             or prior.get("num_partitions") != num_partitions
+            or prior.get("chunk_tokens") != chunk_tokens
         ):
             # Parameter change invalidates the checkpoint entirely.
             for entry in prior.get("partitions", []):
@@ -111,7 +117,10 @@ def encode_to_dir(
     # 3-5× cheaper than shuffling array<int>); the encode kernel reads either
     # form transparently.
     parted = salted_repartition(
-        pack_tokens_df(df.select("doc_id", "tokens", "n_tok", "source")), num_partitions
+        pack_tokens_df(
+            df.select("doc_id", "tokens", "n_tok", "source"), chunk_tokens=chunk_tokens
+        ),
+        num_partitions,
     )
 
     def kernel(batches):
@@ -121,10 +130,12 @@ def encode_to_dir(
         in_batches = [b for b in batches if b.num_rows]
         doc_ids: list[str] = []
         n_toks: list[int] = []
+        chunk_idxs: list[int] = []
         for b in in_batches:
             doc_ids.extend(b.column("doc_id").to_pylist())
             n_toks.extend(b.column("n_tok").to_pylist())
-        fp = _fingerprint(doc_ids, n_toks)
+            chunk_idxs.extend(b.column("chunk_idx").to_pylist())
+        fp = _fingerprint(doc_ids, n_toks, chunk_idxs)
         data_path, lineage_path = _part_paths(out_dir, part_id)
 
         if os.path.exists(lineage_path) and os.path.exists(data_path):
@@ -146,8 +157,9 @@ def encode_to_dir(
             if in_batches
             else BLOCKS_ARROW_SCHEMA.empty_table()
         )
-        # Deterministic file bytes: sort by doc_id so reruns are identical.
-        table = table.sort_by("doc_id")
+        # Deterministic file bytes: sort by (doc_id, chunk_idx) so reruns
+        # are byte-identical.
+        table = table.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
         tmp_path = data_path + f".tmp-{os.getpid()}"
         pq.write_table(table, tmp_path)
         os.replace(tmp_path, data_path)
@@ -179,6 +191,7 @@ def encode_to_dir(
         "codec": codec,
         "threshold": threshold,
         "num_partitions": num_partitions,
+        "chunk_tokens": chunk_tokens,
         "partitions": sorted(lineage_rows, key=lambda r: r["part_id"]),
     }
     tmp_manifest = manifest_path + ".tmp"

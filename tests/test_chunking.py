@@ -1,0 +1,89 @@
+"""Giant-sequence chunking tests: chunks split before the shuffle, spread
+across partitions, and reassemble bit-identically (the reference concat
+semantics, _algorithms.py:62-96, across block boundaries)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rle_array_spark.engine import decode_df, encode_df, verify_roundtrip
+from rle_array_spark.tableio import encode_to_dir, read_blocks
+
+CHUNK = 1000
+
+
+@pytest.fixture(scope="module")
+def giant_df(spark):
+    rng = np.random.default_rng(21)
+    rows = []
+    # giants that need chunking, lengths straddling multiples of CHUNK
+    for i, n in enumerate([2 * CHUNK, 2 * CHUNK + 1, 3 * CHUNK - 1, 5 * CHUNK + 7]):
+        rows.append((f"giant-{i}", rng.integers(0, 100, n).astype(int).tolist(), n, "giant"))
+    # and small rows that must pass through unchanged
+    for i in range(10):
+        n = int(rng.integers(1, CHUNK))
+        rows.append((f"small-{i}", rng.integers(0, 100, n).astype(int).tolist(), n, "small"))
+    rows.append(("empty", [], 0, "edge"))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_chunked_roundtrip_bit_identical(giant_df):
+    blocks = encode_df(giant_df, codec="auto", chunk_tokens=CHUNK)
+    assert verify_roundtrip(giant_df, blocks, reassemble_chunks=True) == 0
+
+
+def test_chunk_structure(giant_df):
+    blocks = encode_df(giant_df, codec="auto", chunk_tokens=CHUNK).cache()
+    per_doc = (
+        blocks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.max("n_chunks").alias("n_chunks"),
+            F.sum(F.col("n_values").cast("long")).alias("total"),
+            F.max("n_values").alias("max_block"),
+        )
+        .collect()
+    )
+    info = {r["doc_id"]: r for r in per_doc}
+    assert info["giant-0"]["n_blocks"] == 2  # exactly 2*CHUNK
+    assert info["giant-1"]["n_blocks"] == 3  # 2*CHUNK+1
+    assert info["giant-3"]["n_blocks"] == 6  # 5*CHUNK+7
+    for r in per_doc:
+        assert r["max_block"] <= CHUNK
+        assert r["n_blocks"] == r["n_chunks"] or r["doc_id"] == "empty"
+    assert info["small-0"]["n_blocks"] == 1
+    blocks.unpersist()
+
+
+def test_chunked_salted_spread(giant_df, spark):
+    """Chunks of one giant doc must land in multiple partitions."""
+    blocks = encode_df(giant_df, codec="auto", chunk_tokens=CHUNK, num_partitions=8)
+    pids = (
+        blocks.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("doc_id") == "giant-3")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert pids >= 2
+
+
+def test_chunked_checkpoint_resume(giant_df, spark, tmp_path):
+    out = str(tmp_path / "enc")
+    lineage = encode_to_dir(giant_df, out, num_partitions=4, chunk_tokens=CHUNK)
+    assert {r["status"] for r in lineage} == {"encoded"}
+    blocks = read_blocks(spark, out)
+    assert verify_roundtrip(giant_df, blocks, reassemble_chunks=True) == 0
+    lineage2 = encode_to_dir(giant_df, out, num_partitions=4, chunk_tokens=CHUNK)
+    assert {r["status"] for r in lineage2} == {"skipped"}
+
+
+def test_unchunked_path_unchanged(giant_df):
+    """Without chunk_tokens everything is one block per row (n_chunks=1)."""
+    blocks = encode_df(giant_df, codec="auto")
+    assert blocks.filter(F.col("n_chunks") != 1).count() == 0
+    assert verify_roundtrip(giant_df, blocks) == 0
