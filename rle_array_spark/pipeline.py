@@ -68,11 +68,11 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """NUM_HASHES-wide MinHash signature: hash function j is
     md5(shingle || ':j'); min over the hex strings == min over the 128-bit
     hash values (fixed-width lowercase hex)."""
-    sh = shingle_sets(docs)
+    sh = shingles if shingles is not None else shingle_sets(docs)
     mh = [
         F.expr(f"array_min(transform(shingles, s -> md5(concat(s, ':{j}'))))").alias(f"mh{j}")
         for j in range(NUM_HASHES)
@@ -80,8 +80,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", F.array(*mh).alias("sig"))
 
 
-def lsh_bands(docs: DataFrame) -> DataFrame:
-    sig = minhash_signatures(docs)
+def lsh_bands(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+    sig = minhash_signatures(docs, shingles)
     bands = [
         F.md5(
             F.concat_ws("|", F.expr(f"slice(sig, {b * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})"))
@@ -93,9 +93,9 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
     return wide.selectExpr("doc_id", f"stack({BANDS}, {stack}) as (band_idx, band_key)")
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band bucket."""
-    bands = lsh_bands(docs)
+    bands = lsh_bands(docs, shingles)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -111,14 +111,20 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def near_dup_pairs_jaccard(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard (n-gram
-    Jaccard dedup): keep pairs with J >= threshold."""
-    pairs = minhash_candidate_pairs(docs)
-    sh = shingle_sets(docs)
+    Jaccard dedup): keep pairs with J >= threshold.
+
+    The shingle table feeds three plan branches (signatures + both sides of
+    the verify join); without materialization Catalyst re-derives it from
+    the source each time (measured: 8 scans of the input). It is persisted
+    here — the single-session analog of writing the intermediate shingle
+    table, which is what a 100 TB run would do."""
+    sh = shingle_sets(docs).persist()
+    pairs = minhash_candidate_pairs(docs, shingles=sh)
     joined = (
         pairs.join(sh.withColumnRenamed("shingles", "sh_a"), pairs.doc_a == sh.doc_id)
         .drop("doc_id")
         .join(
-            shingle_sets(docs).withColumnRenamed("shingles", "sh_b").withColumnRenamed("doc_id", "doc_id_b"),
+            sh.withColumnRenamed("shingles", "sh_b").withColumnRenamed("doc_id", "doc_id_b"),
             F.col("doc_b") == F.col("doc_id_b"),
         )
     )

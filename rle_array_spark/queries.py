@@ -394,6 +394,30 @@ FROM tok
 GROUP BY source"""
 
 
+def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying chunked-encode round trip on a deterministic synthetic
+    corpus (giant sequences split across blocks, salted shuffle, relational
+    reassembly). `mismatches` must be 0. Rows-only check — the synthetic
+    corpus is not a DuckDB view; the assertion is carried in the result."""
+    import pyarrow as pa
+
+    from rle_array_spark.datagen import generate_block
+    from rle_array_spark.engine import verify_roundtrip
+
+    batch = generate_block(7, rows_per_source=12)
+    pdf = pa.Table.from_batches([batch]).to_pandas()
+    df = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    blocks = encode_df(df, codec="auto", num_partitions=8, chunk_tokens=20_000)
+    mismatches = verify_roundtrip(df, blocks, reassemble_chunks=True)
+    n_chunked = blocks.filter(F.col("n_chunks") > 1).count()
+    return spark.createDataFrame(
+        [(df.count(), int(n_chunked), int(mismatches))],
+        "docs long, chunked_blocks long, mismatches long",
+    )
+
+
 def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selection distribution — no SQL oracle (codec choice is the
     engine's own policy); driver records the weaker rows-only check."""
@@ -443,6 +467,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["topk_longest_docs"] = q_topk_longest_docs
     out["codec_histogram"] = q_codec_histogram
     out["compression_vs_reference"] = q_compression_vs_reference
+    out["chunked_roundtrip_selftest"] = q_chunked_roundtrip_selftest
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
