@@ -28,9 +28,18 @@ __all__ = [
 ]
 
 
+def _lookup(codec: str) -> Codec:
+    try:
+        return CODECS[codec]
+    except KeyError:
+        raise ValueError(
+            f"unknown codec {codec!r}; available: {sorted(CODECS)}"
+        ) from None
+
+
 def encode_block(values: np.ndarray, codec: str) -> bytes:
-    return CODECS[codec].encode(values)
+    return _lookup(codec).encode(values)
 
 
 def decode_block(payload: bytes | memoryview, codec: str, n: int) -> np.ndarray:
-    return CODECS[codec].decode(payload, n)
+    return _lookup(codec).decode(payload, n)

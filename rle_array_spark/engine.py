@@ -612,6 +612,13 @@ def decode_stats_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+def doc_stats_from_chunked(blocks: DataFrame) -> DataFrame:
+    """Per-document stats for a chunked blocks table: reassemble, then the
+    standard stats kernel. Exact for every column (including cardinality,
+    which is not derivable from per-chunk stats)."""
+    return tokens_stats_df(decode_df(blocks, reassemble_chunks=True))
+
+
 def tokens_stats_df(df: DataFrame) -> DataFrame:
     """Same per-row scalar stats computed directly on a sequences DataFrame
     (no codec involved) — the differential-oracle twin of decode_stats_df."""

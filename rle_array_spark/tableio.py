@@ -1,26 +1,30 @@
-"""Encoded-table writer with per-partition lineage and checkpointed resume.
+"""Encoded-table writer: immutable data files, snapshot manifests, lineage,
+checkpointed resume, time travel, vacuum.
 
-Sandbox layout (Parquet directory + JSON manifest). On a cluster with an
-Iceberg catalog the same writer body targets
-``write.format("iceberg").mode("append")`` — the seam is this module only
-(SURVEY.md §7.6); partition files become Iceberg data files and the manifest
-becomes the snapshot.
+Sandbox layout (Parquet files + JSON manifests) with Iceberg's semantics —
+on a cluster with an Iceberg catalog this module is the only seam to swap
+(SURVEY.md §7.6):
 
-Resumability model (north_rule "checkpointed resumability"):
-- partition contents are deterministic: the salted repartition hashes fixed
-  columns, and the kernel sorts rows by doc_id before writing, so the same
-  input + partition count always produces byte-identical partition files;
-- each partition commits atomically (write tmp → os.replace) together with a
-  sidecar lineage JSON keyed by an order-insensitive fingerprint of the
-  partition's input rows;
-- a restarted job recomputes each partition's fingerprint, finds the sidecar
-  already committed with the same fingerprint, and skips the encode + write
-  (idempotent per-partition commit log — the batch analog of a streaming
-  checkpoint, SURVEY.md §2.d).
+- **Immutable data files** named ``part-{pid}-{fingerprint16}.parquet``
+  where the fingerprint covers the partition's input rows AND the encode
+  parameters — changing codec/threshold/chunking produces new files and
+  never rewrites old ones;
+- **Snapshot manifests** ``snapshots/v{N}.json`` list the exact data files
+  of a committed version; ``_manifest.json`` is the atomic latest pointer.
+  Readers only ever see complete snapshots (a crashed job leaves data files
+  but no snapshot — invisible);
+- **Checkpointed resume** (north_rule): each partition commits atomically
+  (tmp → rename) with a lineage sidecar; a restarted job recomputes each
+  partition's fingerprint, finds the sidecar committed, and skips the
+  encode + write. Partition contents are deterministic (salted hash
+  repartition + doc_id/chunk sort), so reruns are byte-identical;
+- **Time travel**: ``read_blocks(spark, dir, snapshot=N)``;
+- **Vacuum**: delete data files referenced by no snapshot.
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -61,20 +65,26 @@ LINEAGE_SCHEMA = (
 )
 
 
-def _fingerprint(doc_ids: list[str], n_toks: list[int], chunk_idxs: list[int]) -> str:
-    """Order-insensitive fingerprint of a partition's input rows (chunk_idx
-    included so two equal-length chunks of one doc don't XOR-cancel)."""
-    acc = 0
+def _fingerprint(
+    doc_ids: list[str], n_toks: list[int], chunk_idxs: list[int], params_key: str
+) -> str:
+    """Order-insensitive fingerprint of a partition's input rows + encode
+    params (chunk_idx included so two equal-length chunks of one doc don't
+    XOR-cancel; params included so a codec/threshold change produces new
+    immutable files instead of silently reusing stale ones)."""
+    acc = int.from_bytes(hashlib.sha256(params_key.encode()).digest()[:16], "little")
     for d, n, c in zip(doc_ids, n_toks, chunk_idxs):
-        h = hashlib.sha256(f"{d}:{c}:{n}".encode()).digest()[:16]
+        h = hashlib.sha256(f"{d}:{c}:{n}:{params_key}".encode()).digest()[:16]
         acc ^= int.from_bytes(h, "little")
     return f"{acc:032x}"
 
 
-def _part_paths(out_dir: str, part_id: int) -> tuple[str, str]:
-    data = os.path.join(out_dir, "blocks", f"part-{part_id:05d}.parquet")
-    lineage = os.path.join(out_dir, "lineage", f"part-{part_id:05d}.json")
-    return data, lineage
+def _data_path(out_dir: str, part_id: int, fp: str) -> str:
+    return os.path.join(out_dir, "blocks", f"part-{part_id:05d}-{fp[:16]}.parquet")
+
+
+def _lineage_path(out_dir: str, part_id: int, fp: str) -> str:
+    return os.path.join(out_dir, "lineage", f"part-{part_id:05d}-{fp[:16]}.json")
 
 
 class InjectedFailure(RuntimeError):
@@ -90,32 +100,15 @@ def encode_to_dir(
     fail_at_partition: int | None = None,
     chunk_tokens: int | None = None,
 ) -> list[dict]:
-    """Encode a sequences DataFrame into ``out_dir/blocks`` with one parquet
-    file + lineage sidecar per partition; returns the lineage records and
-    writes the merged job manifest. Safe to re-run after a failure."""
+    """Encode a sequences DataFrame into ``out_dir`` (one immutable parquet
+    file + lineage sidecar per partition), commit a new snapshot, and return
+    the lineage records. Safe to re-run after a failure; re-running an
+    already-committed configuration is a full checkpoint hit."""
     os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
-    manifest_path = os.path.join(out_dir, "_manifest.json")
-    prior = {}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            prior = json.load(f)
-        if (
-            prior.get("codec") != codec
-            or prior.get("threshold") != threshold
-            or prior.get("num_partitions") != num_partitions
-            or prior.get("chunk_tokens") != chunk_tokens
-        ):
-            # Parameter change invalidates the checkpoint entirely.
-            for entry in prior.get("partitions", []):
-                for p in _part_paths(out_dir, entry["part_id"]):
-                    if os.path.exists(p):
-                        os.remove(p)
-            prior = {}
+    os.makedirs(os.path.join(out_dir, "snapshots"), exist_ok=True)
+    params_key = f"{codec}|{threshold}|{num_partitions}|{chunk_tokens}"
 
-    # Tokens travel through the shuffle as packed binary (one memcpy per row,
-    # 3-5× cheaper than shuffling array<int>); the encode kernel reads either
-    # form transparently.
     parted = salted_repartition(
         pack_tokens_df(
             df.select("doc_id", "tokens", "n_tok", "source"), chunk_tokens=chunk_tokens
@@ -135,8 +128,9 @@ def encode_to_dir(
             doc_ids.extend(b.column("doc_id").to_pylist())
             n_toks.extend(b.column("n_tok").to_pylist())
             chunk_idxs.extend(b.column("chunk_idx").to_pylist())
-        fp = _fingerprint(doc_ids, n_toks, chunk_idxs)
-        data_path, lineage_path = _part_paths(out_dir, part_id)
+        fp = _fingerprint(doc_ids, n_toks, chunk_idxs, params_key)
+        data_path = _data_path(out_dir, part_id, fp)
+        lineage_path = _lineage_path(out_dir, part_id, fp)
 
         if os.path.exists(lineage_path) and os.path.exists(data_path):
             with open(lineage_path) as f:
@@ -187,17 +181,36 @@ def encode_to_dir(
         yield _lineage_batch(rec)
 
     lineage_rows = [r.asDict() for r in parted.mapInArrow(kernel, LINEAGE_SCHEMA).collect()]
-    manifest = {
+    lineage_rows.sort(key=lambda r: r["part_id"])
+
+    # Commit: write the next snapshot, then atomically bump the pointer.
+    existing = sorted(glob.glob(os.path.join(out_dir, "snapshots", "v*.json")))
+    version = 1 + max(
+        (int(os.path.basename(p)[1:-5]) for p in existing), default=0
+    )
+    snapshot = {
+        "version": version,
+        "parent": version - 1 if existing else None,
         "codec": codec,
         "threshold": threshold,
         "num_partitions": num_partitions,
         "chunk_tokens": chunk_tokens,
-        "partitions": sorted(lineage_rows, key=lambda r: r["part_id"]),
+        "params_key": params_key,
+        "files": [
+            os.path.basename(_data_path(out_dir, r["part_id"], r["fingerprint"]))
+            for r in lineage_rows
+        ],
+        "partitions": lineage_rows,
     }
-    tmp_manifest = manifest_path + ".tmp"
+    snap_path = os.path.join(out_dir, "snapshots", f"v{version}.json")
+    with open(snap_path + ".tmp", "w") as f:
+        json.dump(snapshot, f, indent=1)
+    os.replace(snap_path + ".tmp", snap_path)
+    pointer = {"latest": version, **{k: snapshot[k] for k in ("codec", "threshold", "num_partitions", "chunk_tokens")}, "partitions": lineage_rows}
+    tmp_manifest = os.path.join(out_dir, "_manifest.json.tmp")
     with open(tmp_manifest, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp_manifest, manifest_path)
+        json.dump(pointer, f, indent=1)
+    os.replace(tmp_manifest, os.path.join(out_dir, "_manifest.json"))
     return lineage_rows
 
 
@@ -230,12 +243,54 @@ def _lineage_batch(rec: dict) -> pa.RecordBatch:
     )
 
 
-def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_snapshot(out_dir: str, snapshot: int | None = None) -> dict:
+    """Load a snapshot manifest (latest when ``snapshot`` is None)."""
+    if snapshot is None:
+        with open(os.path.join(out_dir, "_manifest.json")) as f:
+            snapshot = json.load(f)["latest"]
+    path = os.path.join(out_dir, "snapshots", f"v{snapshot}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_blocks(spark: SparkSession, out_dir: str, snapshot: int | None = None) -> DataFrame:
+    """Read the encoded-blocks table at a snapshot (latest by default) —
+    only the files that snapshot committed, never uncommitted stragglers."""
     from rle_array_spark.engine import BLOCK_SCHEMA
 
-    return spark.read.schema(BLOCK_SCHEMA).parquet(os.path.join(out_dir, "blocks"))
+    snap = read_snapshot(out_dir, snapshot)
+    files = [os.path.join(out_dir, "blocks", f) for f in snap["files"]]
+    return spark.read.schema(BLOCK_SCHEMA).parquet(*files)
 
 
 def read_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "_manifest.json")) as f:
         return json.load(f)
+
+
+def vacuum(out_dir: str, keep_snapshots: int | None = None) -> list[str]:
+    """Delete data files referenced by no (kept) snapshot; optionally expire
+    all but the newest ``keep_snapshots`` manifests. Returns deleted paths."""
+    snaps = sorted(
+        glob.glob(os.path.join(out_dir, "snapshots", "v*.json")),
+        key=lambda p: int(os.path.basename(p)[1:-5]),
+    )
+    if keep_snapshots is not None and len(snaps) > keep_snapshots:
+        for p in snaps[:-keep_snapshots]:
+            os.remove(p)
+        snaps = snaps[-keep_snapshots:]
+    referenced: set[str] = set()
+    for p in snaps:
+        with open(p) as f:
+            referenced.update(json.load(f)["files"])
+    deleted = []
+    for path in glob.glob(os.path.join(out_dir, "blocks", "*.parquet")):
+        if os.path.basename(path) not in referenced:
+            os.remove(path)
+            deleted.append(path)
+            sidecar = os.path.join(
+                out_dir, "lineage", os.path.basename(path)[:-8] + ".json"
+            )
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
+    return deleted

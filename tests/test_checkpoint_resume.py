@@ -69,9 +69,46 @@ def test_resume_after_injected_failure(spark, sequences, tmp_path):
     assert _file_hashes(out) == _file_hashes(ref)
 
 
-def test_param_change_invalidates_checkpoint(spark, sequences, tmp_path):
+def test_param_change_writes_new_snapshot(spark, sequences, tmp_path):
+    """Changing the codec produces new immutable files + a new snapshot;
+    the old snapshot remains readable (time travel)."""
     out = str(tmp_path / "enc")
     encode_to_dir(sequences, out, num_partitions=N_PARTS, codec="rle")
     lineage = encode_to_dir(sequences, out, num_partitions=N_PARTS, codec="auto")
-    assert {r["status"] for r in lineage} == {"encoded"}
+    assert {r["status"] for r in lineage} == {"encoded"}  # new fingerprints
     assert read_manifest(out)["codec"] == "auto"
+
+    from rle_array_spark.tableio import read_snapshot
+
+    v1, v2 = read_snapshot(out, 1), read_snapshot(out, 2)
+    assert v1["codec"] == "rle" and v2["codec"] == "auto"
+    assert set(v1["files"]).isdisjoint(v2["files"])
+
+    old = read_blocks(spark, out, snapshot=1)
+    assert old.select("codec").distinct().collect() == [("rle",)]
+    assert verify_roundtrip(sequences, old) == 0  # time-traveled read decodes
+    new = read_blocks(spark, out)  # latest
+    assert new.select("codec").distinct().count() > 1
+
+
+def test_vacuum_removes_unreferenced_files(spark, sequences, tmp_path):
+    from rle_array_spark.tableio import vacuum
+
+    out = str(tmp_path / "enc")
+    encode_to_dir(sequences, out, num_partitions=N_PARTS, codec="rle")
+    encode_to_dir(sequences, out, num_partitions=N_PARTS, codec="auto")
+    assert vacuum(out) == []  # both snapshots still reference their files
+    deleted = vacuum(out, keep_snapshots=1)
+    assert len(deleted) == N_PARTS  # v1's files expired with it
+    blocks = read_blocks(spark, out)
+    assert verify_roundtrip(sequences, blocks) == 0
+
+
+def test_crash_leaves_no_visible_snapshot(spark, sequences, tmp_path):
+    out = str(tmp_path / "enc")
+    with pytest.raises(Exception, match="injected failure"):
+        encode_to_dir(sequences, out, num_partitions=N_PARTS, fail_at_partition=0)
+    with pytest.raises(FileNotFoundError):
+        read_blocks(spark, out)  # no committed snapshot → table invisible
+    encode_to_dir(sequences, out, num_partitions=N_PARTS)
+    assert verify_roundtrip(sequences, read_blocks(spark, out)) == 0

@@ -82,6 +82,35 @@ def test_chunked_checkpoint_resume(giant_df, spark, tmp_path):
     assert {r["status"] for r in lineage2} == {"skipped"}
 
 
+def test_doc_stats_from_chunked_exact(giant_df):
+    from rle_array_spark.engine import doc_stats_from_chunked, tokens_stats_df
+
+    blocks = encode_df(giant_df, codec="auto", chunk_tokens=CHUNK)
+    a = doc_stats_from_chunked(blocks)
+    b = tokens_stats_df(giant_df)
+    cols = ["n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum", "n_runs", "card"]
+    j = a.alias("a").join(b.alias("b"), "doc_id")
+    n = giant_df.count()
+    assert j.count() == n
+    cond = None
+    for c in cols:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    assert j.filter(cond).count() == n
+
+
+def test_unknown_codec_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.codecs import decode_block, encode_block
+
+    with _pytest.raises(ValueError, match="unknown codec"):
+        encode_block(np.array([1], np.int32), "zstd")
+    with _pytest.raises(ValueError, match="unknown codec"):
+        decode_block(b"\x00", "nope", 1)
+
+
 def test_unchunked_path_unchanged(giant_df):
     """Without chunk_tokens everything is one block per row (n_chunks=1)."""
     blocks = encode_df(giant_df, codec="auto")
