@@ -54,12 +54,12 @@ def choose_codec(
     if stats.n == 0:
         return "raw", CODECS["raw"].encode(values)
 
-    estimates = sorted(
-        (CODECS[name].estimate_size(stats), name) for name in AUTO_CANDIDATES
-    )
-    trial_names = [estimates[0][1]]
-    if estimates[1][0] <= RUNNER_UP_SLACK * max(estimates[0][0], 1):
-        trial_names.append(estimates[1][1])
+    estimates = [(CODECS[name].estimate_size(stats), name) for name in AUTO_CANDIDATES]
+    best_est = min(estimates)
+    runner_up = min(e for e in estimates if e[1] != best_est[1])
+    trial_names = [best_est[1]]
+    if runner_up[0] <= RUNNER_UP_SLACK * max(best_est[0], 1):
+        trial_names.append(runner_up[1])
 
     best_name, best_payload = "raw", None
     best_size = raw_bytes

@@ -53,17 +53,23 @@ class NgramCodec(Codec):
     name = "ngram"
 
     @staticmethod
-    def repeat_fraction(values: np.ndarray) -> float:
+    def repeat_fraction(values: np.ndarray, sample_pairs: int = 2048) -> float:
         """Fraction of adjacent-pair occurrences that round-1 could replace
         (pairs appearing >= MIN_PAIR_COUNT times). One np.unique over the
         fused digram keys — ~1/MAX_ROUNDS of a full grammar build — used by
         the chooser to skip hopeless blocks; later rounds only compound what
-        round 1 finds, so a weak round 1 bounds the whole grammar's gain."""
-        n = values.size
+        round 1 finds, so a weak round 1 bounds the whole grammar's gain.
+
+        Computed on the first ``sample_pairs`` digrams: it feeds a go/no-go
+        heuristic only (the trial encode measures the real size), and pair
+        frequency is stationary enough within one sequence that a prefix
+        sample ranks identically in practice."""
+        n = min(values.size, sample_pairs + 1)
         if n < 2:
             return 0.0
-        s = values.astype(np.int64)
-        key_mult = np.int64(int(values.max()) + MAX_SYMS + 2)
+        v = values[:n]
+        s = v.astype(np.int64)
+        key_mult = np.int64(int(v.max()) + MAX_SYMS + 2)
         keys = s[:-1] * key_mult + s[1:]
         _, counts = np.unique(keys, return_counts=True)
         eligible = counts[counts >= MIN_PAIR_COUNT].sum()

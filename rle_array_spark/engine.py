@@ -471,12 +471,40 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
 # Decode
 # ---------------------------------------------------------------------------
 
+# Below this mean tokens-per-block, decode switches to the grouped
+# vectorized reader: per-row NumPy decode is fixed-overhead-bound for tiny
+# blocks, while for ≥~128-token blocks the per-row kernels already run at
+# memory bandwidth and the vectorized path's index-gather passes cost more
+# than they save (measured crossover on this class of host; see
+# codecs/vdecode.py module docstring).
+VECTORIZED_DECODE_MAX_MEAN_TOKENS = 64
+
+
 def _decode_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
+    """Decode every block row of a batch → (flat int32, int64 offsets).
+
+    Adaptive by batch shape: tiny-block batches route through the grouped
+    vectorized reader (codecs/vdecode.py), typical batches through the
+    per-row kernels."""
     codecs_col = batch.column("codec").to_pylist()
-    n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+    n_col = batch.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
     payload_col = batch.column("payload")
+    n_rows = batch.num_rows
+    if (
+        n_rows
+        and payload_col.null_count == 0
+        and int(n_col.sum()) < VECTORIZED_DECODE_MAX_MEAN_TOKENS * n_rows
+    ):
+        from rle_array_spark.codecs.vdecode import decode_rows_vectorized
+
+        value_offsets = np.frombuffer(payload_col.buffers()[1], dtype=np.int32)
+        lo = payload_col.offset
+        starts = value_offsets[lo : lo + n_rows].astype(np.int64)
+        ends = value_offsets[lo + 1 : lo + 1 + n_rows].astype(np.int64)
+        buf = np.frombuffer(payload_col.buffers()[2], dtype=np.uint8)
+        return decode_rows_vectorized(buf, starts, ends - starts, codecs_col, n_col)
     parts = []
-    for i in range(batch.num_rows):
+    for i in range(n_rows):
         payload = payload_col[i].as_buffer()
         parts.append(CODECS[codecs_col[i]].decode(memoryview(payload), int(n_col[i])))
     flat = np.concatenate(parts) if parts else np.array([], dtype=np.int32)
