@@ -10,7 +10,9 @@ Protocol notes (measured on this sandbox):
   (a pure-numpy multiprocessing control shows per-process slowdown 0.7 s →
   1.8 s from 8 → 32 procs), so scaling efficiency is reported for both
   2→8 and 8→32 cores;
-- each timed cell is best-of-2 (the VM shows occasional 2-3× stalls).
+- each timed cell is best-of-N (3 at ≥8 cores) after an untimed warm run of
+  both job shapes (the VM shows occasional 2-3× stalls, and the first
+  corpus read pays cold page cache from the virtual disk).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1) — relational queries
@@ -114,6 +116,13 @@ def throughput_at(cores: int, reps: int = 2) -> tuple[float, float, dict]:
     try:
         ensure_corpus(spark)
         warm_workers(spark, cores)
+        # One untimed run of EACH job shape: the first salted run after boot
+        # pays the cold page-cache read of the ~1 GB corpus from the VM's
+        # virtual disk plus shuffle-path setup (measured 78s → 32s → 8s → 8s
+        # back-to-back at local[32]); timing cold cells would grade disk
+        # speed, not the encode engine.
+        encode_job(spark, num_partitions=SCALING_PARTITIONS)
+        encode_job(spark, num_partitions=None)
         totals: dict = {}
         best_salted = best_scan = float("inf")
         for _ in range(reps):
@@ -137,7 +146,7 @@ def main() -> None:
     thr_scan: dict[int, float] = {}
     totals: dict = {}
     for cores in levels:
-        wall_salted, wall_scan, totals = throughput_at(cores, reps=1 if cores <= 2 else 2)
+        wall_salted, wall_scan, totals = throughput_at(cores, reps=1 if cores <= 2 else 3)
         thr_salted[cores] = totals["tokens"] / wall_salted
         thr_scan[cores] = totals["tokens"] / wall_scan
         queries[f"encode_auto_salted_local{cores}"] = round(wall_salted, 3)

@@ -34,6 +34,11 @@ NGRAM_SAMPLE_TOKENS = 8192
 # Minimum fraction of adjacent-pair occurrences that round 1 could replace
 # for the grammar build to be worth trying on small blocks.
 NGRAM_MIN_REPEAT_FRACTION = 0.30
+# distinct/total above which the digram gate is skipped entirely (cannot
+# pass), and below which it is assumed to pass (always does) — measured
+# separations on the mixed corpus, see choose_codec.
+NGRAM_CARD_RATIO_SKIP = 0.55
+NGRAM_CARD_RATIO_FASTPASS = 0.05
 # Sampled projection must beat the measured best by this margin to pay for
 # the full grammar encode.
 NGRAM_PROJECTION_MARGIN = 0.9
@@ -71,8 +76,16 @@ def choose_codec(
         if len(payload) < best_size:
             best_name, best_payload, best_size = name, payload, len(payload)
 
+    # Free pre-gate from already-computed stats: a digram repeating >=
+    # MIN_PAIR_COUNT times needs its constituent tokens to repeat, so high
+    # distinct/total rules the grammar out before any digram counting.
+    # Measured on the mixed-regime corpus: 0/932 blocks with
+    # cardinality/n >= 0.55 pass the repeat-fraction gate, 377/377 with
+    # < 0.05 pass it — only the middle band pays for the digram scan.
+    card_ratio = stats.cardinality / stats.n
     if (
         enable_ngram
+        and card_ratio < NGRAM_CARD_RATIO_SKIP
         and stats.n >= NGRAM_MIN_TOKENS
         and best_size > NGRAM_SKIP_IF_RATIO_BELOW * raw_bytes
     ):
@@ -81,6 +94,8 @@ def choose_codec(
             sample_payload = CODECS["ngram"].encode(sample)
             projected = len(sample_payload) / (sample.size * 4) * raw_bytes
             worth_it = projected < NGRAM_PROJECTION_MARGIN * best_size
+        elif card_ratio < NGRAM_CARD_RATIO_FASTPASS:
+            worth_it = True
         else:
             # Round-1 digram repetition bounds the whole grammar's gain at
             # ~1/MAX_ROUNDS of a full build; skip blocks it cannot help.

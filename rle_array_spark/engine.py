@@ -640,6 +640,64 @@ def decode_stats_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+BLOCK_REDUCTIONS_SCHEMA = (
+    "doc_id string, source string, n_tok int, tok_sum long, "
+    "tok_min int, tok_max int, any_nz boolean, all_nz boolean"
+)
+
+
+def block_reductions_df(blocks: DataFrame) -> DataFrame:
+    """Per-block reductions computed in the COMPRESSED domain — sum as
+    dot(run_values, run_lengths), min/max/any/all over run values or the
+    dict table only (reference compute-on-compressed reductions,
+    /root/reference/rle_array/array.py:478-616) — never materializing the
+    decoded arrays. The payload-kernel twin of the metadata columns: blocks
+    written by other jobs (or hand-altered payloads) are audited against
+    this, not against their own claimed metadata."""
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import block_any_all, block_min_max, block_sum
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            payload_col = batch.column("payload")
+            n = batch.num_rows
+            sums = np.zeros(n, dtype=np.int64)
+            mins = np.zeros(n, dtype=np.int32)
+            maxs = np.zeros(n, dtype=np.int32)
+            anys = np.zeros(n, dtype=bool)
+            alls = np.zeros(n, dtype=bool)
+            for i in range(n):
+                payload = memoryview(payload_col[i].as_buffer())
+                nv = int(n_col[i])
+                sums[i] = block_sum(codecs_col[i], payload, nv)
+                mins[i], maxs[i] = block_min_max(codecs_col[i], payload, nv)
+                anys[i], alls[i] = block_any_all(codecs_col[i], payload, nv)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(n_col.astype(np.int32)),
+                    pa.array(sums),
+                    pa.array(mins),
+                    pa.array(maxs),
+                    pa.array(anys),
+                    pa.array(alls),
+                ],
+                names=[
+                    "doc_id", "source", "n_tok", "tok_sum",
+                    "tok_min", "tok_max", "any_nz", "all_nz",
+                ],
+            )
+
+    return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
+        kernel, BLOCK_REDUCTIONS_SCHEMA
+    )
+
+
 def doc_stats_from_chunked(blocks: DataFrame) -> DataFrame:
     """Per-document stats for a chunked blocks table: reassemble, then the
     standard stats kernel. Exact for every column (including cardinality,

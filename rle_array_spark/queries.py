@@ -394,6 +394,39 @@ FROM tok
 GROUP BY source"""
 
 
+def q_compressed_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reductions computed from the encoded payloads WITHOUT decode
+    (reference sum/min/max/any/all on run values,
+    /root/reference/rle_array/array.py:478-616). Tokens are shifted by
+    greatest(cp-32, 0) before encoding so whitespace maps to 0 and the
+    any/all nonzero semantics become non-trivial per document."""
+    from rle_array_spark.engine import block_reductions_df
+
+    seq = _sequences(spark, sf_dir).withColumn(
+        "tokens", F.expr("transform(tokens, x -> greatest(x - 32, 0))")
+    )
+    blocks = encode_df(seq, codec="auto")
+    return block_reductions_df(blocks).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "any_nz", "all_nz"
+    )
+
+
+ORACLE_COMPRESSED_REDUCTIONS = """WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ''), c -> greatest(unicode(c) - 32, 0)) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       list_max(tokens) <> 0 AS any_nz,
+       list_min(tokens) <> 0 AS all_nz
+FROM tok"""
+
+
 def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying chunked-encode round trip on a deterministic synthetic
     corpus (giant sequences split across blocks, salted shuffle, relational
@@ -462,6 +495,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["runs_and_cardinality"] = q_runs_and_cardinality
     out["compressed_add_const"] = q_compressed_add_const
     out["metadata_minmax"] = q_metadata_minmax
+    out["compressed_reductions"] = q_compressed_reductions
     out["token_moments"] = q_token_moments
     out["ffill_window"] = q_ffill_window
     out["topk_longest_docs"] = q_topk_longest_docs
@@ -491,6 +525,7 @@ def build_oracles() -> dict[str, str]:
     out["runs_and_cardinality"] = ORACLE_RUNS_CARD
     out["compressed_add_const"] = ORACLE_COMPRESSED_ADD
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
+    out["compressed_reductions"] = ORACLE_COMPRESSED_REDUCTIONS
     out["token_moments"] = ORACLE_TOKEN_MOMENTS
     out["ffill_window"] = ORACLE_FFILL
     out["topk_longest_docs"] = ORACLE_TOPK
