@@ -141,16 +141,30 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # --- scaling evidence: identical encode jobs, same input, varying cores ---
+    # Two full cycles over the levels, per-cell best: the VM's throughput
+    # drifts on a ~minutes timescale, so consecutive-level sessions sample
+    # different "weather"; interleaving whole cycles decorrelates the
+    # efficiency ratios from the drift.
     levels = sorted({2, 8, min(32, CPUS), CPUS})
-    thr_salted: dict[int, float] = {}
-    thr_scan: dict[int, float] = {}
+    wall_best_salted: dict[int, float] = {}
+    wall_best_scan: dict[int, float] = {}
     totals: dict = {}
+    for _cycle in range(2):
+        for cores in levels:
+            wall_salted, wall_scan, totals = throughput_at(
+                cores, reps=1 if cores <= 2 else 2
+            )
+            wall_best_salted[cores] = min(
+                wall_best_salted.get(cores, float("inf")), wall_salted
+            )
+            wall_best_scan[cores] = min(
+                wall_best_scan.get(cores, float("inf")), wall_scan
+            )
+    thr_salted = {c: totals["tokens"] / w for c, w in wall_best_salted.items()}
+    thr_scan = {c: totals["tokens"] / w for c, w in wall_best_scan.items()}
     for cores in levels:
-        wall_salted, wall_scan, totals = throughput_at(cores, reps=1 if cores <= 2 else 3)
-        thr_salted[cores] = totals["tokens"] / wall_salted
-        thr_scan[cores] = totals["tokens"] / wall_scan
-        queries[f"encode_auto_salted_local{cores}"] = round(wall_salted, 3)
-        queries[f"encode_auto_scan_local{cores}"] = round(wall_scan, 3)
+        queries[f"encode_auto_salted_local{cores}"] = round(wall_best_salted[cores], 3)
+        queries[f"encode_auto_scan_local{cores}"] = round(wall_best_scan[cores], 3)
 
     def eff(thr: dict[int, float], a: int, b: int):
         if a in thr and b in thr:
