@@ -388,27 +388,43 @@ def encode_df(
 # Compute-on-compressed: value-map over encoded blocks
 # ---------------------------------------------------------------------------
 
+# Scalar value-map operators over encoded blocks — the reference's scalar
+# binary operator set restricted to maps that keep tokens in the
+# non-negative int32 domain (/root/reference/rle_array/array.py:748-824:
+# + - * // % & | ^; true-div/pow excluded — they leave the integer token
+# domain). Each entry: (fn(values:int64, k) -> int64, operand validator).
 TRANSFORM_OPS = {
-    "add": lambda v, k: v + k,
-    "mul": lambda v, k: v * k,
+    "add": (lambda v, k: v + k, lambda k: k >= 0),
+    "mul": (lambda v, k: v * k, lambda k: k >= 0),
+    # subtraction clamped at 0 (tokens are non-negative; the unclamped form
+    # would raise in _checked_int32 on any value < k)
+    "sub_floor": (lambda v, k: np.maximum(v - k, 0), lambda k: k >= 0),
+    "floordiv": (lambda v, k: v // k, lambda k: k >= 1),
+    "mod": (lambda v, k: v % k, lambda k: k >= 1),
+    "bitand": (lambda v, k: v & k, lambda k: k >= 0),
+    "bitor": (lambda v, k: v | k, lambda k: k >= 0),
+    "bitxor": (lambda v, k: v ^ k, lambda k: k >= 0),
 }
 
 
 def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
-    """Apply an affine value-map to every encoded block WITHOUT full decode:
+    """Apply a scalar value-map to every encoded block WITHOUT full decode:
     RLE transforms run values (O(n_runs)), DICT transforms the table
     (O(cardinality)) — the reference's compute-on-compressed operators
     (/root/reference/rle_array/array.py:846-849) at block granularity.
-    Metadata columns are updated analytically."""
+
+    Every metadata column (n_runs, tok_sum, tok_min, tok_max,
+    encoded_bytes, ref_rle_bytes) is recomputed EXACTLY inside the kernel
+    from the codec structure — non-monotonic ops (mod, bitand, sub_floor)
+    and run-merging ops (mul 0) keep the zone maps truthful."""
     if op not in TRANSFORM_OPS:
         raise ValueError(f"unsupported op {op!r}; one of {sorted(TRANSFORM_OPS)}")
-    if operand < 0:
-        raise ValueError("operand must be non-negative (tokens stay non-negative)")
+    base_fn, valid = TRANSFORM_OPS[op]
+    if not valid(operand):
+        raise ValueError(f"invalid operand {operand} for op {op!r}")
 
     def kernel(batches):
-        from rle_array_spark.codecs.transform import transform_block
-
-        base_fn = TRANSFORM_OPS[op]
+        from rle_array_spark.codecs.transform import transform_block_stats
 
         def fn(v: np.ndarray) -> np.ndarray:
             return base_fn(v.astype(np.int64), operand)
@@ -419,10 +435,15 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
             codecs_col = batch.column("codec").to_pylist()
             n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
             payload_col = batch.column("payload")
+            n_rows = batch.num_rows
             new_codecs: list[str] = []
             new_payloads: list[bytes] = []
-            for i in range(batch.num_rows):
-                c, p = transform_block(
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                c, p, r, s, lo, hi = transform_block_stats(
                     codecs_col[i],
                     memoryview(payload_col[i].as_buffer()),
                     int(n_col[i]),
@@ -430,17 +451,7 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
                 )
                 new_codecs.append(c)
                 new_payloads.append(p)
-            n64 = n_col.astype(np.int64)
-            old_sum = batch.column("tok_sum").to_numpy(zero_copy_only=False)
-            old_min = batch.column("tok_min").to_numpy(zero_copy_only=False).astype(np.int64)
-            old_max = batch.column("tok_max").to_numpy(zero_copy_only=False).astype(np.int64)
-            if op == "add":
-                new_sum, new_min, new_max = old_sum + operand * n64, old_min + operand, old_max + operand
-            else:
-                new_sum, new_min, new_max = old_sum * operand, old_min * operand, old_max * operand
-            empty = n64 == 0
-            new_min[empty] = 0
-            new_max[empty] = 0
+                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = r, s, lo, hi
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
@@ -448,13 +459,15 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
                     pa.array(new_codecs, type=pa.string()),
                     pa.array(new_payloads, type=pa.binary()),
                     batch.column("n_values"),
-                    batch.column("n_runs"),
-                    pa.array(new_sum),
-                    pa.array(new_min.astype(np.int32)),
-                    pa.array(new_max.astype(np.int32)),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
                     batch.column("raw_bytes"),
                     pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
-                    batch.column("ref_rle_bytes"),
+                    pa.array(np.array(
+                        [reference_rle_nbytes(int(r)) for r in n_runs], dtype=np.int64
+                    )),
                     *_chunk_cols(batch),
                 ],
                 names=[

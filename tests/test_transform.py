@@ -76,8 +76,73 @@ def test_transform_blocks_spark(sequences):
     assert ok == n
 
 
+NUMPY_OPS = {
+    "add": lambda v, k: v + k,
+    "mul": lambda v, k: v * k,
+    "sub_floor": lambda v, k: np.maximum(v - k, 0),
+    "floordiv": lambda v, k: v // k,
+    "mod": lambda v, k: v % k,
+    "bitand": lambda v, k: v & k,
+    "bitor": lambda v, k: v | k,
+    "bitxor": lambda v, k: v ^ k,
+}
+
+
+@pytest.mark.parametrize("op,operand", [
+    ("add", 11), ("mul", 3), ("sub_floor", 900), ("floordiv", 5),
+    ("mod", 17), ("bitand", 0xFF), ("bitor", 0x40), ("bitxor", 0x155),
+])
+def test_transform_blocks_full_op_set(sequences, op, operand):
+    """Every reference scalar operator (array.py:748-824, int-domain subset):
+    transformed blocks decode to numpy-op-applied tokens, and EVERY metadata
+    column matches a decode-side recompute (exact zone maps)."""
+    blocks = encode_df(sequences, codec="auto")
+    out = transform_blocks(blocks, op, operand)
+    from rle_array_spark.engine import decode_df
+
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(out).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    assert decoded.keys() == raw.keys()
+    fn = NUMPY_OPS[op]
+    for doc_id, tokens in raw.items():
+        expect = fn(np.array(tokens, dtype=np.int64), operand).astype(np.int32)
+        np.testing.assert_array_equal(np.array(decoded[doc_id], dtype=np.int32), expect)
+    meta = {r["doc_id"]: r for r in
+            out.select("doc_id", "n_runs", "tok_sum", "tok_min", "tok_max").collect()}
+    for doc_id, tokens in raw.items():
+        v = fn(np.array(tokens, dtype=np.int64), operand)
+        m = meta[doc_id]
+        if v.size == 0:
+            assert (m["n_runs"], m["tok_sum"], m["tok_min"], m["tok_max"]) == (0, 0, 0, 0)
+            continue
+        assert m["tok_sum"] == int(v.sum())
+        assert m["tok_min"] == int(v.min())
+        assert m["tok_max"] == int(v.max())
+        assert m["n_runs"] == 1 + int(np.count_nonzero(v[1:] != v[:-1]))
+
+
+def test_transform_mul_zero_merges_all_runs(sequences):
+    """mul 0 collapses every block to one zero-run; n_runs metadata must say
+    so (the case the old analytic update got wrong)."""
+    blocks = encode_df(sequences, codec="auto")
+    out = transform_blocks(blocks, "mul", 0)
+    rows = out.select("n_values", "n_runs", "tok_sum", "tok_max").collect()
+    for r in rows:
+        if r["n_values"] > 0:
+            assert r["n_runs"] == 1
+        assert r["tok_sum"] == 0 and r["tok_max"] == 0
+
+
+def test_transform_invalid_operand_raises(sequences):
+    blocks = encode_df(sequences.limit(1), codec="rle")
+    with pytest.raises(ValueError, match="invalid operand"):
+        transform_blocks(blocks, "mod", 0)
+    with pytest.raises(ValueError, match="unsupported op"):
+        transform_blocks(blocks, "pow", 2)
+
+
 def test_transform_blocks_metadata_consistent(sequences):
-    """Analytically-updated metadata must match a decode-side recompute."""
+    """Kernel-updated metadata must match a decode-side recompute."""
     blocks = encode_df(sequences, codec="auto")
     shifted = transform_blocks(blocks, "mul", 2)
     meta = shifted.select("doc_id", "tok_sum", "tok_min", "tok_max")
