@@ -148,3 +148,38 @@ def decode_slice(codec: str, payload, n: int, start: int, stop: int) -> np.ndarr
     # bitpack/for/ngram: decode then slice (bit-level window math is possible
     # for bitpack/for but the stream unpack is already a single C pass)
     return CODECS[codec].decode(payload, n)[start:stop]
+
+
+def payload_stats(codec: str, payload, n: int) -> tuple[int, int, int, int]:
+    """(n_runs, sum, min, max) of one encoded block — compressed-domain for
+    RLE (O(n_runs)) and DICT (table + code scan), stream-unpack otherwise.
+    The uniform exact-metadata primitive for operators that produce new
+    payloads (transform, zip)."""
+    if n == 0:
+        return 0, 0, 0, 0
+    if codec == "rle":
+        run_values, run_lengths = _rle_parts(payload)
+        return (
+            int(run_values.size),
+            int(np.dot(run_values.astype(np.int64), run_lengths)),
+            int(run_values.min()),
+            int(run_values.max()),
+        )
+    if codec == "dict":
+        table, codes = _dict_parts(payload, n)
+        counts = np.bincount(codes, minlength=table.size)
+        n_runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+        return (
+            n_runs,
+            int(np.dot(table.astype(np.int64), counts)),
+            int(table[0]),
+            int(table[-1]),
+        )
+    values = CODECS[codec].decode(payload, n)
+    n_runs = 1 + int(np.count_nonzero(values[1:] != values[:-1]))
+    return (
+        n_runs,
+        int(values.sum(dtype=np.int64)),
+        int(values.min()),
+        int(values.max()),
+    )

@@ -653,6 +653,107 @@ def decode_stats_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+ZIP_OPS = {
+    "add": lambda a, b: a + b,
+    "mul": lambda a, b: a * b,
+    "max": np.maximum,
+    "min": np.minimum,
+}
+
+
+def zip_blocks_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame:
+    """Elementwise ``op`` over two encoded columns, aligned on
+    (doc_id, chunk_idx), WITHOUT decoding when both sides are RLE — the
+    run-boundary union-grid merge, O(runs_a + runs_b) per row (reference
+    RLE⊕RLE path, extend_positions/extend_data
+    /root/reference/rle_array/_algorithms.py:484-585, driver
+    array.py:850-866). Mixed-codec rows decode-fallback and re-choose.
+
+    Here the two columns arrive as separate DataFrames, so alignment is a
+    shuffle join; in a deployed table both encoded columns live in ONE row
+    (wide blocks table) and the zip is join-free. Result metadata is exact
+    (payload_stats on the new payload)."""
+    if op not in ZIP_OPS:
+        raise ValueError(f"unsupported zip op {op!r}; one of {sorted(ZIP_OPS)}")
+
+    a = blocks_a.select(
+        "doc_id", "source", "chunk_idx", "n_chunks", "chunk_offset",
+        F.col("codec").alias("codec_a"), F.col("payload").alias("payload_a"),
+        "n_values", "raw_bytes",
+    )
+    b = blocks_b.select(
+        "doc_id", "chunk_idx",
+        F.col("codec").alias("codec_b"), F.col("payload").alias("payload_b"),
+        F.col("n_values").alias("n_values_b"),
+    )
+    joined = a.join(b, ["doc_id", "chunk_idx"], "inner")
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import payload_stats
+        from rle_array_spark.codecs.zip_ops import zip_blocks
+
+        base_fn = ZIP_OPS[op]
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ca = batch.column("codec_a").to_pylist()
+            cb = batch.column("codec_b").to_pylist()
+            pa_col = batch.column("payload_a")
+            pb_col = batch.column("payload_b")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            nb_col = batch.column("n_values_b").to_numpy(zero_copy_only=False)
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                nv = int(n_col[i])
+                if nv != int(nb_col[i]):
+                    raise ValueError(
+                        f"zip length mismatch for a row: {nv} != {int(nb_col[i])}"
+                    )
+                c, p = zip_blocks(
+                    ca[i], memoryview(pa_col[i].as_buffer()),
+                    cb[i], memoryview(pb_col[i].as_buffer()),
+                    nv, base_fn,
+                )
+                new_codecs.append(c)
+                new_payloads.append(p)
+                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = payload_stats(c, p, nv)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    batch.column("n_values"),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
+                    batch.column("raw_bytes"),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                    pa.array(np.array(
+                        [reference_rle_nbytes(int(r)) for r in n_runs], dtype=np.int64
+                    )),
+                    batch.column("chunk_idx"),
+                    batch.column("n_chunks"),
+                    batch.column("chunk_offset"),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+                    "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+                    "ref_rle_bytes", "chunk_idx", "n_chunks", "chunk_offset",
+                ],
+            )
+
+    return joined.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
 BLOCK_REDUCTIONS_SCHEMA = (
     "doc_id string, source string, n_tok int, tok_sum long, "
     "tok_min int, tok_max int, any_nz boolean, all_nz boolean"

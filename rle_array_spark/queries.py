@@ -427,6 +427,37 @@ SELECT doc_id,
 FROM tok"""
 
 
+def q_zip_add_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE⊕RLE-style zip of two encoded columns, all in the compressed
+    domain: b = a mod 7 via transform_blocks, zipped = a + b via
+    zip_blocks_df (union-grid merge when both sides are RLE, reference
+    _algorithms.py:484-585). Decoded stats must equal x + x%7 per token."""
+    from rle_array_spark.engine import zip_blocks_df
+
+    seq = _sequences(spark, sf_dir)
+    blocks_a = encode_df(seq, codec="auto")
+    blocks_b = transform_blocks(blocks_a, "mod", 7)
+    zipped = zip_blocks_df(blocks_a, blocks_b, "add")
+    return decode_stats_df(zipped).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
+ORACLE_ZIP_ADD_MOD = """WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ''), c -> unicode(c) + unicode(c) % 7) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
+FROM tok"""
+
+
 def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying chunked-encode round trip on a deterministic synthetic
     corpus (giant sequences split across blocks, salted shuffle, relational
@@ -496,6 +527,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["compressed_add_const"] = q_compressed_add_const
     out["metadata_minmax"] = q_metadata_minmax
     out["compressed_reductions"] = q_compressed_reductions
+    out["zip_add_mod"] = q_zip_add_mod
     out["token_moments"] = q_token_moments
     out["ffill_window"] = q_ffill_window
     out["topk_longest_docs"] = q_topk_longest_docs
@@ -526,6 +558,7 @@ def build_oracles() -> dict[str, str]:
     out["compressed_add_const"] = ORACLE_COMPRESSED_ADD
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
     out["compressed_reductions"] = ORACLE_COMPRESSED_REDUCTIONS
+    out["zip_add_mod"] = ORACLE_ZIP_ADD_MOD
     out["token_moments"] = ORACLE_TOKEN_MOMENTS
     out["ffill_window"] = ORACLE_FFILL
     out["topk_longest_docs"] = ORACLE_TOPK

@@ -80,3 +80,56 @@ def test_zip_work_is_run_proportional():
     for _ in range(200):
         zip_blocks("rle", pa_, "rle", pb, a.size, lambda x, y: x + y)
     assert time.monotonic() - t0 < 0.5
+
+
+def test_zip_blocks_df_spark(spark, sequences):
+    """DF-level zip: a + (a mod 7), all compressed-domain, equals numpy."""
+    import pyspark.sql.functions as F
+
+    from rle_array_spark.engine import (
+        decode_df,
+        encode_df,
+        transform_blocks,
+        zip_blocks_df,
+    )
+
+    a = encode_df(sequences, codec="auto")
+    b = transform_blocks(a, "mod", 7)
+    zipped = zip_blocks_df(a, b, "add")
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(zipped).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    assert decoded.keys() == raw.keys()
+    for doc_id, tokens in raw.items():
+        v = np.array(tokens, dtype=np.int64)
+        np.testing.assert_array_equal(
+            np.array(decoded[doc_id], dtype=np.int64), v + v % 7
+        )
+    # metadata exactness on the zipped result
+    meta = zipped.select("doc_id", "tok_sum", "tok_min", "tok_max").collect()
+    for m in meta:
+        v = np.array(raw[m["doc_id"]], dtype=np.int64)
+        if v.size:
+            z = v + v % 7
+            assert (m["tok_sum"], m["tok_min"], m["tok_max"]) == (
+                int(z.sum()), int(z.min()), int(z.max())
+            )
+
+
+def test_zip_blocks_df_length_mismatch_raises(spark, sequences):
+    import pytest as _pytest
+
+    from rle_array_spark.engine import encode_df, zip_blocks_df
+
+    a = encode_df(sequences, codec="rle")
+    # b encodes a truncated copy: same doc_ids, different lengths
+    import pyspark.sql.functions as F
+
+    truncated = sequences.withColumn(
+        "tokens", F.expr("slice(tokens, 1, greatest(size(tokens) - 1, 0))")
+    ).withColumn("n_tok", F.greatest(F.col("n_tok") - 1, F.lit(0)))
+    b = encode_df(truncated, codec="rle")
+    zipped = zip_blocks_df(a, b, "add")
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException, match="length mismatch"):
+        zipped.count()
