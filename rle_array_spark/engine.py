@@ -271,6 +271,41 @@ def _chunk_cols(batch: pa.RecordBatch) -> tuple[pa.Array, pa.Array, pa.Array]:
     )
 
 
+def _row_stats(
+    flat: np.ndarray,
+    run_pos: np.ndarray,
+    run_a: int,
+    run_b: int,
+    n: int,
+    n_runs: int,
+    vmin: int,
+    vmax: int,
+):
+    """BlockStats for one row from batch-precomputed arrays (change mask /
+    run positions / reduceat min-max) — same result as
+    codecs.compute_stats(row) without re-deriving the change mask."""
+    from rle_array_spark.codecs.core import (
+        EXACT_CARDINALITY_MAX_RUNS,
+        BlockStats,
+        _estimate_cardinality,
+    )
+
+    if n == 0:
+        return BlockStats(n=0, n_runs=0, cardinality=0, vmin=0, vmax=0)
+    run_values = flat[run_pos[run_a:run_b]]
+    if n_runs <= EXACT_CARDINALITY_MAX_RUNS:
+        uniq = np.unique(run_values)
+        return BlockStats(
+            n=n, n_runs=n_runs, cardinality=int(uniq.size),
+            vmin=vmin, vmax=vmax, uniq=uniq,
+        )
+    return BlockStats(
+        n=n, n_runs=n_runs,
+        cardinality=_estimate_cardinality(run_values, vmin, vmax),
+        vmin=vmin, vmax=vmax, uniq=None,
+    )
+
+
 def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.RecordBatch:
     doc_id = batch.column("doc_id")
     source = batch.column("source")
@@ -285,8 +320,14 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
     enc_bytes = np.empty(n_rows, dtype=np.int64)
     ref_bytes = np.empty(n_rows, dtype=np.int64)
 
-    # Batch-level vectorization: change mask, per-row sums and min/max over
-    # the flat values buffer — one pass for the whole batch (not per row).
+    # Batch-level vectorization: change mask, run-start positions, per-row
+    # sums and min/max over the flat values buffer — one pass for the whole
+    # batch (not per row). The chooser then receives fully-precomputed
+    # BlockStats so compute_stats never re-derives the change mask per row.
+    # All intermediates are O(n_rows + n_runs) except the bool mask itself:
+    # full-width cumsums (8 B/token) measured SECONDS of page-fault churn
+    # per large batch on memory-starved hosts — reduceat/searchsorted give
+    # the same per-row figures with KB-scale outputs.
     starts = offsets[:-1]
     valid = offsets[1:] > starts
     if flat.size:
@@ -294,32 +335,40 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
         change[0] = True
         np.not_equal(flat[1:], flat[:-1], out=change[1:])
         change[starts[starts < flat.size]] = True
-        run_counts_cum = np.concatenate(([0], np.cumsum(change)))
-        sums_cum = np.concatenate(([0], np.cumsum(flat.astype(np.int64))))
+        run_pos = np.flatnonzero(change)
+        # run_off[i] = index into run_pos of row i's first run
+        run_off = np.searchsorted(run_pos, offsets)
         idx = np.minimum(starts, flat.size - 1).astype(np.int64)
+        tok_sum_row = np.add.reduceat(flat, idx, dtype=np.int64)
         tok_min = np.minimum.reduceat(flat, idx)
         tok_max = np.maximum.reduceat(flat, idx)
+        tok_sum_row[~valid] = 0
         tok_min[~valid] = 0
         tok_max[~valid] = 0
     else:
-        run_counts_cum = np.zeros(1, dtype=np.int64)
-        sums_cum = np.zeros(1, dtype=np.int64)
+        run_pos = np.zeros(0, dtype=np.int64)
+        run_off = np.zeros(n_rows + 1, dtype=np.int64)
+        tok_sum_row = np.zeros(n_rows, dtype=np.int64)
         tok_min = np.zeros(n_rows, dtype=np.int32)
         tok_max = np.zeros(n_rows, dtype=np.int32)
 
     for i in range(n_rows):
         lo, hi = offsets[i], offsets[i + 1]
         row = flat[lo:hi]
+        r = int(run_off[i + 1] - run_off[i])
         if codec == "auto":
-            name, payload = choose_codec(row, threshold=threshold)
+            stats = _row_stats(
+                flat, run_pos, int(run_off[i]), int(run_off[i + 1]),
+                int(hi - lo), r, int(tok_min[i]), int(tok_max[i]),
+            )
+            name, payload = choose_codec(row, stats=stats, threshold=threshold)
         else:
             name, payload = codec, CODECS[codec].encode(row)
-        r = int(run_counts_cum[hi] - run_counts_cum[lo])
         codecs_out.append(name)
         payloads.append(payload)
         n_values[i] = hi - lo
         n_runs[i] = r
-        tok_sum[i] = sums_cum[hi] - sums_cum[lo]
+        tok_sum[i] = tok_sum_row[i]
         enc_bytes[i] = len(payload)
         ref_bytes[i] = reference_rle_nbytes(r)
 
@@ -562,6 +611,11 @@ def decode_df(blocks: DataFrame, reassemble_chunks: bool = False) -> DataFrame:
 
 
 def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -> pa.RecordBatch:
+    """Per-row scalar stats over a decoded/raw token batch. Batch-level
+    change mask + reduceat, like _encode_batch: only the bool mask and one
+    int64 weighted-product buffer are full-width; everything else is
+    O(n_rows + n_runs). Cardinality remains a per-row unique over run
+    values (the only inherently per-row sort)."""
     n = batch.num_rows
     tok_sum = np.zeros(n, dtype=np.int64)
     tok_min = np.zeros(n, dtype=np.int32)
@@ -569,18 +623,44 @@ def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -
     tok_wsum = np.zeros(n, dtype=np.int64)
     n_runs = np.zeros(n, dtype=np.int32)
     card = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        row = flat[offsets[i] : offsets[i + 1]]
-        if row.size == 0:
-            continue
-        s = compute_stats(row)
-        tok_sum[i] = int(row.sum(dtype=np.int64))
-        tok_min[i], tok_max[i] = s.vmin, s.vmax
-        tok_wsum[i] = int(
-            np.dot(row.astype(np.int64), np.arange(1, row.size + 1, dtype=np.int64))
+    if flat.size:
+        from rle_array_spark.codecs.core import (
+            EXACT_CARDINALITY_MAX_RUNS,
+            _estimate_cardinality,
         )
-        n_runs[i] = s.n_runs
-        card[i] = s.cardinality
+
+        starts = offsets[:-1]
+        valid = offsets[1:] > starts
+        change = np.empty(flat.size, dtype=bool)
+        change[0] = True
+        np.not_equal(flat[1:], flat[:-1], out=change[1:])
+        change[starts[starts < flat.size]] = True
+        run_pos = np.flatnonzero(change)
+        run_off = np.searchsorted(run_pos, offsets)
+        idx = np.minimum(starts, flat.size - 1).astype(np.int64)
+        sums = np.add.reduceat(flat, idx, dtype=np.int64)
+        mins = np.minimum.reduceat(flat, idx)
+        maxs = np.maximum.reduceat(flat, idx)
+        # weighted sum Σ v_k·(k_local+1): computed with GLOBAL positions and
+        # corrected by lo·Σv per row — avoids materializing per-row-restarting
+        # position indices (two full-width temporaries instead of three)
+        wsum_global = np.add.reduceat(
+            flat * np.arange(1, flat.size + 1, dtype=np.int64), idx, dtype=np.int64
+        )
+        wsums = wsum_global - starts * sums
+        ok = valid
+        tok_sum[ok] = sums[ok]
+        tok_min[ok] = mins[ok]
+        tok_max[ok] = maxs[ok]
+        tok_wsum[ok] = wsums[ok]
+        n_runs_all = (run_off[1:] - run_off[:-1]).astype(np.int32)
+        n_runs[ok] = n_runs_all[ok]
+        for i in np.flatnonzero(valid):
+            rv = flat[run_pos[run_off[i] : run_off[i + 1]]]
+            if rv.size <= EXACT_CARDINALITY_MAX_RUNS:
+                card[i] = np.unique(rv).size
+            else:
+                card[i] = _estimate_cardinality(rv, int(mins[i]), int(maxs[i]))
     return pa.RecordBatch.from_arrays(
         [
             batch.column("doc_id"),
