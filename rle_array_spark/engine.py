@@ -143,6 +143,33 @@ def pack_tokens_df(df: DataFrame, chunk_tokens: int | None = None) -> DataFrame:
             if not batch.num_rows:
                 continue
             flat, offsets = _list_to_numpy(batch.column("tokens"))
+            n = batch.num_rows
+            if chunk_tokens is None or int((offsets[1:] - offsets[:-1]).max()) <= chunk_tokens:
+                # Fast path — nothing to split: zero per-row Python, the
+                # packed binary column is built straight from the flat
+                # values buffer + scaled offsets.
+                binarr = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(),
+                    n,
+                    [None, pa.py_buffer((offsets * 4).astype(np.int64)),
+                     pa.py_buffer(flat.view(np.uint8))],
+                ).cast(pa.binary())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("doc_id"),
+                        batch.column("source"),
+                        pa.array((offsets[1:] - offsets[:-1]).astype(np.int32)),
+                        binarr,
+                        pa.array(np.zeros(n, dtype=np.int32)),
+                        pa.array(np.ones(n, dtype=np.int32)),
+                        pa.array(np.zeros(n, dtype=np.int64)),
+                    ],
+                    names=[
+                        "doc_id", "source", "n_tok", "tok_bin",
+                        "chunk_idx", "n_chunks", "chunk_offset",
+                    ],
+                )
+                continue
             doc_ids = batch.column("doc_id").to_pylist()
             sources = batch.column("source").to_pylist()
 
