@@ -91,6 +91,35 @@ class InjectedFailure(RuntimeError):
     """Raised by the fail-injection hook in resume tests."""
 
 
+AUTO_CHUNK_MIN = 1 << 16
+AUTO_CHUNK_MAX = 1 << 20
+AUTO_CHUNK_PER_PARTITION = 8
+
+
+def auto_chunk_tokens(df: DataFrame, num_partitions: int) -> int | None:
+    """Pick a chunk size from corpus shape (one metadata-only aggregate).
+
+    Partition balance after the salted shuffle is a balls-into-bins
+    problem: k chunks into P partitions has relative imbalance
+    ~O(sqrt(P/k)), so we target >= AUTO_CHUNK_PER_PARTITION chunks per
+    partition for the heavy tail (measured in scripts/soak_giant.py:
+    1 Mi-token chunks left max/ideal at 7.6 on a giant-dominated corpus,
+    256 Ki brought it to 2.8). Returns None when no row would ever split —
+    keeps the fingerprint/params identity of plain unchunked runs."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.sum(F.col("n_tok").cast("long")).alias("total"),
+        F.max("n_tok").alias("longest"),
+    ).collect()[0]
+    total, longest = int(row["total"] or 0), int(row["longest"] or 0)
+    chunk = int(
+        min(AUTO_CHUNK_MAX,
+            max(AUTO_CHUNK_MIN, total // (AUTO_CHUNK_PER_PARTITION * num_partitions)))
+    )
+    return chunk if longest > chunk else None
+
+
 def encode_to_dir(
     df: DataFrame,
     out_dir: str,
@@ -98,12 +127,19 @@ def encode_to_dir(
     threshold: float = DEFAULT_THRESHOLD,
     num_partitions: int = 32,
     fail_at_partition: int | None = None,
-    chunk_tokens: int | None = None,
+    chunk_tokens: int | str | None = None,
 ) -> list[dict]:
     """Encode a sequences DataFrame into ``out_dir`` (one immutable parquet
     file + lineage sidecar per partition), commit a new snapshot, and return
     the lineage records. Safe to re-run after a failure; re-running an
-    already-committed configuration is a full checkpoint hit."""
+    already-committed configuration is a full checkpoint hit.
+
+    ``chunk_tokens="auto"`` sizes chunks from the corpus shape (see
+    :func:`auto_chunk_tokens`); the resolved value enters the params
+    fingerprint, so auto-runs checkpoint/resume exactly like explicit ones
+    as long as the corpus shape is unchanged."""
+    if chunk_tokens == "auto":
+        chunk_tokens = auto_chunk_tokens(df, num_partitions)
     os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "snapshots"), exist_ok=True)

@@ -116,3 +116,42 @@ def test_unchunked_path_unchanged(giant_df):
     blocks = encode_df(giant_df, codec="auto")
     assert blocks.filter(F.col("n_chunks") != 1).count() == 0
     assert verify_roundtrip(giant_df, blocks) == 0
+
+
+def test_auto_chunk_tokens(giant_df, spark, tmp_path):
+    from rle_array_spark.tableio import (
+        AUTO_CHUNK_MIN,
+        auto_chunk_tokens,
+        encode_to_dir,
+        read_blocks,
+    )
+
+    # giant_df's longest row (~5k) is under the clamp floor → no row would
+    # ever split, so auto says None (unchunked identity preserved)
+    assert auto_chunk_tokens(giant_df, num_partitions=4) is None
+    # a corpus with a row past the floor must split
+    big = giant_df.limit(0).union(
+        spark.createDataFrame(
+            [("huge", list(range(AUTO_CHUNK_MIN + 5)), AUTO_CHUNK_MIN + 5, "g")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+    )
+    chunk2 = auto_chunk_tokens(big, num_partitions=4)
+    assert chunk2 == AUTO_CHUNK_MIN
+    out = str(tmp_path / "auto_enc")
+    lineage = encode_to_dir(big, out, num_partitions=4, chunk_tokens="auto")
+    assert sum(r["n_rows"] for r in lineage) == 2  # huge split into 2 chunks
+    assert verify_roundtrip(big, read_blocks(spark, out), reassemble_chunks=True) == 0
+    # resume with auto resolves to the same value → checkpoint hit
+    lineage2 = encode_to_dir(big, out, num_partitions=4, chunk_tokens="auto")
+    assert {r["status"] for r in lineage2} == {"skipped"}
+
+
+def test_auto_chunk_none_when_no_row_splits(spark):
+    from rle_array_spark.tableio import auto_chunk_tokens
+
+    small = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert auto_chunk_tokens(small, num_partitions=4) is None
