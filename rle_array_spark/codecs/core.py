@@ -22,6 +22,13 @@ import numpy as np
 TOKEN_DTYPE = np.dtype("<i4")  # logical element type of the `tokens` column
 
 
+class PerformanceWarning(UserWarning):
+    """A kernel fell back to full decode where a compressed-domain path
+    exists for other codecs — the reference's loud-slow-path contract
+    (/root/reference/rle_array/array.py:439,695; escalated to an error in
+    its tests/test_fastpath.py:6). Fast paths must never emit this."""
+
+
 @dataclass(frozen=True)
 class BlockStats:
     """Per-array statistics driving the analytic codec cost model.

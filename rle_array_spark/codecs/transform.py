@@ -22,6 +22,7 @@ int32 token range; out-of-range results raise (never wrap silently).
 from __future__ import annotations
 
 import struct
+import warnings
 from collections.abc import Callable
 
 import numpy as np
@@ -127,7 +128,13 @@ def transform_block(
         return codec, CODECS[codec].encode(_checked_int32(fn(values.astype(np.int64))))
     # decode-fallback path (ngram): re-pick the codec after the transform
     from rle_array_spark.chooser import choose_codec
+    from rle_array_spark.codecs.core import PerformanceWarning
 
+    warnings.warn(
+        f"transform of {codec!r} block decodes (grammar hides value structure)",
+        PerformanceWarning,
+        stacklevel=2,
+    )
     values = CODECS[codec].decode(payload, n)
     return choose_codec(_checked_int32(fn(values.astype(np.int64))))
 
@@ -218,7 +225,13 @@ def transform_block_stats(
         values = _checked_int32(fn(CODECS[codec].decode(payload, n).astype(np.int64)))
         return (codec, CODECS[codec].encode(values), *_stream_stats(values))
     from rle_array_spark.chooser import choose_codec
+    from rle_array_spark.codecs.core import PerformanceWarning
 
+    warnings.warn(
+        f"transform of {codec!r} block decodes (grammar hides value structure)",
+        PerformanceWarning,
+        stacklevel=2,
+    )
     values = _checked_int32(fn(CODECS[codec].decode(payload, n).astype(np.int64)))
     name, new_payload = choose_codec(values)
     return (name, new_payload, *_stream_stats(values))

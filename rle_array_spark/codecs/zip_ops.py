@@ -12,6 +12,7 @@ Non-RLE codec pairs fall back to decode → op → re-choose (the reference's
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 
 import numpy as np
@@ -56,7 +57,14 @@ def zip_blocks(
         return "rle", _repack_rle(out_vals, out_lens)
     # decode fallback for mixed codecs
     from rle_array_spark.chooser import choose_codec
+    from rle_array_spark.codecs.core import PerformanceWarning
 
+    warnings.warn(
+        f"zip of ({codec_a!r}, {codec_b!r}) decodes both blocks "
+        "(union-grid path needs RLE on both sides)",
+        PerformanceWarning,
+        stacklevel=2,
+    )
     a = CODECS[codec_a].decode(payload_a, n)
     b = CODECS[codec_b].decode(payload_b, n)
     return choose_codec(op(a.astype(np.int64), b.astype(np.int64)).astype(np.int32))
