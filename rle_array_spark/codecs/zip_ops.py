@@ -19,7 +19,7 @@ import numpy as np
 
 from rle_array_spark.codecs import CODECS
 from rle_array_spark.codecs.reduce import _rle_parts
-from rle_array_spark.codecs.transform import _repack_rle
+from rle_array_spark.codecs.transform import _checked_int32, _repack_rle
 
 
 def _merge_equal_runs(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -51,7 +51,7 @@ def zip_blocks(
         union_ends = np.union1d(ends_a, ends_b)  # both end with n
         a_exp = vals_a[np.searchsorted(ends_a, union_ends, side="left")]
         b_exp = vals_b[np.searchsorted(ends_b, union_ends, side="left")]
-        out_vals = op(a_exp.astype(np.int64), b_exp.astype(np.int64)).astype(np.int32)
+        out_vals = _checked_int32(op(a_exp.astype(np.int64), b_exp.astype(np.int64)))
         out_lens = np.diff(np.concatenate(([0], union_ends)))
         out_vals, out_lens = _merge_equal_runs(out_vals, out_lens)
         return "rle", _repack_rle(out_vals, out_lens)
@@ -67,4 +67,4 @@ def zip_blocks(
     )
     a = CODECS[codec_a].decode(payload_a, n)
     b = CODECS[codec_b].decode(payload_b, n)
-    return choose_codec(op(a.astype(np.int64), b.astype(np.int64)).astype(np.int32))
+    return choose_codec(_checked_int32(op(a.astype(np.int64), b.astype(np.int64))))

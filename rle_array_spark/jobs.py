@@ -55,8 +55,13 @@ def cmd_encode(args) -> int:
             "encoded_bytes": sum(r["encoded_bytes"] for r in lineage),
         }
     else:
+        chunk_tokens = args.chunk_tokens
+        if chunk_tokens == "auto":
+            from rle_array_spark.tableio import auto_chunk_tokens
+
+            chunk_tokens = auto_chunk_tokens(df, args.partitions)
         blocks = encode_df(
-            df, codec=args.codec, threshold=args.threshold, chunk_tokens=args.chunk_tokens
+            df, codec=args.codec, threshold=args.threshold, chunk_tokens=chunk_tokens
         )
         blocks.write.mode(args.mode).parquet(args.output)
         import pyspark.sql.functions as F
@@ -123,7 +128,13 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--threshold", type=float, default=1.0)
     enc.add_argument("--partitions", type=int, default=128)
     enc.add_argument("--salted", action="store_true")
-    enc.add_argument("--chunk-tokens", type=int, default=None)
+    enc.add_argument(
+        "--chunk-tokens",
+        type=lambda v: v if v == "auto" else int(v),
+        default=None,
+        help="tokens per chunk for giant-sequence splitting; 'auto' sizes "
+        "from corpus shape (salted mode only)",
+    )
     enc.add_argument("--mode", default="overwrite")
 
     dec = sub.add_parser("decode")

@@ -97,3 +97,89 @@ def test_transform_add_matches_or_raises_on_overflow(arr, codec, k):
         return
     new_codec, new_payload = transform_block(codec, payload, arr.size, lambda v: v + k)
     np.testing.assert_array_equal(decode_block(new_payload, new_codec, arr.size), expected)
+
+
+TRANSFORM_OP_CASES = st.sampled_from(
+    [
+        ("sub_floor", lambda v, k: np.maximum(v - k, 0), st.integers(0, 10**6)),
+        ("floordiv", lambda v, k: v // k, st.integers(1, 10**6)),
+        ("mod", lambda v, k: v % k, st.integers(1, 10**6)),
+        ("bitand", lambda v, k: v & k, st.integers(0, 2**31 - 1)),
+        ("bitor", lambda v, k: v | k, st.integers(0, 2**20)),
+        ("bitxor", lambda v, k: v ^ k, st.integers(0, 2**20)),
+    ]
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(arr=any_tokens, codec=st.sampled_from(sorted(CODECS)), case=TRANSFORM_OP_CASES, data=st.data())
+def test_transform_full_op_set_property(arr, codec, case, data):
+    """Any closed-on-tokens scalar op × any codec: transform-on-compressed ≡
+    numpy-op-then-encode, and the exact-stats variant reports truthful
+    metadata (the reference differential pattern, tests/test_operators.py)."""
+    import warnings
+
+    from rle_array_spark.codecs.core import PerformanceWarning
+    from rle_array_spark.codecs.transform import transform_block_stats
+
+    _, np_op, k_strategy = case
+    k = data.draw(k_strategy)
+    payload = encode_block(arr, codec)
+
+    def fn(v):
+        return np_op(v.astype(np.int64), k)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", PerformanceWarning)
+        new_codec, new_payload, n_runs, tok_sum, tok_min, tok_max = transform_block_stats(
+            codec, payload, arr.size, fn
+        )
+    expect = np_op(arr.astype(np.int64), k)
+    out = decode_block(new_payload, new_codec, arr.size)
+    np.testing.assert_array_equal(out, expect.astype(np.int32))
+    if arr.size == 0:
+        assert (n_runs, tok_sum, tok_min, tok_max) == (0, 0, 0, 0)
+    else:
+        assert tok_sum == int(expect.sum())
+        assert tok_min == int(expect.min())
+        assert tok_max == int(expect.max())
+        assert n_runs == 1 + int(np.count_nonzero(expect[1:] != expect[:-1]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    arr=any_tokens,
+    codec_a=st.sampled_from(sorted(CODECS)),
+    codec_b=st.sampled_from(sorted(CODECS)),
+    op_name=st.sampled_from(["add", "mul", "max", "min"]),
+)
+def test_zip_any_codec_pair_property(arr, codec_a, codec_b, op_name):
+    """zip of any codec pair over the same logical array ≡ numpy op.
+    (mul capped to a shifted copy to stay in int32.)"""
+    import warnings
+
+    from rle_array_spark.codecs.core import PerformanceWarning
+    from rle_array_spark.codecs.zip_ops import zip_blocks
+
+    ops = {
+        "add": lambda x, y: x + y,
+        "mul": lambda x, y: (x % 1000) * (y % 1000),
+        "max": np.maximum,
+        "min": np.minimum,
+    }
+    op = ops[op_name]
+    b_arr = (arr // 2).astype(np.int32)
+    pa_ = encode_block(arr, codec_a)
+    pb = encode_block(b_arr, codec_b)
+    expect64 = op(arr.astype(np.int64), b_arr.astype(np.int64))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", PerformanceWarning)
+        if arr.size and int(expect64.max()) > 2**31 - 1:
+            # silent int32 wraparound would be corruption; must raise
+            # (hypothesis found exactly this gap — see commit history)
+            with pytest.raises(ValueError, match="int32 token range"):
+                zip_blocks(codec_a, pa_, codec_b, pb, arr.size, op)
+            return
+        codec, payload = zip_blocks(codec_a, pa_, codec_b, pb, arr.size, op)
+    out = decode_block(payload, codec, arr.size)
+    np.testing.assert_array_equal(out, expect64.astype(np.int32))
