@@ -57,3 +57,67 @@ def encode_stream(
         query.awaitTermination()
         return query
     return writer.trigger(processingTime="10 seconds").start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: running per-source encode statistics
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_SCHEMA = "source string, docs long, tokens long, encoded_bytes long"
+_STATE_SCHEMA = "docs long, tokens long, encoded_bytes long"
+
+
+def _running_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState update function: accumulate per-source totals
+    across micro-batches. State = (docs, tokens, encoded_bytes); each
+    micro-batch emits the NEW running totals for sources it touched."""
+    import pandas as pd
+
+    docs, tokens, enc = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        docs += int(len(pdf))
+        tokens += int(pdf["n_values"].astype("int64").sum())
+        enc += int(pdf["encoded_bytes"].astype("int64").sum())
+    state.update((docs, tokens, enc))
+    yield pd.DataFrame(
+        {"source": [key[0]], "docs": [docs], "tokens": [tokens], "encoded_bytes": [enc]}
+    )
+
+
+def running_source_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    codec: str = "auto",
+):
+    """Continuous encode with a CUSTOM STATEFUL OPERATOR downstream: encoded
+    blocks feed ``applyInPandasWithState`` keyed by source, maintaining
+    running (docs, tokens, encoded_bytes) totals that survive restarts via
+    the streaming state store — the Spark-native form of a custom stateful
+    streaming operator (no reference counterpart; SURVEY §2.d streaming row).
+
+    Drains with availableNow and appends one row per touched source per
+    micro-batch to ``out_dir`` (an auditable compression-progress ledger).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_sequence_stream(spark, input_dir)
+    blocks = encode_df(stream, codec=codec)
+    stats = blocks.groupBy("source").applyInPandasWithState(
+        _running_stats_fn,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        stats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

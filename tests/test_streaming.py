@@ -68,3 +68,43 @@ def test_streaming_blocks_match_batch_metadata(spark, tmp_path):
     a = streamed.agg(F.sum("encoded_bytes").alias("e"), F.sum("tok_sum").alias("s")).collect()[0]
     b = batch.agg(F.sum("encoded_bytes").alias("e"), F.sum("tok_sum").alias("s")).collect()[0]
     assert (a["e"], a["s"]) == (b["e"], b["s"])
+
+
+def test_stateful_running_source_stats(spark, tmp_path):
+    """Custom stateful operator: running totals keyed by source persist in
+    the state store across drain/restart cycles."""
+    from rle_array_spark.streaming import running_source_stats_stream
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt2")
+
+    _write_shard(input_dir, 0)
+    running_source_stats_stream(spark, input_dir, out_dir, ckpt)
+    first = {r["source"]: r for r in spark.read.parquet(out_dir).collect()}
+    b0 = generate_block(0, 8)
+    import collections
+
+    per_source0 = collections.Counter(b0.column("source").to_pylist())
+    assert {s: r["docs"] for s, r in first.items()} == dict(per_source0)
+
+    # second shard: running totals must ACCUMULATE (state survived restart)
+    _write_shard(input_dir, 1)
+    running_source_stats_stream(spark, input_dir, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:  # keep max-docs row per source = latest emission
+        if r["source"] not in latest or r["docs"] > latest[r["source"]]["docs"]:
+            latest[r["source"]] = r
+    per_source1 = collections.Counter(generate_block(1, 8).column("source").to_pylist())
+    expected = {s: per_source0[s] + per_source1[s] for s in per_source0}
+    assert {s: r["docs"] for s, r in latest.items()} == expected
+    # token totals match the batch-side ground truth
+    seq = spark.read.schema(
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).parquet(input_dir)
+    truth = {
+        r["source"]: r["t"]
+        for r in seq.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert {s: r["tokens"] for s, r in latest.items()} == truth
