@@ -427,6 +427,65 @@ SELECT doc_id,
 FROM tok"""
 
 
+def q_broadcast_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join with an explicit broadcast hint (TPC-H Q3 shape):
+    customer is the small side — at 100 TB the fact table shuffles once at
+    most and the dim ships to every executor (no reference counterpart;
+    SURVEY §2.d joins row: stock Spark, broadcast for small dims)."""
+    cust = _table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_BROADCAST_JOIN = """SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority"""
+
+
+def q_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (beyond the reference's shift-only
+    window surface, array.py:875-900): 3 most expensive orders per customer."""
+    orders = _table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            F.col("rk").cast("int").alias("rk"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_RANK_ORDERS = """SELECT o_custkey,
+       CAST(rk AS INT) AS rk,
+       o_orderkey,
+       round(o_totalprice, 2) AS total_price
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders
+)
+WHERE rk <= 3"""
+
+
 def q_zip_add_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE⊕RLE-style zip of two encoded columns, all in the compressed
     domain: b = a mod 7 via transform_blocks, zipped = a + b via
@@ -528,6 +587,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["metadata_minmax"] = q_metadata_minmax
     out["compressed_reductions"] = q_compressed_reductions
     out["zip_add_mod"] = q_zip_add_mod
+    out["broadcast_join_segment_revenue"] = q_broadcast_join_segment_revenue
+    out["rank_orders_per_customer"] = q_rank_orders_per_customer
     out["token_moments"] = q_token_moments
     out["ffill_window"] = q_ffill_window
     out["topk_longest_docs"] = q_topk_longest_docs
@@ -559,6 +620,8 @@ def build_oracles() -> dict[str, str]:
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
     out["compressed_reductions"] = ORACLE_COMPRESSED_REDUCTIONS
     out["zip_add_mod"] = ORACLE_ZIP_ADD_MOD
+    out["broadcast_join_segment_revenue"] = ORACLE_BROADCAST_JOIN
+    out["rank_orders_per_customer"] = ORACLE_RANK_ORDERS
     out["token_moments"] = ORACLE_TOKEN_MOMENTS
     out["ffill_window"] = ORACLE_FFILL
     out["topk_longest_docs"] = ORACLE_TOPK

@@ -71,3 +71,16 @@ def test_shuffle_count_encode_path(spark, sequences):
     assert plan_salted.count("REPARTITION_BY_NUM") == 1
     exchange_input = plan_salted.split(") Exchange\n")[1].splitlines()[0]
     assert "tok_bin" in exchange_input and "tokens" not in exchange_input
+
+
+def test_broadcast_join_plan(spark):
+    """The dim join must plan as BroadcastHashJoin, not SortMergeJoin."""
+    import os
+
+    from rle_array_spark.queries import build_queries
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    q = build_queries()["broadcast_join_segment_revenue"](spark, sf)
+    plan = explain_str(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
