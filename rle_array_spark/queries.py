@@ -486,6 +486,30 @@ FROM (
 WHERE rk <= 3"""
 
 
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate via rollup (grouping sets — Catalyst built-in
+    the reference's pandas surface lacks entirely; SURVEY §2.d): per
+    (event_type, user-decile) counts plus per-type and grand totals."""
+    ev = _table(spark, sf_dir, "events")
+    decile = (F.col("user_id") % 10).cast("int").alias("user_decile")
+    return (
+        ev.select("event_type", decile, "value")
+        .rollup("event_type", "user_decile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+ORACLE_ROLLUP_EVENTS = """SELECT event_type,
+       CAST(user_id % 10 AS INT) AS user_decile,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY ROLLUP (event_type, (CAST(user_id % 10 AS INT)))"""
+
+
 def q_zip_add_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE⊕RLE-style zip of two encoded columns, all in the compressed
     domain: b = a mod 7 via transform_blocks, zipped = a + b via
@@ -587,6 +611,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["metadata_minmax"] = q_metadata_minmax
     out["compressed_reductions"] = q_compressed_reductions
     out["zip_add_mod"] = q_zip_add_mod
+    out["rollup_events"] = q_rollup_events
     out["broadcast_join_segment_revenue"] = q_broadcast_join_segment_revenue
     out["rank_orders_per_customer"] = q_rank_orders_per_customer
     out["token_moments"] = q_token_moments
@@ -620,6 +645,7 @@ def build_oracles() -> dict[str, str]:
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
     out["compressed_reductions"] = ORACLE_COMPRESSED_REDUCTIONS
     out["zip_add_mod"] = ORACLE_ZIP_ADD_MOD
+    out["rollup_events"] = ORACLE_ROLLUP_EVENTS
     out["broadcast_join_segment_revenue"] = ORACLE_BROADCAST_JOIN
     out["rank_orders_per_customer"] = ORACLE_RANK_ORDERS
     out["token_moments"] = ORACLE_TOKEN_MOMENTS
