@@ -333,12 +333,21 @@ def _row_stats(
     )
 
 
-def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.RecordBatch:
-    doc_id = batch.column("doc_id")
-    source = batch.column("source")
-    flat, offsets = _tokens_from_batch(batch)
-    n_rows = batch.num_rows
+def _encode_column(
+    flat: np.ndarray, offsets: np.ndarray, codec: str, threshold: float
+) -> dict:
+    """Encode one logical column (flat values + row offsets) → per-row
+    codec names, payloads and exact metadata arrays.
 
+    Batch-level vectorization: change mask, run-start positions, per-row
+    sums and min/max over the flat values buffer — one pass for the whole
+    batch (not per row). The chooser then receives fully-precomputed
+    BlockStats so compute_stats never re-derives the change mask per row.
+    All intermediates are O(n_rows + n_runs) except the bool mask itself:
+    full-width cumsums (8 B/token) measured SECONDS of page-fault churn
+    per large batch on memory-starved hosts — reduceat/searchsorted give
+    the same per-row figures with KB-scale outputs."""
+    n_rows = offsets.size - 1
     codecs_out: list[str] = []
     payloads: list[bytes] = []
     n_values = np.empty(n_rows, dtype=np.int32)
@@ -347,14 +356,6 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
     enc_bytes = np.empty(n_rows, dtype=np.int64)
     ref_bytes = np.empty(n_rows, dtype=np.int64)
 
-    # Batch-level vectorization: change mask, run-start positions, per-row
-    # sums and min/max over the flat values buffer — one pass for the whole
-    # batch (not per row). The chooser then receives fully-precomputed
-    # BlockStats so compute_stats never re-derives the change mask per row.
-    # All intermediates are O(n_rows + n_runs) except the bool mask itself:
-    # full-width cumsums (8 B/token) measured SECONDS of page-fault churn
-    # per large batch on memory-starved hosts — reduceat/searchsorted give
-    # the same per-row figures with KB-scale outputs.
     starts = offsets[:-1]
     valid = offsets[1:] > starts
     if flat.size:
@@ -399,6 +400,34 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
         enc_bytes[i] = len(payload)
         ref_bytes[i] = reference_rle_nbytes(r)
 
+    return {
+        "codec": codecs_out,
+        "payload": payloads,
+        "n_values": n_values,
+        "n_runs": n_runs,
+        "tok_sum": tok_sum,
+        "tok_min": tok_min.astype(np.int32),
+        "tok_max": tok_max.astype(np.int32),
+        "encoded_bytes": enc_bytes,
+        "ref_rle_bytes": ref_bytes,
+    }
+
+
+def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.RecordBatch:
+    doc_id = batch.column("doc_id")
+    source = batch.column("source")
+    flat, offsets = _tokens_from_batch(batch)
+    c = _encode_column(flat, offsets, codec, threshold)
+    codecs_out = c["codec"]
+    payloads = c["payload"]
+    n_values = c["n_values"]
+    n_runs = c["n_runs"]
+    tok_sum = c["tok_sum"]
+    tok_min = c["tok_min"]
+    tok_max = c["tok_max"]
+    enc_bytes = c["encoded_bytes"]
+    ref_bytes = c["ref_rle_bytes"]
+
     return pa.RecordBatch.from_arrays(
         [
             doc_id,
@@ -408,8 +437,8 @@ def _encode_batch(batch: pa.RecordBatch, codec: str, threshold: float) -> pa.Rec
             pa.array(n_values),
             pa.array(n_runs),
             pa.array(tok_sum),
-            pa.array(tok_min.astype(np.int32)),
-            pa.array(tok_max.astype(np.int32)),
+            pa.array(tok_min),
+            pa.array(tok_max),
             pa.array((n_values.astype(np.int64)) * 4),
             pa.array(enc_bytes),
             pa.array(ref_bytes),
@@ -953,3 +982,174 @@ def verify_roundtrip(df: DataFrame, blocks: DataFrame, reassemble_chunks: bool =
     n_in = df.count()
     n_ok = joined.filter(F.col("tokens").eqNullSafe(F.col("decoded"))).count()
     return n_in - n_ok
+
+
+# ---------------------------------------------------------------------------
+# Frame-level multi-column encode (reference auto_convert_to_rle operates on
+# whole DataFrames, /root/reference/rle_array/autoconversion.py:40-130; our
+# wide-blocks form additionally makes cross-column ops join-free)
+# ---------------------------------------------------------------------------
+
+_FRAME_COL_FIELDS = (
+    ("codec", "string"),
+    ("payload", "binary"),
+    ("n_values", "int"),
+    ("n_runs", "int"),
+    ("tok_sum", "long"),
+    ("tok_min", "int"),
+    ("tok_max", "int"),
+    ("encoded_bytes", "long"),
+)
+
+
+def frame_schema(token_cols: list[str]) -> str:
+    cols = ["doc_id string", "source string"]
+    for c in token_cols:
+        cols.extend(f"{c}__{f} {t}" for f, t in _FRAME_COL_FIELDS)
+    return ", ".join(cols)
+
+
+def encode_frame_df(
+    df: DataFrame,
+    token_cols: list[str],
+    codec: str = "auto",
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Encode EVERY listed ``array<int>`` column of a DataFrame into one
+    wide blocks row per input row — the frame-level analog of the
+    reference's ``auto_convert_to_rle`` (each column gets its own per-row
+    codec choice). Columns of one row stay together, so cross-column
+    compressed ops (zip_frame_df) need no join and no shuffle."""
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            arrays = [batch.column("doc_id"), batch.column("source")]
+            names = ["doc_id", "source"]
+            for cname in token_cols:
+                flat, offsets = _list_to_numpy(batch.column(cname))
+                c = _encode_column(flat, offsets, codec, threshold)
+                arrays.extend(
+                    [
+                        pa.array(c["codec"], type=pa.string()),
+                        pa.array(c["payload"], type=pa.binary()),
+                        pa.array(c["n_values"]),
+                        pa.array(c["n_runs"]),
+                        pa.array(c["tok_sum"]),
+                        pa.array(c["tok_min"]),
+                        pa.array(c["tok_max"]),
+                        pa.array(c["encoded_bytes"]),
+                    ]
+                )
+                names.extend(f"{cname}__{f}" for f, _ in _FRAME_COL_FIELDS)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select("doc_id", "source", *token_cols).mapInArrow(
+        kernel, frame_schema(token_cols)
+    )
+
+
+def decode_frame_df(blocks: DataFrame, token_cols: list[str]) -> DataFrame:
+    """Wide blocks → (doc_id, source, <col> array<int> per column)."""
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            arrays = [batch.column("doc_id"), batch.column("source")]
+            names = ["doc_id", "source"]
+            for cname in token_cols:
+                codecs_col = batch.column(f"{cname}__codec").to_pylist()
+                n_col = batch.column(f"{cname}__n_values").to_numpy(zero_copy_only=False)
+                payload_col = batch.column(f"{cname}__payload")
+                parts = [
+                    CODECS[codecs_col[i]].decode(
+                        memoryview(payload_col[i].as_buffer()), int(n_col[i])
+                    )
+                    for i in range(batch.num_rows)
+                ]
+                flat = np.concatenate(parts) if parts else np.array([], dtype=np.int32)
+                offsets = np.concatenate(([0], np.cumsum(n_col, dtype=np.int64)))
+                arrays.append(_numpy_to_list(flat, offsets))
+                names.append(cname)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    schema = "doc_id string, source string, " + ", ".join(
+        f"{c} array<int>" for c in token_cols
+    )
+    need = ["doc_id", "source"] + [
+        f"{c}__{f}" for c in token_cols for f in ("codec", "payload", "n_values")
+    ]
+    return blocks.select(*need).mapInArrow(kernel, schema)
+
+
+def zip_frame_df(
+    blocks: DataFrame, col_a: str, col_b: str, op: str, out_col: str = "z"
+) -> DataFrame:
+    """Elementwise ``op`` between two encoded columns OF THE SAME wide row —
+    zero joins, zero shuffles (the columns were co-located by
+    encode_frame_df). RLE⊕RLE rows use the union-grid merge; the result is
+    appended as a new encoded column ``out_col`` with exact metadata."""
+    if op not in ZIP_OPS:
+        raise ValueError(f"unsupported zip op {op!r}; one of {sorted(ZIP_OPS)}")
+
+    in_cols = list(blocks.columns)
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(in_cols, _frame_types(blocks))]
+        + [f"{out_col}__{f} {t}" for f, t in _FRAME_COL_FIELDS]
+    )
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import payload_stats
+        from rle_array_spark.codecs.zip_ops import zip_blocks
+
+        base_fn = ZIP_OPS[op]
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ca = batch.column(f"{col_a}__codec").to_pylist()
+            cb = batch.column(f"{col_b}__codec").to_pylist()
+            pa_col = batch.column(f"{col_a}__payload")
+            pb_col = batch.column(f"{col_b}__payload")
+            na = batch.column(f"{col_a}__n_values").to_numpy(zero_copy_only=False)
+            nb = batch.column(f"{col_b}__n_values").to_numpy(zero_copy_only=False)
+            n_rows = batch.num_rows
+            codecs_out: list[str] = []
+            payloads: list[bytes] = []
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                nv = int(na[i])
+                if nv != int(nb[i]):
+                    raise ValueError(f"zip length mismatch: {nv} != {int(nb[i])}")
+                c, p = zip_blocks(
+                    ca[i], memoryview(pa_col[i].as_buffer()),
+                    cb[i], memoryview(pb_col[i].as_buffer()),
+                    nv, base_fn,
+                )
+                codecs_out.append(c)
+                payloads.append(p)
+                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = payload_stats(c, p, nv)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in in_cols]
+                + [
+                    pa.array(codecs_out, type=pa.string()),
+                    pa.array(payloads, type=pa.binary()),
+                    batch.column(f"{col_a}__n_values"),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
+                    pa.array(np.array([len(p) for p in payloads], dtype=np.int64)),
+                ],
+                names=in_cols + [f"{out_col}__{f}" for f, _ in _FRAME_COL_FIELDS],
+            )
+
+    return blocks.mapInArrow(kernel, out_schema)
+
+
+def _frame_types(blocks: DataFrame) -> list[str]:
+    return [f.dataType.simpleString() for f in blocks.schema.fields]

@@ -510,6 +510,34 @@ FROM events
 GROUP BY ROLLUP (event_type, (CAST(user_id % 10 AS INT)))"""
 
 
+def q_frame_zip_join_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same x + x%7 semantics as zip_add_mod but via the FRAME path: both
+    columns encoded into one wide row (encode_frame_df, the reference's
+    auto_convert_to_rle frame semantics) and zipped with ZERO joins/shuffles
+    (plan asserted in tests/test_frame.py). Output = per-doc stats of the
+    decoded result."""
+    from rle_array_spark.engine import decode_frame_df, encode_frame_df, tokens_stats_df, zip_frame_df
+
+    seq = _sequences(spark, sf_dir).select(
+        "doc_id", "source", "tokens",
+        F.expr("transform(tokens, x -> x % 7)").alias("mods"),
+    )
+    wide = encode_frame_df(seq, ["tokens", "mods"])
+    zipped = zip_frame_df(wide, "tokens", "mods", "add", out_col="z")
+    decoded = decode_frame_df(
+        zipped.select(
+            "doc_id", "source",
+            F.col("z__codec").alias("tokens__codec"),
+            F.col("z__payload").alias("tokens__payload"),
+            F.col("z__n_values").alias("tokens__n_values"),
+        ),
+        ["tokens"],
+    )
+    return tokens_stats_df(decoded).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
 def q_zip_add_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE⊕RLE-style zip of two encoded columns, all in the compressed
     domain: b = a mod 7 via transform_blocks, zipped = a + b via
@@ -611,6 +639,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["metadata_minmax"] = q_metadata_minmax
     out["compressed_reductions"] = q_compressed_reductions
     out["zip_add_mod"] = q_zip_add_mod
+    out["frame_zip_join_free"] = q_frame_zip_join_free
     out["rollup_events"] = q_rollup_events
     out["broadcast_join_segment_revenue"] = q_broadcast_join_segment_revenue
     out["rank_orders_per_customer"] = q_rank_orders_per_customer
@@ -645,6 +674,7 @@ def build_oracles() -> dict[str, str]:
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
     out["compressed_reductions"] = ORACLE_COMPRESSED_REDUCTIONS
     out["zip_add_mod"] = ORACLE_ZIP_ADD_MOD
+    out["frame_zip_join_free"] = ORACLE_ZIP_ADD_MOD
     out["rollup_events"] = ORACLE_ROLLUP_EVENTS
     out["broadcast_join_segment_revenue"] = ORACLE_BROADCAST_JOIN
     out["rank_orders_per_customer"] = ORACLE_RANK_ORDERS

@@ -1,0 +1,85 @@
+"""Frame-level multi-column encode: the reference's auto_convert_to_rle
+frame semantics (/root/reference/rle_array/autoconversion.py:40-130) as a
+wide blocks table, plus join-free cross-column zip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rle_array_spark.engine import decode_frame_df, encode_frame_df, zip_frame_df
+
+
+@pytest.fixture(scope="module")
+def two_col_df(spark, sequences):
+    # second token column derived in-plan: tokens mod 7 (same length per row)
+    return sequences.select(
+        "doc_id",
+        "source",
+        "tokens",
+        F.expr("transform(tokens, x -> x % 7)").alias("mods"),
+    )
+
+
+def test_frame_roundtrip_both_columns(spark, two_col_df):
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"])
+    decoded = decode_frame_df(wide, ["tokens", "mods"])
+    got = {r["doc_id"]: r for r in decoded.collect()}
+    for r in two_col_df.collect():
+        g = got[r["doc_id"]]
+        assert list(g["tokens"]) == list(r["tokens"])
+        assert list(g["mods"]) == list(r["mods"])
+
+
+def test_frame_per_column_codec_choice(spark, two_col_df):
+    """Each column gets its own codec per row: `mods` has range [0,7) so its
+    blocks must never be raw for non-trivial rows, independent of `tokens`."""
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"]).cache()
+    rows = wide.select("tokens__codec", "mods__codec", "tokens__n_values").collect()
+    assert any(r["tokens__codec"] != r["mods__codec"] for r in rows)
+    for r in rows:
+        if r["tokens__n_values"] >= 64:
+            assert r["mods__codec"] != "raw"  # 3-bit values always compress
+    # metadata is truthful per column
+    bad = wide.filter(
+        (F.col("mods__tok_max") >= 7) | (F.col("mods__tok_min") < 0)
+    ).count()
+    assert bad == 0
+    wide.unpersist()
+
+
+def test_zip_frame_join_free_plan_and_values(spark, two_col_df):
+    """zip across co-located encoded columns: NO exchange in the plan, and
+    decoded result equals tokens + tokens % 7."""
+    from tests.test_plans import explain_str
+
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"])
+    zipped = zip_frame_df(wide, "tokens", "mods", "add", out_col="z")
+    plan = explain_str(zipped)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    decoded = decode_frame_df(
+        zipped.select(
+            "doc_id", "source",
+            F.col("z__codec").alias("s__codec"),
+            F.col("z__payload").alias("s__payload"),
+            F.col("z__n_values").alias("s__n_values"),
+        ),
+        ["s"],
+    )
+    got = {r["doc_id"]: np.array(r["s"], dtype=np.int64) for r in decoded.collect()}
+    for r in two_col_df.select("doc_id", "tokens").collect():
+        v = np.array(r["tokens"], dtype=np.int64)
+        np.testing.assert_array_equal(got[r["doc_id"]], v + v % 7)
+
+
+def test_frame_compression_accounting(spark, two_col_df):
+    """Σ encoded over both columns ≤ Σ raw (4 B/token/column)."""
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"])
+    agg = wide.agg(
+        F.sum(F.col("tokens__encoded_bytes") + F.col("mods__encoded_bytes")).alias("enc"),
+        F.sum((F.col("tokens__n_values") + F.col("mods__n_values")).cast("long") * 4).alias("raw"),
+    ).collect()[0]
+    assert agg["enc"] < agg["raw"]
