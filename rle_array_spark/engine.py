@@ -1019,7 +1019,11 @@ def encode_frame_df(
     wide blocks row per input row — the frame-level analog of the
     reference's ``auto_convert_to_rle`` (each column gets its own per-row
     codec choice). Columns of one row stay together, so cross-column
-    compressed ops (zip_frame_df) need no join and no shuffle."""
+    compressed ops (zip_frame_df) need no join and no shuffle.
+
+    Giant-sequence chunking is a single-column concern (pack_tokens_df) and
+    is not applied here: frame rows are assumed bounded (chunk upstream or
+    use the single-column path for giant-sequence corpora)."""
 
     def kernel(batches):
         for batch in batches:
