@@ -492,7 +492,7 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, user-decile) counts plus per-type and grand totals."""
     ev = _table(spark, sf_dir, "events")
     decile = (F.col("user_id") % 10).cast("int").alias("user_decile")
-    return (
+    rolled = (
         ev.select("event_type", decile, "value")
         .rollup("event_type", "user_decile")
         .agg(
@@ -500,10 +500,18 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
+    # subtotal rows carry NULL grouping keys; coalesce to sentinels so the
+    # cross-engine hash never depends on NULL string representation
+    return rolled.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("user_decile"), F.lit(-1)).alias("user_decile"),
+        "cnt",
+        "value_sum",
+    )
 
 
-ORACLE_ROLLUP_EVENTS = """SELECT event_type,
-       CAST(user_id % 10 AS INT) AS user_decile,
+ORACLE_ROLLUP_EVENTS = """SELECT COALESCE(event_type, '(all)') AS event_type,
+       CAST(COALESCE(CAST(user_id % 10 AS INT), -1) AS INT) AS user_decile,
        CAST(count(*) AS BIGINT) AS cnt,
        round(sum(value), 2) AS value_sum
 FROM events
