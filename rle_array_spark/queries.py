@@ -406,8 +406,12 @@ def q_compressed_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens", F.expr("transform(tokens, x -> greatest(x - 32, 0))")
     )
     blocks = encode_df(seq, codec="auto")
-    return block_reductions_df(blocks).select(
-        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "any_nz", "all_nz"
+    red = block_reductions_df(blocks)
+    # mean from the compressed-domain sum (reference mean = dot/n with a
+    # float64 divisor to dodge overflow, array.py:515-535)
+    return red.select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "any_nz", "all_nz",
+        F.round(F.col("tok_sum") / F.greatest(F.col("n_tok").cast("double"), F.lit(1.0)), 6).alias("tok_mean"),
     )
 
 
@@ -423,7 +427,8 @@ SELECT doc_id,
        CAST(list_min(tokens) AS INT) AS tok_min,
        CAST(list_max(tokens) AS INT) AS tok_max,
        list_max(tokens) <> 0 AS any_nz,
-       list_min(tokens) <> 0 AS all_nz
+       list_min(tokens) <> 0 AS all_nz,
+       round(CAST(list_sum(tokens) AS DOUBLE) / greatest(length(tokens), 1), 6) AS tok_mean
 FROM tok"""
 
 
