@@ -268,7 +268,8 @@ def salted_repartition(
     """
     if salt_buckets is None:
         salt_buckets = num_partitions * 8
-    length_bucket = F.ceil(F.log2(F.col("n_tok") + F.lit(2.0))).cast("int")
+    length_col = "n_tok" if "n_tok" in df.columns else "n_values"
+    length_bucket = F.ceil(F.log2(F.col(length_col) + F.lit(2.0))).cast("int")
     # chunk_idx joins the salt when present so the chunks of one giant
     # sequence spread instead of inheriting the doc's single salt value
     salt_cols = [F.col("doc_id")] + (
