@@ -45,6 +45,7 @@ def cmd_encode(args) -> int:
             threshold=args.threshold,
             num_partitions=args.partitions,
             chunk_tokens=args.chunk_tokens,
+            encode_first=not args.shuffle_first,
         )
         summary = {
             "partitions": len(lineage),
@@ -136,6 +137,12 @@ def main(argv: list[str] | None = None) -> int:
         "from corpus shape (salted mode only)",
     )
     enc.add_argument("--mode", default="overwrite")
+    enc.add_argument(
+        "--shuffle-first",
+        action="store_true",
+        help="salted mode only: shuffle raw tokens BEFORE encoding (the "
+        "pathological-input-layout defense; default is encode-first)",
+    )
 
     dec = sub.add_parser("decode")
     dec.add_argument("--blocks", required=True)
