@@ -359,6 +359,9 @@ def _encode_column(
 
     starts = offsets[:-1]
     valid = offsets[1:] > starts
+    tok_sum_row = np.zeros(n_rows, dtype=np.int64)
+    tok_min = np.zeros(n_rows, dtype=np.int32)
+    tok_max = np.zeros(n_rows, dtype=np.int32)
     if flat.size:
         change = np.empty(flat.size, dtype=bool)
         change[0] = True
@@ -367,19 +370,18 @@ def _encode_column(
         run_pos = np.flatnonzero(change)
         # run_off[i] = index into run_pos of row i's first run
         run_off = np.searchsorted(run_pos, offsets)
-        idx = np.minimum(starts, flat.size - 1).astype(np.int64)
-        tok_sum_row = np.add.reduceat(flat, idx, dtype=np.int64)
-        tok_min = np.minimum.reduceat(flat, idx)
-        tok_max = np.maximum.reduceat(flat, idx)
-        tok_sum_row[~valid] = 0
-        tok_min[~valid] = 0
-        tok_max[~valid] = 0
+        # reduceat only at NON-EMPTY row starts: valid starts are strictly
+        # increasing, so each segment spans exactly one row (the last valid
+        # segment correctly extends to flat.size). Reducing at raw `starts`
+        # would clamp a trailing empty row's boundary into the previous
+        # row's segment and truncate its final element.
+        vs = starts[valid].astype(np.int64)
+        tok_sum_row[valid] = np.add.reduceat(flat, vs, dtype=np.int64)
+        tok_min[valid] = np.minimum.reduceat(flat, vs)
+        tok_max[valid] = np.maximum.reduceat(flat, vs)
     else:
         run_pos = np.zeros(0, dtype=np.int64)
         run_off = np.zeros(n_rows + 1, dtype=np.int64)
-        tok_sum_row = np.zeros(n_rows, dtype=np.int64)
-        tok_min = np.zeros(n_rows, dtype=np.int32)
-        tok_max = np.zeros(n_rows, dtype=np.int32)
 
     for i in range(n_rows):
         lo, hi = offsets[i], offsets[i + 1]
@@ -694,30 +696,30 @@ def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -
         change[starts[starts < flat.size]] = True
         run_pos = np.flatnonzero(change)
         run_off = np.searchsorted(run_pos, offsets)
-        idx = np.minimum(starts, flat.size - 1).astype(np.int64)
-        sums = np.add.reduceat(flat, idx, dtype=np.int64)
-        mins = np.minimum.reduceat(flat, idx)
-        maxs = np.maximum.reduceat(flat, idx)
+        # reduceat only at NON-EMPTY row starts (strictly increasing, so one
+        # segment per row; last valid segment extends to flat.size). Raw
+        # `starts` would fold a trailing empty row's boundary into the
+        # previous row and truncate its final element.
+        vs = starts[valid].astype(np.int64)
+        sums_v = np.add.reduceat(flat, vs, dtype=np.int64)
+        tok_sum[valid] = sums_v
+        tok_min[valid] = np.minimum.reduceat(flat, vs)
+        tok_max[valid] = np.maximum.reduceat(flat, vs)
         # weighted sum Σ v_k·(k_local+1): computed with GLOBAL positions and
         # corrected by lo·Σv per row — avoids materializing per-row-restarting
         # position indices (two full-width temporaries instead of three)
         wsum_global = np.add.reduceat(
-            flat * np.arange(1, flat.size + 1, dtype=np.int64), idx, dtype=np.int64
+            flat * np.arange(1, flat.size + 1, dtype=np.int64), vs, dtype=np.int64
         )
-        wsums = wsum_global - starts * sums
-        ok = valid
-        tok_sum[ok] = sums[ok]
-        tok_min[ok] = mins[ok]
-        tok_max[ok] = maxs[ok]
-        tok_wsum[ok] = wsums[ok]
+        tok_wsum[valid] = wsum_global - vs * sums_v
         n_runs_all = (run_off[1:] - run_off[:-1]).astype(np.int32)
-        n_runs[ok] = n_runs_all[ok]
+        n_runs[valid] = n_runs_all[valid]
         for i in np.flatnonzero(valid):
             rv = flat[run_pos[run_off[i] : run_off[i + 1]]]
             if rv.size <= EXACT_CARDINALITY_MAX_RUNS:
                 card[i] = np.unique(rv).size
             else:
-                card[i] = _estimate_cardinality(rv, int(mins[i]), int(maxs[i]))
+                card[i] = _estimate_cardinality(rv, int(tok_min[i]), int(tok_max[i]))
     return pa.RecordBatch.from_arrays(
         [
             batch.column("doc_id"),

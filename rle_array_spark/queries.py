@@ -593,10 +593,9 @@ def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rle_array_spark.engine import verify_roundtrip
 
     batch = generate_block(7, rows_per_source=12)
-    pdf = pa.Table.from_batches([batch]).to_pandas()
-    df = spark.createDataFrame(
-        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
-    )
+    # build straight from the Arrow table — the pandas path runs the
+    # row-verifier, which rejects numpy.int32 list elements
+    df = spark.createDataFrame(pa.Table.from_batches([batch]))
     blocks = encode_df(df, codec="auto", num_partitions=8, chunk_tokens=20_000)
     mismatches = verify_roundtrip(df, blocks, reassemble_chunks=True)
     n_chunked = blocks.filter(F.col("n_chunks") > 1).count()
