@@ -613,6 +613,8 @@ def _decode_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
     n_rows = batch.num_rows
     if (
         n_rows
+        and payload_col.type == pa.binary()  # offsets read below are int32;
+        # large_binary (int64 offsets) must take the per-row loop
         and payload_col.null_count == 0
         and int(n_col.sum()) < VECTORIZED_DECODE_MAX_MEAN_TOKENS * n_rows
     ):
@@ -656,17 +658,58 @@ def decode_df(blocks: DataFrame, reassemble_chunks: bool = False) -> DataFrame:
                 names=["doc_id", "source", "chunk_idx", "tokens"],
             )
 
-    decoded = blocks.select(
-        "doc_id", "source", "chunk_idx", "codec", "payload", "n_values"
-    ).mapInArrow(kernel, "doc_id string, source string, chunk_idx int, tokens array<int>")
     if not reassemble_chunks:
-        return decoded.select("doc_id", "source", "tokens")
-    return decoded.groupBy("doc_id").agg(
+        return blocks.select(
+            "doc_id", "source", "chunk_idx", "codec", "payload", "n_values"
+        ).mapInArrow(
+            kernel, "doc_id string, source string, chunk_idx int, tokens array<int>"
+        ).select("doc_id", "source", "tokens")
+
+    # Reassemble in the ENCODED domain: group the compressed payloads by
+    # doc_id (the exchange ships binary payloads, ~2.5× smaller than raw
+    # array<int>), then decode + concatenate per doc in one kernel AFTER
+    # the shuffle. Never ships a decoded token array through an exchange —
+    # the reference's concat semantics (_algorithms.py:62-96) at the
+    # transport cost of the encoded form.
+    grouped = blocks.groupBy("doc_id").agg(
         F.first("source").alias("source"),
-        F.flatten(
-            F.expr("transform(array_sort(collect_list(struct(chunk_idx, tokens))), x -> x.tokens)")
-        ).alias("tokens"),
-    ).select("doc_id", "source", "tokens")
+        F.expr(
+            "array_sort(collect_list(struct(chunk_idx, codec, payload, n_values)))"
+        ).alias("chunks"),
+    )
+
+    def reassemble_kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            la = batch.column("chunks")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            list_off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            list_off = list_off - list_off[0]
+            flat_struct = la.flatten()
+            sub = pa.RecordBatch.from_arrays(
+                [
+                    flat_struct.field("codec"),
+                    flat_struct.field("payload"),
+                    flat_struct.field("n_values"),
+                ],
+                names=["codec", "payload", "n_values"],
+            )
+            flat, chunk_off = _decode_rows(sub)
+            doc_off = chunk_off[list_off]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    _numpy_to_list(flat, doc_off),
+                ],
+                names=["doc_id", "source", "tokens"],
+            )
+
+    return grouped.mapInArrow(reassemble_kernel, DECODED_SCHEMA).select(
+        "doc_id", "source", "tokens"
+    )
 
 
 def _stats_batch(batch: pa.RecordBatch, flat: np.ndarray, offsets: np.ndarray) -> pa.RecordBatch:

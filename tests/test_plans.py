@@ -84,3 +84,23 @@ def test_broadcast_join_plan(spark):
     plan = explain_str(q)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_reassembly_shuffles_encoded_payloads(spark, sequences):
+    """decode_df(reassemble_chunks=True) must shuffle the ENCODED payloads
+    (binary) grouped by doc_id — never decoded array<int> tokens. The
+    exchange input carries payload/codec/n_values; `tokens` only exists
+    after the post-shuffle decode kernel."""
+    from rle_array_spark.engine import decode_df
+
+    blocks = encode_df(sequences, codec="auto", chunk_tokens=64)
+    plan = explain_str(decode_df(blocks, reassemble_chunks=True), "simple")
+    lines = plan.splitlines()
+    exchange_i = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning(doc_id" in l)
+    partial_i = next(i for i, l in enumerate(lines) if "partial_collect_list" in l)
+    reasm_i = next(i for i, l in enumerate(lines) if "reassemble_kernel" in l)
+    # map-side partial collect of the ENCODED struct feeds the exchange…
+    assert partial_i > exchange_i and "payload" in lines[partial_i]
+    assert "tokens" not in lines[partial_i]
+    # …and the decode kernel runs strictly AFTER the shuffle
+    assert reasm_i < exchange_i
