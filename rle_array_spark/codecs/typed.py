@@ -1,0 +1,259 @@
+"""Typed codec kernels: RLE / DICT / RAW over any fixed-width dtype, with
+in-band null support.
+
+Generalizes the int32 token codecs to the reference's full dtype surface —
+bool, all int widths, float32/64 with NaN, datetime64 with NaT, nullable
+anything (/root/reference/rle_array/dtype.py:11-27; float/NaN round-trip
+tests /root/reference/tests/test_algorithms.py:84-133,300-308).
+
+Design decisions (Spark-first, not a port):
+
+* **Bit-pattern equality.** Run detection and dictionary building operate
+  on the value's *bit view* (``<u1/u2/u4/u8`` by itemsize), so NaN runs
+  collapse like the reference's ``null == null`` change detection
+  (_algorithms.py:155-171) and ``-0.0``/``+0.0`` stay distinct — the
+  round-trip contract is BIT-identity, strictly stronger than value
+  equality.
+* **In-band validity.** A null mask travels inside the payload as an RLE
+  over the validity bits (first-bit + run ends); null slots are
+  forward-filled in the body so they extend the previous run instead of
+  breaking it — the typed analog of the reference's null runs.
+* **Self-contained payloads.** dtype tag, flags, null section and all
+  tables live in the payload; any executor decodes any block with no
+  side-channel state (same contract as codecs/core.py).
+
+Layout (little-endian)::
+
+    u8  dtype_code          (see DTYPE_CODES)
+    u8  flags               (bit0: has null section)
+    [null section: u32 n_mask_runs, u8 first_valid, u32 run_ends × n]
+    codec body over all n slots (nulls forward-filled)
+      trle : u32 n_runs, u32 run_ends × n_runs, raw run_values (n_runs × w)
+      tdict: u32 k, raw table (k × w), u8 width, bit-packed codes
+      traw : raw values (n × w)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rle_array_spark.codecs import bitpack
+from rle_array_spark.codecs.core import _read_struct
+
+DTYPE_CODES: dict[int, np.dtype] = {
+    0: np.dtype("<i4"),
+    1: np.dtype("<i8"),
+    2: np.dtype("<f8"),
+    3: np.dtype("<f4"),
+    4: np.dtype("?"),
+    5: np.dtype("<i2"),
+    6: np.dtype("i1"),
+    7: np.dtype("<u1"),
+    8: np.dtype("<M8[ns]"),
+    9: np.dtype("<m8[ns]"),
+    10: np.dtype("<M8[us]"),
+    11: np.dtype("<u4"),
+    12: np.dtype("<u8"),
+}
+_CODE_BY_DTYPE = {dt: c for c, dt in DTYPE_CODES.items()}
+
+_BIT_VIEWS = {1: np.dtype("<u1"), 2: np.dtype("<u2"), 4: np.dtype("<u4"), 8: np.dtype("<u8")}
+
+TYPED_CODECS = ("trle", "tdict", "traw")
+
+
+def dtype_code(dtype: np.dtype) -> int:
+    try:
+        return _CODE_BY_DTYPE[np.dtype(dtype)]
+    except KeyError:
+        raise ValueError(f"unsupported typed-codec dtype {dtype!r}") from None
+
+
+def _bit_view(values: np.ndarray) -> np.ndarray:
+    return values.view(_BIT_VIEWS[values.dtype.itemsize])
+
+
+def _fill_nulls(bv: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Forward-fill null slots on the bit view (leading nulls → 0) so runs
+    extend across nulls instead of breaking at them."""
+    if valid.all():
+        return bv
+    idx = np.where(valid, np.arange(bv.size, dtype=np.int64), -1)
+    np.maximum.accumulate(idx, out=idx)
+    out = bv[np.maximum(idx, 0)]
+    out[idx < 0] = 0
+    return out
+
+
+def _mask_runs(valid: np.ndarray) -> tuple[int, np.ndarray]:
+    change = np.flatnonzero(valid[1:] != valid[:-1]) + 1
+    ends = np.append(change, valid.size).astype(np.uint32)
+    return int(valid[0]), ends
+
+
+def _encode_header(code: int, valid: np.ndarray | None) -> bytes:
+    if valid is None:
+        return struct.pack("<BB", code, 0)
+    first, ends = _mask_runs(valid)
+    return (
+        struct.pack("<BBIB", code, 1, ends.size, first)
+        + ends.astype("<u4").tobytes()
+    )
+
+
+def _decode_header(buf: memoryview, n: int):
+    (code, flags), off = _read_struct("<BB", buf, 0)
+    dtype = DTYPE_CODES[code]
+    valid = None
+    if flags & 1:
+        (n_runs, first), off = _read_struct("<IB", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
+        off += 4 * n_runs
+        valid = np.zeros(n, dtype=bool)
+        lo = 0
+        bit = bool(first)
+        for hi in ends:
+            if bit:
+                valid[lo:hi] = True
+            lo = int(hi)
+            bit = not bit
+        if valid.all():
+            valid = None
+    return dtype, valid, off
+
+
+def _split_runs_bits(bv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if bv.size == 0:
+        return np.zeros(0, dtype=bv.dtype), np.zeros(0, dtype=np.uint32)
+    change = np.flatnonzero(bv[1:] != bv[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.append(change, bv.size).astype(np.uint32)
+    return bv[starts], ends
+
+
+def _normalize(values: np.ndarray, valid: np.ndarray | None):
+    v = np.ascontiguousarray(values)
+    code = dtype_code(v.dtype)
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=bool)
+        if valid.size != v.size:
+            raise ValueError("validity mask length mismatch")
+        if valid.all():
+            valid = None
+    bv = _bit_view(v)
+    if valid is not None:
+        bv = _fill_nulls(bv, valid)
+    return code, bv, valid
+
+
+def encode_trle(values: np.ndarray, valid: np.ndarray | None = None) -> bytes:
+    code, bv, valid = _normalize(values, valid)
+    run_vals, run_ends = _split_runs_bits(bv)
+    return (
+        _encode_header(code, valid)
+        + struct.pack("<I", run_ends.size)
+        + run_ends.astype("<u4").tobytes()
+        + run_vals.tobytes()
+    )
+
+
+def encode_tdict(values: np.ndarray, valid: np.ndarray | None = None) -> bytes:
+    code, bv, valid = _normalize(values, valid)
+    table, codes = np.unique(bv, return_inverse=True)
+    width = bitpack.bit_width(int(table.size - 1)) if table.size > 1 else 0
+    packed = bitpack.pack_bits(codes.astype(np.int64), width) if width else b""
+    return (
+        _encode_header(code, valid)
+        + struct.pack("<I", table.size)
+        + table.tobytes()
+        + struct.pack("<B", width)
+        + packed
+    )
+
+
+def encode_traw(values: np.ndarray, valid: np.ndarray | None = None) -> bytes:
+    code, bv, valid = _normalize(values, valid)
+    return _encode_header(code, valid) + bv.tobytes()
+
+
+def decode_typed(name: str, payload: bytes | memoryview, n: int):
+    """→ (values ndarray of the tagged dtype, valid bool mask | None)."""
+    buf = memoryview(payload)
+    dtype, valid, off = _decode_header(buf, n)
+    w = dtype.itemsize
+    bits = _BIT_VIEWS[w]
+    if name == "trle":
+        (n_runs,), off = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
+        off += 4 * n_runs
+        run_vals = np.frombuffer(buf, dtype=bits, count=n_runs, offset=off)
+        out = np.repeat(run_vals, np.diff(np.concatenate(([0], ends.astype(np.int64)))))
+    elif name == "tdict":
+        (k,), off = _read_struct("<I", buf, off)
+        table = np.frombuffer(buf, dtype=bits, count=k, offset=off)
+        off += k * w
+        (width,), off = _read_struct("<B", buf, off)
+        if width:
+            codes = bitpack.unpack_bits(buf[off:], n, width)
+        else:
+            codes = np.zeros(n, dtype=np.int64)
+        out = table[codes]
+    elif name == "traw":
+        out = np.frombuffer(buf, dtype=bits, count=n, offset=off).copy()
+    else:
+        raise ValueError(f"unknown typed codec {name!r}")
+    if out.size != n:
+        raise ValueError(f"typed decode length mismatch: {out.size} != {n}")
+    return np.ascontiguousarray(out).view(dtype), valid
+
+
+def choose_typed(values: np.ndarray, valid: np.ndarray | None = None) -> tuple[str, bytes]:
+    """Cost-based auto-selection, mirroring chooser.py: analytic estimates
+    from run count / cardinality rank candidates, the winner is actually
+    encoded, and RAW wins ties (never larger than raw + header)."""
+    code, bv, valid_n = _normalize(values, valid)
+    w = values.dtype.itemsize if hasattr(values, "dtype") else np.asarray(values).dtype.itemsize
+    n = bv.size
+    null_bytes = 0
+    if valid_n is not None:
+        null_bytes = 5 + 4 * _mask_runs(valid_n)[1].size
+    header = 2 + null_bytes
+    if n == 0:
+        return "traw", encode_traw(values, valid)
+    change = np.count_nonzero(bv[1:] != bv[:-1])
+    r = 1 + int(change)
+    est_rle = header + 4 + r * (4 + w)
+    # cardinality from run values (adjacent dupes add nothing)
+    if r == n:
+        run_vals = bv
+    else:
+        starts = np.concatenate(([0], np.flatnonzero(bv[1:] != bv[:-1]) + 1))
+        run_vals = bv[starts]
+    k = int(np.unique(run_vals[:: max(1, run_vals.size // 4096)]).size)
+    width = bitpack.bit_width(max(k - 1, 0)) if k > 1 else 0
+    est_dict = header + 4 + k * w + 1 + bitpack.packed_nbytes(n, width)
+    est_raw = header + n * w
+    best = min((est_rle, "trle"), (est_dict, "tdict"), (est_raw, "traw"))[1]
+    enc = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[best]
+    payload = enc(values, valid)
+    if best != "traw":
+        raw = encode_traw(values, valid)
+        if len(raw) <= len(payload):
+            return "traw", raw
+    return best, payload
+
+
+def encode_typed(
+    values: np.ndarray, valid: np.ndarray | None = None, codec: str = "auto"
+) -> tuple[str, bytes]:
+    if codec == "auto":
+        return choose_typed(values, valid)
+    if codec == "trle":
+        return "trle", encode_trle(values, valid)
+    if codec == "tdict":
+        return "tdict", encode_tdict(values, valid)
+    if codec == "traw":
+        return "traw", encode_traw(values, valid)
+    raise ValueError(f"unknown typed codec {codec!r}")

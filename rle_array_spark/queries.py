@@ -628,6 +628,143 @@ def q_compression_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_value_sequences(spark: SparkSession, sf_dir: str):
+    """events → one (doc_id, source, vals array<double>) row per user, values
+    ordered by event_id, ~10% injected NULLs (value < 5) to exercise the
+    in-band null mask."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.lit("events").alias("source"),
+            "event_id",
+            F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(event_id, v))), x -> x.v)"
+            ).alias("vals")
+        )
+    )
+
+
+def q_roundtrip_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed float64 round trip (codecs/typed.py): NaN-aware bit-pattern
+    codecs + in-band null mask — the reference's float/nullable dtype
+    surface (/root/reference/rle_array/dtype.py:11-27, float round-trip
+    tests tests/test_algorithms.py:84-133). Aggregates are computed by
+    Catalyst over the DECODED arrays, so any decode defect shows up."""
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df
+
+    blocks = encode_typed_df(_event_value_sequences(spark, sf_dir), "vals")
+    dec = decode_typed_df(blocks, "double")
+    nn = F.filter("vals", lambda x: x.isNotNull())
+    return dec.select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        (F.size("vals") - F.size(nn)).alias("nulls"),
+        F.round(F.aggregate(nn, F.lit(0.0), lambda a, x: a + x), 2).alias("val_sum"),
+        F.round(F.array_min("vals"), 3).alias("val_min"),
+        F.round(F.array_max("vals"), 3).alias("val_max"),
+    )
+
+
+ORACLE_ROUNDTRIP_FLOAT = """WITH v AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN value < 5 THEN NULL ELSE value END AS v
+    FROM events)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       CAST(COUNT(*) - COUNT(v) AS INT) AS nulls,
+       ROUND(SUM(v), 2) AS val_sum,
+       ROUND(MIN(v), 3) AS val_min,
+       ROUND(MAX(v), 3) AS val_max
+FROM v GROUP BY doc_id"""
+
+
+def q_roundtrip_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed boolean round trip with nulls — bool runs bit-pack via the
+    typed RLE/DICT codecs (reference bool dtype, dtype.py:11-27)."""
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    seq = (
+        ev.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.lit("events").alias("source"),
+            "event_id",
+            F.when(F.col("value") < 5, None)
+            .otherwise(F.col("value") > 50)
+            .alias("b"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(event_id, b))), x -> x.b)"
+            ).alias("vals")
+        )
+    )
+    blocks = encode_typed_df(seq, "vals")
+    dec = decode_typed_df(blocks, "boolean")
+    nn = F.filter("vals", lambda x: x.isNotNull())
+    return dec.select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        (F.size("vals") - F.size(nn)).alias("nulls"),
+        F.size(F.filter("vals", lambda x: x)).alias("n_true"),
+    )
+
+
+ORACLE_ROUNDTRIP_BOOL = """WITH v AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN value < 5 THEN NULL ELSE value > 50 END AS b
+    FROM events)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       CAST(COUNT(*) - COUNT(b) AS INT) AS nulls,
+       CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS INT) AS n_true
+FROM v GROUP BY doc_id"""
+
+
+def q_roundtrip_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed timestamp (datetime64[us]) round trip — the reference's
+    datetime dtype with NaT analog (dtype.py:11-27); min/max reported as
+    epoch micros so the comparison is exact-integer."""
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    seq = (
+        ev.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.lit("events").alias("source"),
+            "event_id",
+            F.col("ts").alias("t"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(event_id, t))), x -> x.t)"
+            ).alias("vals")
+        )
+    )
+    blocks = encode_typed_df(seq, "vals")
+    dec = decode_typed_df(blocks, "timestamp")
+    return dec.select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        F.unix_micros(F.array_min("vals")).alias("ts_min_us"),
+        F.unix_micros(F.array_max("vals")).alias("ts_max_us"),
+    )
+
+
+ORACLE_ROUNDTRIP_TIMESTAMP = """SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS ts_min_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS ts_max_us
+FROM events GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -661,6 +798,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["codec_histogram"] = q_codec_histogram
     out["compression_vs_reference"] = q_compression_vs_reference
     out["chunked_roundtrip_selftest"] = q_chunked_roundtrip_selftest
+    out["roundtrip_float"] = q_roundtrip_float
+    out["roundtrip_bool"] = q_roundtrip_bool
+    out["roundtrip_timestamp"] = q_roundtrip_timestamp
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -693,6 +833,9 @@ def build_oracles() -> dict[str, str]:
     out["token_moments"] = ORACLE_TOKEN_MOMENTS
     out["ffill_window"] = ORACLE_FFILL
     out["topk_longest_docs"] = ORACLE_TOPK
+    out["roundtrip_float"] = ORACLE_ROUNDTRIP_FLOAT
+    out["roundtrip_bool"] = ORACLE_ROUNDTRIP_BOOL
+    out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 

@@ -1,0 +1,206 @@
+"""Typed-column encode/decode over Spark DataFrames.
+
+Extends the token engine to the reference's full dtype surface: any
+fixed-width element type (bool, int8..64, float32/64 incl. NaN,
+timestamp/duration) with element-level nulls, as ``array<T>`` columns in
+the same (doc_id, source, vals) shape as the token path
+(/root/reference/rle_array/dtype.py:11-27 — the reference registers one
+extension dtype per numpy dtype; here one blocks row per sequence with a
+dtype tag inside the payload).
+
+Same scale posture as engine.encode_df: one mapInArrow kernel at scan
+parallelism, no shuffle, payloads self-contained, zone-map metadata
+(val_min/val_max/null_count) alongside every block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from rle_array_spark.codecs.typed import decode_typed, encode_typed
+
+TYPED_BLOCKS_SCHEMA = (
+    "doc_id string, source string, vtype string, codec string, payload binary, "
+    "n_values int, n_runs int, null_count int, val_min double, val_max double, "
+    "raw_bytes long, encoded_bytes long"
+)
+
+# numpy dtype name ↔ Spark element type for decode round-trips
+_SPARK_ELEM = {
+    "int32": "int",
+    "int64": "long",
+    "float64": "double",
+    "float32": "float",
+    "bool": "boolean",
+    "int16": "short",
+    "int8": "byte",
+    "datetime64[us]": "timestamp",
+}
+
+
+def _arrow_np_dtype(t: pa.DataType) -> np.dtype:
+    if pa.types.is_timestamp(t):
+        return np.dtype(f"<M8[{t.unit}]")
+    if pa.types.is_duration(t):
+        return np.dtype(f"<m8[{t.unit}]")
+    return np.dtype(t.to_pandas_dtype())
+
+
+def _list_child_parts(col: pa.Array):
+    """ListArray → (offsets int64 normalized to 0, flat values ndarray,
+    flat valid mask | None). Buffer-level extraction so a float NULL and a
+    float NaN stay distinct (to_numpy would fold both to NaN)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    child = col.flatten()
+    dtype = _arrow_np_dtype(child.type)
+    valid = None
+    if child.null_count:
+        valid = ~np.asarray(child.is_null())
+        child = child.fill_null(
+            pa.scalar(0, type=pa.int64()).cast(child.type)
+            if not pa.types.is_boolean(child.type)
+            else False
+        )
+    if pa.types.is_boolean(child.type):
+        bits = np.frombuffer(child.buffers()[1], dtype=np.uint8)
+        vals = np.unpackbits(bits, bitorder="little", count=child.offset + len(child))[
+            child.offset :
+        ].astype(bool)
+    else:
+        buf = child.buffers()[1]
+        vals = np.frombuffer(buf, dtype=dtype, count=child.offset + len(child))[
+            child.offset :
+        ]
+    return offsets, vals, valid
+
+
+def encode_typed_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> DataFrame:
+    """(doc_id, source, <col> array<T>) → typed encoded blocks.
+
+    Scan-parallel, shuffle-free; per-row cost-based codec choice on the
+    value bit patterns (NaN-run aware); in-band null mask."""
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            offsets, flat, valid = _list_child_parts(batch.column(col))
+            n_rows = batch.num_rows
+            names_out, payloads = [], []
+            n_values = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            null_count = np.zeros(n_rows, dtype=np.int32)
+            vmin = np.full(n_rows, np.nan)
+            vmax = np.full(n_rows, np.nan)
+            enc_bytes = np.empty(n_rows, dtype=np.int64)
+            w = flat.dtype.itemsize
+            is_float = flat.dtype.kind == "f"
+            numeric_view = (
+                flat if flat.dtype.kind in "fiub" else flat.view("<i8")
+            )
+            for i in range(n_rows):
+                lo, hi = int(offsets[i]), int(offsets[i + 1])
+                row = flat[lo:hi]
+                mask = valid[lo:hi] if valid is not None else None
+                name, payload = encode_typed(row, mask, codec)
+                names_out.append(name)
+                payloads.append(payload)
+                n_values[i] = hi - lo
+                bv = row.view(f"<u{w}") if w > 1 else row.view("<u1")
+                if mask is not None and not mask.all():
+                    null_count[i] = int((~mask).sum())
+                    bvv = bv[mask]
+                else:
+                    bvv = bv
+                n_runs[i] = (
+                    1 + int(np.count_nonzero(bv[1:] != bv[:-1])) if bv.size else 0
+                )
+                nv = numeric_view[lo:hi]
+                if mask is not None and not mask.all():
+                    nv = nv[mask]
+                if nv.size:
+                    if is_float:
+                        finite = nv[~np.isnan(nv)]
+                        if finite.size:
+                            vmin[i] = float(finite.min())
+                            vmax[i] = float(finite.max())
+                    else:
+                        vmin[i] = float(nv.min())
+                        vmax[i] = float(nv.max())
+                enc_bytes[i] = len(payload)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array([str(flat.dtype)] * n_rows, type=pa.string()),
+                    pa.array(names_out, type=pa.string()),
+                    pa.array(payloads, type=pa.binary()),
+                    pa.array(n_values),
+                    pa.array(n_runs),
+                    pa.array(null_count),
+                    pa.array(vmin),
+                    pa.array(vmax),
+                    pa.array((offsets[1:] - offsets[:-1]) * w),
+                    pa.array(enc_bytes),
+                ],
+                names=[
+                    "doc_id", "source", "vtype", "codec", "payload", "n_values",
+                    "n_runs", "null_count", "val_min", "val_max", "raw_bytes",
+                    "encoded_bytes",
+                ],
+            )
+
+    return df.select("doc_id", "source", col).mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+
+
+def decode_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
+    """Typed blocks → (doc_id, source, vals array<elem_type>) with element
+    nulls restored; values bit-identical to the encoded input."""
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
+            payload_col = batch.column("payload")
+            parts, masks = [], []
+            any_null = False
+            for i in range(batch.num_rows):
+                vals, valid = decode_typed(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                )
+                parts.append(vals)
+                masks.append(valid)
+                any_null = any_null or valid is not None
+            flat = (
+                np.concatenate(parts)
+                if parts
+                else np.zeros(0, dtype=np.float64)
+            )
+            offsets = np.concatenate(([0], np.cumsum(n_col, dtype=np.int64)))
+            if any_null:
+                invalid = np.zeros(flat.size, dtype=bool)
+                for i, m in enumerate(masks):
+                    if m is not None:
+                        invalid[offsets[i] : offsets[i + 1]] = ~m
+                child = pa.array(flat, mask=invalid)
+            else:
+                child = pa.array(flat)
+            lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), batch.column("source"), lists],
+                names=["doc_id", "source", "vals"],
+            )
+
+    schema = f"doc_id string, source string, vals array<{elem_type}>"
+    return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
+        kernel, schema
+    )

@@ -1,0 +1,163 @@
+"""Typed codec tests: the reference's full dtype surface — bool, int
+widths, float32/64 with NaN, datetime64 — plus element nulls, as
+bit-identical round trips (/root/reference/rle_array/dtype.py:11-27;
+float/NaN tests /root/reference/tests/test_algorithms.py:84-133,300-308).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rle_array_spark.codecs.typed import (
+    TYPED_CODECS,
+    decode_typed,
+    encode_typed,
+)
+
+DTYPE_SAMPLES = {
+    "<f8": np.array([0.0, -0.0, np.nan, np.nan, 1.5, 1.5, np.inf, -np.inf, 5e-324]),
+    "<f4": np.array([1.25, 1.25, np.nan, -0.0, 0.0], dtype="<f4"),
+    "?": np.array([True, True, False, True] * 8),
+    "<i8": np.array([-(2**62), 2**62, 7, 7, 7]),
+    "<i4": np.array([-5, -5, 0, 2**31 - 1], dtype="<i4"),
+    "<i2": np.array([-3, -3, 9], dtype="<i2"),
+    "<M8[ns]": np.array([0, 0, 10**18], dtype="<M8[ns]"),
+    "<M8[us]": np.array([0, 10**15, 10**15], dtype="<M8[us]"),
+    "<m8[ns]": np.arange(10, dtype="<m8[ns]"),
+}
+
+
+@pytest.mark.parametrize("codec", ("auto",) + TYPED_CODECS)
+@pytest.mark.parametrize("dt", sorted(DTYPE_SAMPLES))
+def test_bit_identical_roundtrip(codec, dt):
+    vals = DTYPE_SAMPLES[dt]
+    name, payload = encode_typed(vals, None, codec)
+    out, mask = decode_typed(name, payload, vals.size)
+    assert out.dtype == vals.dtype
+    assert mask is None
+    assert out.tobytes() == np.ascontiguousarray(vals).tobytes()
+
+
+def test_nan_runs_compress():
+    """A long NaN run must RLE like any other run — bit-pattern equality,
+    the float analog of the reference's null==null change detection
+    (_algorithms.py:155-171)."""
+    vals = np.repeat(np.array([np.nan, 1.0, np.nan, 2.0]), 1000)
+    name, payload = encode_typed(vals, None, "auto")
+    assert len(payload) < vals.nbytes // 100
+    out, _ = decode_typed(name, payload, vals.size)
+    assert out.tobytes() == vals.tobytes()
+
+
+def test_signed_zero_distinct():
+    """-0.0 and +0.0 differ in bits and must round-trip distinctly (a
+    value-equality codec would merge them into one run)."""
+    vals = np.array([0.0, -0.0, 0.0, -0.0])
+    for codec in ("trle", "tdict", "traw"):
+        _, payload = encode_typed(vals, None, codec)
+        out, _ = decode_typed(codec, payload, 4)
+        assert np.signbit(out).tolist() == [False, True, False, True]
+
+
+@pytest.mark.parametrize("codec", ("auto",) + TYPED_CODECS)
+def test_null_mask_roundtrip(codec):
+    rng = np.random.default_rng(1)
+    vals = rng.normal(size=300)
+    mask = rng.random(300) > 0.25
+    name, payload = encode_typed(vals, mask, codec)
+    out, omask = decode_typed(name, payload, 300)
+    assert omask is not None and (omask == mask).all()
+    assert out[mask].tobytes() == vals[mask].tobytes()
+
+
+def test_leading_and_all_null():
+    vals = np.array([9.0, 1.0, 1.0, 2.0])
+    mask = np.array([False, True, True, True])
+    name, payload = encode_typed(vals, mask, "auto")
+    out, omask = decode_typed(name, payload, 4)
+    assert (omask == mask).all() and out[1:].tolist() == [1.0, 1.0, 2.0]
+
+    mask0 = np.zeros(5, dtype=bool)
+    name, payload = encode_typed(np.zeros(5), mask0, "auto")
+    out, omask = decode_typed(name, payload, 5)
+    assert omask is not None and not omask.any()
+
+
+def test_null_run_compresses():
+    """Nulls are forward-filled in the body, so a null gap inside a run
+    must NOT split the run (the reference's null-run semantics)."""
+    vals = np.repeat(np.array([3.0, 7.0]), 500)
+    mask = np.ones(1000, dtype=bool)
+    mask[100:400] = False
+    name, payload = encode_typed(vals, mask, "trle")
+    # body has 2 value runs; null section has 3 mask runs
+    n_runs = int(np.frombuffer(payload, dtype="<u4", count=1, offset=2 + 5 + 12)[0])
+    assert n_runs == 2
+
+
+def test_empty_and_singleton():
+    for codec in ("auto",) + TYPED_CODECS:
+        for vals in (np.zeros(0), np.array([np.nan])):
+            name, payload = encode_typed(vals, None, codec)
+            out, _ = decode_typed(name, payload, vals.size)
+            assert out.tobytes() == vals.tobytes()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=200,
+    )
+)
+def test_property_float_null_roundtrip(data):
+    vals = np.array([0.0 if v is None else v for v in data], dtype="<f8")
+    mask = np.array([v is not None for v in data], dtype=bool)
+    m = None if mask.all() else mask
+    name, payload = encode_typed(vals, m, "auto")
+    out, omask = decode_typed(name, payload, vals.size)
+    if m is None:
+        assert omask is None
+        assert out.tobytes() == vals.tobytes()
+    else:
+        assert (omask == mask).all()
+        assert out[mask].tobytes() == vals[mask].tobytes()
+
+
+def test_typed_df_roundtrip_spark(spark):
+    """End-to-end Spark round trip: doubles with nulls+NaN, bools,
+    timestamps — via Arrow kernels, no per-row Python at the API surface."""
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df
+
+    rows = [
+        ("a", "s", [1.0, 1.0, None, float("nan"), 2.5]),
+        ("b", "s", []),
+        ("c", "s", [None, None]),
+        ("d", "s", [0.25] * 500),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, "vals")
+    meta = {r["doc_id"]: r for r in blocks.collect()}
+    assert meta["a"]["null_count"] == 1 and meta["a"]["vtype"] == "float64"
+    assert meta["d"]["codec"] in ("trle", "tdict")
+    assert meta["d"]["encoded_bytes"] < meta["d"]["raw_bytes"]
+    dec = decode_typed_df(blocks, "double")
+    got = {r["doc_id"]: r["vals"] for r in dec.collect()}
+    assert got["b"] == []
+    assert got["c"] == [None, None]
+    assert got["a"][:3] == [1.0, 1.0, None]
+    assert np.isnan(got["a"][3]) and got["a"][4] == 2.5
+    assert got["d"] == [0.25] * 500
+
+
+def test_typed_unsupported_dtype_raises():
+    with pytest.raises(ValueError, match="unsupported typed-codec dtype"):
+        encode_typed(np.array(["x", "y"], dtype=object), None, "trle")
