@@ -81,8 +81,11 @@ def block_min_max(codec: str, payload, n: int) -> tuple[int, int]:
         run_values, _ = _rle_parts(payload)
         return int(run_values.min()), int(run_values.max())
     if codec == "dict":
-        table, _ = _dict_parts(payload, n)
-        return int(table[0]), int(table[-1])  # table is sorted
+        table, codes = _dict_parts(payload, n)
+        # referenced entries only (external tables may carry unused slots);
+        # table is sorted, so first/last referenced = min/max
+        ref = table[np.bincount(codes, minlength=table.size) > 0]
+        return int(ref[0]), int(ref[-1])
     values = CODECS[codec].decode(payload, n)
     return int(values.min()), int(values.max())
 
@@ -97,8 +100,9 @@ def block_any_all(codec: str, payload, n: int) -> tuple[bool, bool]:
         run_values, _ = _rle_parts(payload)
         return bool((run_values != 0).any()), bool((run_values != 0).all())
     if codec == "dict":
-        table, _ = _dict_parts(payload, n)
-        return bool((table != 0).any()), bool((table != 0).all())
+        table, codes = _dict_parts(payload, n)
+        ref = table[np.bincount(codes, minlength=table.size) > 0]
+        return bool((ref != 0).any()), bool((ref != 0).all())
     values = CODECS[codec].decode(payload, n)
     return bool((values != 0).any()), bool((values != 0).all())
 
@@ -116,6 +120,39 @@ def block_prod(codec: str, payload, n: int) -> float:
     values = CODECS[codec].decode(payload, n)
     with np.errstate(over="ignore"):
         return float(np.prod(values.astype(np.float64)))
+
+
+def block_prod_mod(codec: str, payload, n: int, p: int) -> int:
+    """Π values mod prime ``p`` without decode — the SQL-portable variant of
+    :func:`block_prod` (reference prod, array.py:569-579; the mod-prime
+    domain keeps it exact where float64 prod overflows to inf).
+
+    RLE: ``pow(v, run_length, p)`` per run (O(n_runs · log run_len));
+    DICT: ``pow(table[i], count_i, p)`` per entry (O(cardinality · log n));
+    otherwise a vectorized pairwise tree reduction with a mod per level
+    (O(n) work, log n passes)."""
+    if n == 0:
+        return 1 % p
+    if codec == "rle":
+        run_values, run_lengths = _rle_parts(payload)
+        acc = 1
+        for v, ln in zip(run_values.tolist(), run_lengths.tolist()):
+            acc = (acc * pow(v % p, ln, p)) % p
+        return acc
+    if codec == "dict":
+        table, codes = _dict_parts(payload, n)
+        counts = np.bincount(codes, minlength=table.size)
+        acc = 1
+        for v, c in zip(table.tolist(), counts.tolist()):
+            if c:
+                acc = (acc * pow(v % p, int(c), p)) % p
+        return acc
+    values = CODECS[codec].decode(payload, n).astype(np.int64) % p
+    while values.size > 1:
+        if values.size & 1:
+            values = np.append(values, 1)
+        values = (values[0::2] * values[1::2]) % p
+    return int(values[0])
 
 
 def decode_slice(codec: str, payload, n: int, start: int, stop: int) -> np.ndarray:
@@ -169,11 +206,15 @@ def payload_stats(codec: str, payload, n: int) -> tuple[int, int, int, int]:
         table, codes = _dict_parts(payload, n)
         counts = np.bincount(codes, minlength=table.size)
         n_runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+        # min/max over REFERENCED entries only: DictCodec.encode accepts an
+        # external table, and this is the audit primitive for blocks written
+        # by other jobs — an unreferenced entry must not leak into stats
+        ref = table[counts > 0]
         return (
             n_runs,
             int(np.dot(table.astype(np.int64), counts)),
-            int(table[0]),
-            int(table[-1]),
+            int(ref[0]),
+            int(ref[-1]),
         )
     values = CODECS[codec].decode(payload, n)
     n_runs = 1 + int(np.count_nonzero(values[1:] != values[:-1]))

@@ -515,27 +515,13 @@ TRANSFORM_OPS = {
 }
 
 
-def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
-    """Apply a scalar value-map to every encoded block WITHOUT full decode:
-    RLE transforms run values (O(n_runs)), DICT transforms the table
-    (O(cardinality)) — the reference's compute-on-compressed operators
-    (/root/reference/rle_array/array.py:846-849) at block granularity.
-
-    Every metadata column (n_runs, tok_sum, tok_min, tok_max,
-    encoded_bytes, ref_rle_bytes) is recomputed EXACTLY inside the kernel
-    from the codec structure — non-monotonic ops (mod, bitand, sub_floor)
-    and run-merging ops (mul 0) keep the zone maps truthful."""
-    if op not in TRANSFORM_OPS:
-        raise ValueError(f"unsupported op {op!r}; one of {sorted(TRANSFORM_OPS)}")
-    base_fn, valid = TRANSFORM_OPS[op]
-    if not valid(operand):
-        raise ValueError(f"invalid operand {operand} for op {op!r}")
+def _transform_kernel(fn):
+    """Build the mapInArrow kernel applying value-map ``fn`` to every block
+    via transform_block_stats (compressed-domain where the codec allows,
+    decode+re-choose fallback otherwise) with exact metadata recompute."""
 
     def kernel(batches):
         from rle_array_spark.codecs.transform import transform_block_stats
-
-        def fn(v: np.ndarray) -> np.ndarray:
-            return base_fn(v.astype(np.int64), operand)
 
         for batch in batches:
             if not batch.num_rows:
@@ -585,7 +571,47 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
                 ],
             )
 
-    return blocks.mapInArrow(kernel, BLOCK_SCHEMA)
+    return kernel
+
+
+def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
+    """Apply a scalar value-map to every encoded block WITHOUT full decode:
+    RLE transforms run values (O(n_runs)), DICT transforms the table
+    (O(cardinality)) — the reference's compute-on-compressed operators
+    (/root/reference/rle_array/array.py:846-849) at block granularity.
+
+    Every metadata column (n_runs, tok_sum, tok_min, tok_max,
+    encoded_bytes, ref_rle_bytes) is recomputed EXACTLY inside the kernel
+    from the codec structure — non-monotonic ops (mod, bitand, sub_floor)
+    and run-merging ops (mul 0) keep the zone maps truthful."""
+    if op not in TRANSFORM_OPS:
+        raise ValueError(f"unsupported op {op!r}; one of {sorted(TRANSFORM_OPS)}")
+    base_fn, valid = TRANSFORM_OPS[op]
+    if not valid(operand):
+        raise ValueError(f"invalid operand {operand} for op {op!r}")
+
+    def fn(v: np.ndarray) -> np.ndarray:
+        return base_fn(v.astype(np.int64), operand)
+
+    return blocks.mapInArrow(_transform_kernel(fn), BLOCK_SCHEMA)
+
+
+def transform_blocks_fn(blocks: DataFrame, fn) -> DataFrame:
+    """Generic value-map escape hatch — the reference's ``__array_ufunc__``
+    (/root/reference/rle_array/array.py:698-746, tests/test_ufunc.py:21-108):
+    apply ANY vectorized elementwise ``np.ndarray[int64] → array-like`` whose
+    results stay in the non-negative int32 token domain.
+
+    ``fn`` must be a pure VALUE map (applied to run values for RLE, the
+    table for DICT, the value stream otherwise) — it sees each distinct
+    value context once, not positions. Out-of-range results raise inside
+    the kernel (never wrap); grammar codecs decode + re-choose with a
+    PerformanceWarning, exactly like the fixed-op table."""
+
+    def wrapped(v: np.ndarray) -> np.ndarray:
+        return np.asarray(fn(v.astype(np.int64)))
+
+    return blocks.mapInArrow(_transform_kernel(wrapped), BLOCK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -938,8 +964,12 @@ def zip_blocks_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFram
 
 BLOCK_REDUCTIONS_SCHEMA = (
     "doc_id string, source string, n_tok int, tok_sum long, "
-    "tok_min int, tok_max int, any_nz boolean, all_nz boolean"
+    "tok_min int, tok_max int, any_nz boolean, all_nz boolean, prod_mod long"
 )
+
+# modulus for the exact compressed-domain product (block_prod_mod) — any
+# prime < 2^31 keeps per-step products inside int64
+PROD_MODULUS = 1_000_000_007
 
 
 def block_reductions_df(blocks: DataFrame) -> DataFrame:
@@ -952,7 +982,12 @@ def block_reductions_df(blocks: DataFrame) -> DataFrame:
     this, not against their own claimed metadata."""
 
     def kernel(batches):
-        from rle_array_spark.codecs.reduce import block_any_all, block_min_max, block_sum
+        from rle_array_spark.codecs.reduce import (
+            block_any_all,
+            block_min_max,
+            block_prod_mod,
+            block_sum,
+        )
 
         for batch in batches:
             if not batch.num_rows:
@@ -966,12 +1001,14 @@ def block_reductions_df(blocks: DataFrame) -> DataFrame:
             maxs = np.zeros(n, dtype=np.int32)
             anys = np.zeros(n, dtype=bool)
             alls = np.zeros(n, dtype=bool)
+            prods = np.zeros(n, dtype=np.int64)
             for i in range(n):
                 payload = memoryview(payload_col[i].as_buffer())
                 nv = int(n_col[i])
                 sums[i] = block_sum(codecs_col[i], payload, nv)
                 mins[i], maxs[i] = block_min_max(codecs_col[i], payload, nv)
                 anys[i], alls[i] = block_any_all(codecs_col[i], payload, nv)
+                prods[i] = block_prod_mod(codecs_col[i], payload, nv, PROD_MODULUS)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
@@ -982,10 +1019,11 @@ def block_reductions_df(blocks: DataFrame) -> DataFrame:
                     pa.array(maxs),
                     pa.array(anys),
                     pa.array(alls),
+                    pa.array(prods),
                 ],
                 names=[
                     "doc_id", "source", "n_tok", "tok_sum",
-                    "tok_min", "tok_max", "any_nz", "all_nz",
+                    "tok_min", "tok_max", "any_nz", "all_nz", "prod_mod",
                 ],
             )
 

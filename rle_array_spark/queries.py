@@ -303,6 +303,65 @@ FROM (SELECT source, unnest(tokens) AS tok FROM tok)
 GROUP BY source"""
 
 
+def q_token_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew/kurt over decoded tokens (reference array.py:581-606,
+    decompress-fallback there; Catalyst-native population moments here).
+    The oracle derives the same population skewness / excess kurtosis from
+    raw power sums (DuckDB's skewness()/kurtosis() are the sample-corrected
+    variants, so the moment algebra is spelled out)."""
+    seq = _sequences(spark, sf_dir)
+    decoded = decode_df(encode_df(seq, codec="auto"))
+    exploded = decoded.select("source", F.explode("tokens").alias("tok"))
+    return exploded.groupBy("source").agg(
+        F.round(F.skewness("tok"), 5).alias("skew_tok"),
+        F.round(F.kurtosis("tok"), 5).alias("kurt_tok"),
+        F.count("*").alias("n_toks"),
+    )
+
+
+ORACLE_TOKEN_SKEW_KURT = f"""{_ORACLE_TOK_CTE}
+SELECT source,
+       round((avg(tok*tok*tok) - 3*avg(tok)*var_pop(tok) - avg(tok)^3)
+             / var_pop(tok)^1.5, 5) AS skew_tok,
+       round((avg(tok*tok*tok*tok) - 4*avg(tok)*avg(tok*tok*tok)
+              + 6*avg(tok)^2*avg(tok*tok) - 3*avg(tok)^4)
+             / var_pop(tok)^2 - 3, 5) AS kurt_tok,
+       CAST(count(*) AS BIGINT) AS n_toks
+FROM (SELECT source, CAST(unnest(tokens) AS DOUBLE) AS tok FROM tok)
+GROUP BY source"""
+
+
+def q_transform_ufunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic value-map escape hatch (reference __array_ufunc__,
+    array.py:698-746): an arbitrary vectorized fn — x² mod 251, NOT in the
+    fixed op table — applied to run values / dict tables inside the
+    payloads, then verified through decode_stats."""
+    from rle_array_spark.engine import transform_blocks_fn
+
+    seq = _sequences(spark, sf_dir)
+    blocks = encode_df(seq, codec="auto")
+    mapped = transform_blocks_fn(blocks, lambda v: (v * v) % 251)
+    return decode_stats_df(mapped).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
+ORACLE_TRANSFORM_UFUNC = """WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ''),
+                          c -> (unicode(c) * unicode(c)) % 251) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
+FROM tok"""
+
+
 def q_ffill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fillna(ffill) (reference array.py:902-911) → last(ignorenulls) over an
     ordered window; nulls injected deterministically via nullif."""
@@ -411,6 +470,7 @@ def q_compressed_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 divisor to dodge overflow, array.py:515-535)
     return red.select(
         "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "any_nz", "all_nz",
+        "prod_mod",
         F.round(F.col("tok_sum") / F.greatest(F.col("n_tok").cast("double"), F.lit(1.0)), 6).alias("tok_mean"),
     )
 
@@ -428,6 +488,9 @@ SELECT doc_id,
        CAST(list_max(tokens) AS INT) AS tok_max,
        list_max(tokens) <> 0 AS any_nz,
        list_min(tokens) <> 0 AS all_nz,
+       CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),
+            list_transform(tokens, x -> CAST(x AS BIGINT))),
+            (a, b) -> (a * b) % 1000000007) AS BIGINT) AS prod_mod,
        round(CAST(list_sum(tokens) AS DOUBLE) / greatest(length(tokens), 1), 6) AS tok_mean
 FROM tok"""
 
@@ -801,6 +864,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["roundtrip_float"] = q_roundtrip_float
     out["roundtrip_bool"] = q_roundtrip_bool
     out["roundtrip_timestamp"] = q_roundtrip_timestamp
+    out["token_skew_kurt"] = q_token_skew_kurt
+    out["transform_ufunc"] = q_transform_ufunc
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -836,6 +901,8 @@ def build_oracles() -> dict[str, str]:
     out["roundtrip_float"] = ORACLE_ROUNDTRIP_FLOAT
     out["roundtrip_bool"] = ORACLE_ROUNDTRIP_BOOL
     out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
+    out["token_skew_kurt"] = ORACLE_TOKEN_SKEW_KURT
+    out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 

@@ -58,3 +58,44 @@ def test_block_reductions_every_codec(spark, corpus):
     baseline = results[0][1]
     for codec, vals in results[1:]:
         assert vals == baseline, f"{codec} disagrees: {vals} != {baseline}"
+
+
+def test_block_prod_mod_differential():
+    import numpy as np
+
+    from rle_array_spark.codecs import encode_block
+    from rle_array_spark.codecs.reduce import block_prod_mod
+
+    P = 1_000_000_007
+    rng = np.random.default_rng(3)
+    for values in (
+        np.repeat(np.array([2, 3, 2, 7], dtype=np.int32), [50, 3, 20, 1]),
+        rng.integers(0, 1000, 257).astype(np.int32),
+        np.zeros(5, dtype=np.int32),
+        np.array([], dtype=np.int32),
+        np.array([999999], dtype=np.int32),
+    ):
+        expect = 1
+        for v in values.tolist():
+            expect = (expect * v) % P
+        for codec in ("rle", "dict", "bitpack", "for", "raw", "ngram"):
+            payload = encode_block(values, codec)
+            assert block_prod_mod(codec, payload, values.size, P) == expect, codec
+
+
+def test_dict_stats_ignore_unreferenced_table_entries():
+    """An externally-supplied dict table may contain entries no code refers
+    to; min/max/any/all must reflect only referenced values."""
+    import numpy as np
+
+    from rle_array_spark.codecs.dictionary import DictCodec
+    from rle_array_spark.codecs.reduce import block_any_all, block_min_max, payload_stats
+
+    values = np.array([5, 5, 9, 9, 9], dtype=np.int32)
+    table = np.array([0, 5, 9, 1000], dtype=np.int32)  # 0 and 1000 unused
+    payload = DictCodec().encode(values, table=table)
+    assert block_min_max("dict", payload, 5) == (5, 9)
+    any_nz, all_nz = block_any_all("dict", payload, 5)
+    assert any_nz and all_nz  # the unreferenced 0 must not flip all_nz
+    n_runs, s, lo, hi = payload_stats("dict", payload, 5)
+    assert (lo, hi, s) == (5, 9, 37)

@@ -66,3 +66,30 @@ def test_compressed_reductions_stay_compressed():
         block_min_max(codec, payload, RUNS.size)
         block_any_all(codec, payload, RUNS.size)
         payload_stats(codec, payload, RUNS.size)
+
+
+def test_generic_fn_transform_fastpath_contract(spark, sequences):
+    """transform_blocks_fn (the __array_ufunc__ escape hatch) must stay
+    compressed-domain on RLE/DICT blocks (silent) and only warn on grammar
+    codecs — same contract as the fixed op table."""
+    from rle_array_spark.engine import decode_stats_df, encode_df, transform_blocks_fn
+
+    blocks = encode_df(sequences, codec="rle")
+    out = decode_stats_df(transform_blocks_fn(blocks, lambda v: (v * v) % 97))
+    # differential: stats of mapped tokens vs numpy ground truth
+    import pyspark.sql.functions as F
+
+    got = {r["doc_id"]: r["tok_sum"] for r in out.collect()}
+    raw = {
+        r["doc_id"]: sum((t * t) % 97 for t in r["tokens"])
+        for r in sequences.collect()
+    }
+    assert got == {k: v for k, v in raw.items() if True}
+
+
+def test_generic_fn_out_of_range_raises():
+    payload = encode_block(RUNS, "rle")
+    from rle_array_spark.codecs.transform import transform_block
+
+    with pytest.raises(ValueError, match="out of int32 token range"):
+        transform_block("rle", payload, RUNS.size, lambda v: v - 10**10)
