@@ -866,6 +866,18 @@ ZIP_OPS = {
     "mul": lambda a, b: a * b,
     "max": np.maximum,
     "min": np.minimum,
+    # clamped subtraction (tokens are non-negative, like the scalar op)
+    "sub_floor": lambda a, b: np.maximum(a - b, 0),
+    # comparisons → 0/1 runs, the masking primitive (reference supports all
+    # binary ops incl. comparisons on the union grid,
+    # tests/test_operators.py:161-341); results are bool-as-int32 blocks
+    # that RLE-compress to the mask's run structure
+    "eq": lambda a, b: (a == b).astype(np.int64),
+    "ne": lambda a, b: (a != b).astype(np.int64),
+    "lt": lambda a, b: (a < b).astype(np.int64),
+    "le": lambda a, b: (a <= b).astype(np.int64),
+    "gt": lambda a, b: (a > b).astype(np.int64),
+    "ge": lambda a, b: (a >= b).astype(np.int64),
 }
 
 

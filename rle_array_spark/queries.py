@@ -630,6 +630,41 @@ def q_zip_add_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison on the union grid → 0/1 runs (the masking primitive;
+    reference comparison operators, tests/test_operators.py:161-341):
+    count positions where token > token % 7, entirely in the compressed
+    domain until the final stats decode."""
+    from rle_array_spark.engine import zip_blocks_df
+
+    seq = _sequences(spark, sf_dir)
+    blocks_a = encode_df(seq, codec="auto")
+    blocks_b = transform_blocks(blocks_a, "mod", 7)
+    mask = zip_blocks_df(blocks_a, blocks_b, "gt")
+    return decode_stats_df(mask).select(
+        "doc_id",
+        "n_tok",
+        F.col("tok_sum").alias("n_gt"),
+        F.col("tok_max").alias("any_gt"),
+        F.col("tok_min").alias("all_gt"),
+    )
+
+
+ORACLE_ZIP_COMPARE = """WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ''),
+                          c -> CASE WHEN unicode(c) > unicode(c) % 7 THEN 1 ELSE 0 END) AS m
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(length(m) AS INT) AS n_tok,
+       CAST(list_sum(m) AS BIGINT) AS n_gt,
+       CAST(list_max(m) AS INT) AS any_gt,
+       CAST(list_min(m) AS INT) AS all_gt
+FROM tok"""
+
+
 ORACLE_ZIP_ADD_MOD = """WITH tok AS (
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            list_transform(string_split(text, ''), c -> unicode(c) + unicode(c) % 7) AS tokens
@@ -866,6 +901,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["roundtrip_timestamp"] = q_roundtrip_timestamp
     out["token_skew_kurt"] = q_token_skew_kurt
     out["transform_ufunc"] = q_transform_ufunc
+    out["zip_compare"] = q_zip_compare
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -903,6 +939,7 @@ def build_oracles() -> dict[str, str]:
     out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
     out["token_skew_kurt"] = ORACLE_TOKEN_SKEW_KURT
     out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
+    out["zip_compare"] = ORACLE_ZIP_COMPARE
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 

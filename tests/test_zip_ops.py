@@ -133,3 +133,45 @@ def test_zip_blocks_df_length_mismatch_raises(spark, sequences):
 
     with _pytest.raises(PythonException, match="length mismatch"):
         zipped.count()
+
+
+def test_zip_comparisons_union_grid_differential():
+    """All comparison ops on the RLE union grid vs numpy ground truth
+    (reference comparison coverage, tests/test_operators.py:161-341)."""
+    import numpy as np
+
+    from rle_array_spark.codecs import CODECS, encode_block
+    from rle_array_spark.codecs.zip_ops import zip_blocks
+    from rle_array_spark.engine import ZIP_OPS
+
+    rng = np.random.default_rng(11)
+    a = np.repeat(rng.integers(0, 9, 40), rng.integers(1, 30, 40)).astype(np.int32)
+    b = np.repeat(rng.integers(0, 9, 55), rng.integers(1, 22, 55)).astype(np.int32)
+    n = min(a.size, b.size)
+    a, b = a[:n], b[:n]
+    pa_, pb_ = encode_block(a, "rle"), encode_block(b, "rle")
+    for op in ("eq", "ne", "lt", "le", "gt", "ge", "sub_floor"):
+        name, payload = zip_blocks("rle", pa_, "rle", pb_, n, ZIP_OPS[op])
+        assert name == "rle"
+        got = CODECS["rle"].decode(payload, n)
+        expect = ZIP_OPS[op](a.astype(np.int64), b.astype(np.int64))
+        assert (got == expect).all(), op
+
+
+def test_zip_compare_mask_compresses():
+    """A comparison whose truth value flips rarely must produce few runs —
+    the mask inherits the union grid, then merges equal neighbors."""
+    import numpy as np
+
+    from rle_array_spark.codecs import encode_block
+    from rle_array_spark.codecs.reduce import _rle_parts
+    from rle_array_spark.codecs.zip_ops import zip_blocks
+    from rle_array_spark.engine import ZIP_OPS
+
+    a = np.repeat(np.array([1, 5, 1], dtype=np.int32), 1000)
+    b = np.full(3000, 3, dtype=np.int32)
+    _, payload = zip_blocks(
+        "rle", encode_block(a, "rle"), "rle", encode_block(b, "rle"), 3000, ZIP_OPS["gt"]
+    )
+    vals, lens = _rle_parts(payload)
+    assert vals.size == 3 and vals.tolist() == [0, 1, 0]
