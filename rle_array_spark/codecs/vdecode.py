@@ -27,6 +27,8 @@ chooser only picks NGRAM when it beats every vectorizable codec).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from rle_array_spark.codecs import CODECS
@@ -110,14 +112,25 @@ def _unpack_many(
     # Bound the per-call bit-index matrix (total × width bytes) by splitting
     # oversized groups on row boundaries; rows are byte-aligned so splits
     # are free.
-    if total > _UNPACK_CHUNK_VALUES and ns.size > 1:
-        half = ns.size // 2
-        return np.concatenate(
-            (
-                _unpack_many(buf, byte_starts[:half], ns[:half], width),
-                _unpack_many(buf, byte_starts[half:], ns[half:], width),
+    if total > _UNPACK_CHUNK_VALUES:
+        if ns.size > 1:
+            half = ns.size // 2
+            return np.concatenate(
+                (
+                    _unpack_many(buf, byte_starts[:half], ns[:half], width),
+                    _unpack_many(buf, byte_starts[half:], ns[half:], width),
+                )
             )
-        )
+        # Single oversized row: split it at byte-aligned VALUE boundaries
+        # (value k starts at bit k*width; aligned when k*width % 8 == 0).
+        # Sub-chunks then look like independent rows with no padding between
+        # them, so the recursive multi-row path reproduces the stream exactly.
+        align = 8 // math.gcd(width, 8)
+        chunk = max(align, _UNPACK_CHUNK_VALUES // align * align)
+        first = np.arange(0, total, chunk, dtype=np.int64)
+        sub_ns = np.minimum(chunk, total - first)
+        sub_starts = byte_starts[0] + first * width // 8
+        return _unpack_many(buf, sub_starts, sub_ns, width)
     # Gather each row's packed bytes (rows re-align to byte boundaries in the
     # gathered buffer, mirroring the per-row padding), unpack every bit once,
     # then gather each value's `width` bits with one fancy index.

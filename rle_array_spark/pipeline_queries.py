@@ -158,8 +158,70 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_signlsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate — no SQL oracle; recall vs brute force asserted in pytest
     return P.signlsh_knn_top1(_emb(spark, sf_dir), n_queries=10)
+
+
+def _signlsh_oracle(n_queries: int = 10, n_tables: int = P.LSH_TABLES,
+                    n_planes: int = P.LSH_PLANES, dim: int = 64) -> str:
+    """DuckDB re-derivation of the multi-table sign-LSH path: identical LCG
+    hyperplanes (pure integer arithmetic), identical bucket join, identical
+    top-1 ordering — so the hash match verifies the approximate path
+    end-to-end, including its self-reported recall."""
+    plane = (
+        f"(((1103515245 * ((t * {n_planes} + p) * 131 + j) + 12345) % 2147483648)"
+        "/1073741824.0 - 1.0)"
+    )
+    dot = f"list_sum(list_transform(range(0, {dim}), j -> emb[j+1] * {plane}))"
+    buckets = (
+        f"list_transform(range(0, {n_tables}), t ->"
+        f" list_sum(list_transform(range(0, {n_planes}), p ->"
+        f" CASE WHEN {dot} > 0 THEN (1 << p) ELSE 0 END)))"
+    )
+    cos = (
+        "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe))"
+        " * sqrt(list_dot_product(ce, ce))), 9)"
+    )
+    return f"""WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), b AS (
+    SELECT vec_id, {buckets} AS buckets FROM e
+), idx AS (
+    SELECT vec_id, unnest(buckets) AS bucket, generate_subscripts(buckets, 1) AS t
+    FROM b
+), cand AS (
+    SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+    FROM idx q JOIN idx c ON q.t = c.t AND q.bucket = c.bucket
+    WHERE q.vec_id < {n_queries} AND c.vec_id >= {n_queries}
+), qv AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {n_queries}),
+cv AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id >= {n_queries}),
+scored AS (
+    SELECT cand.qid, cand.cid, {cos} AS cos
+    FROM cand JOIN qv USING (qid) JOIN cv USING (cid)
+), lsh AS (
+    SELECT qid, cid AS lsh_nn_id FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        FROM scored) WHERE rk = 1
+), nc AS (
+    SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY qid
+), exact AS (
+    SELECT qid, cid AS exact_nn_id FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY {cos} DESC, cid ASC) AS rk
+        FROM qv, cv) WHERE rk = 1
+), out0 AS (
+    SELECT x.qid, x.exact_nn_id,
+           COALESCE(l.lsh_nn_id, -1) AS lsh_nn_id,
+           COALESCE(nc.n_cand, 0) AS n_cand,
+           CAST(COALESCE(l.lsh_nn_id, -1) = x.exact_nn_id AS INT) AS hit
+    FROM exact x LEFT JOIN lsh l USING (qid) LEFT JOIN nc USING (qid)
+)
+SELECT qid, exact_nn_id, lsh_nn_id, n_cand, hit,
+       round(avg(hit) OVER (), 3) AS recall_vs_bruteforce
+FROM out0"""
+
+
+ORACLE_SIGNLSH = _signlsh_oracle()
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +329,7 @@ def pipeline_oracles() -> dict[str, str]:
         "dedup_simhash": ORACLE_SIMHASH,
         "knn_top1_cosine": ORACLE_KNN_TOP1,
         "cosine_threshold_pairs": ORACLE_COSINE_PAIRS,
-        # signlsh_knn_top1: approximate, rows-only
+        "signlsh_knn_top1": ORACLE_SIGNLSH,
         "lang_id": ORACLE_LANG_ID,
         "quality_scores": ORACLE_QUALITY,
         "token_counts": ORACLE_TOKEN_COUNTS,

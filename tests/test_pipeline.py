@@ -90,11 +90,23 @@ def test_knn_top1_finds_planted_neighbors(embeddings):
 
 
 def test_signlsh_recall_vs_bruteforce(embeddings):
+    rows = P.signlsh_knn_top1(embeddings, n_queries=20).collect()
+    assert len(rows) == 20  # exact anchor guarantees one row per query
     exact = {r["qid"]: r["nn_id"] for r in P.knn_top1(embeddings, n_queries=20).collect()}
-    approx = {r["qid"]: r["nn_id"] for r in P.signlsh_knn_top1(embeddings, n_queries=20).collect()}
-    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
-    assert len(approx) >= 10  # some buckets may be empty (no fallback)
-    assert hits / max(len(approx), 1) >= 0.6  # 8-plane LSH recall on 64-d
+    for r in rows:
+        # the in-plan exact anchor must agree with the standalone brute force
+        assert r["exact_nn_id"] == exact[r["qid"]]
+        assert r["hit"] == int(r["lsh_nn_id"] == r["exact_nn_id"])
+        assert 0 <= r["n_cand"] <= 30
+    recall = rows[0]["recall_vs_bruteforce"]
+    assert all(r["recall_vs_bruteforce"] == recall for r in rows)
+    # queries 10..19 have planted near-copies (cos≈0.998): LSH must find them
+    planted_hits = sum(r["hit"] for r in rows if 10 <= r["qid"] < 20)
+    assert planted_hits == 10
+    # overall floor: the 10 unplanted queries have near-orthogonal NNs
+    # (pure 64-d noise) — harder than the driver corpus, where measured
+    # recall is 0.9 (crosschecked against the DuckDB oracle at sf0.01)
+    assert recall >= 0.65
 
 
 def test_image_feature_plumbing(planted_docs):
@@ -106,6 +118,58 @@ def test_image_feature_plumbing(planted_docs):
         assert r["n_bytes"] == 16
         assert 0 <= r["width"] <= 255 and 0 <= r["height"] <= 255
         assert 0 <= r["byte_sum"] <= 255 * 16
+
+
+def test_image_kernel_with_pil_present(monkeypatch):
+    """The kernel must NOT raise when Pillow is importable: decodable images
+    use the real decoder's size, undecodable payloads keep header values."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    class FakeImage:
+        size = (5, 7)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImageModule:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) == b"IMG!":
+                return FakeImage()
+            raise OSError("cannot identify image file")
+
+    pil = types.ModuleType("PIL")
+    pil.Image = FakeImageModule
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", FakeImageModule)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "img": [b"IMG!rest", bytes([9, 4, 1]), b""],
+        }
+    )
+    (out,) = list(P._image_features_kernel([pdf]))
+    assert list(out["width"]) == [5, 9, 0]
+    assert list(out["height"]) == [7, 4, 0]
+    assert list(out["byte_sum"]) == [sum(b"IMG!rest"), 14, 0]
+    assert list(out["n_bytes"]) == [8, 3, 0]
+
+
+def test_image_kernel_without_pil():
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": ["x"], "img": [bytes([2, 3, 250])]})
+    (out,) = list(P._image_features_kernel([pdf]))
+    assert list(out["width"]) == [2]
+    assert list(out["height"]) == [3]
+    assert list(out["byte_sum"]) == [255]
 
 
 def test_fingerprint_order_sensitivity(spark):

@@ -125,6 +125,24 @@ def test_unpack_many_chunking():
     np.testing.assert_array_equal(got, np.concatenate(vals))
 
 
+def test_unpack_many_single_giant_row():
+    # A single block above the chunk cap must split at byte-aligned value
+    # boundaries instead of building a total×width bit-index matrix.
+    import rle_array_spark.codecs.vdecode as vd
+
+    rng = np.random.default_rng(7)
+    for width in (1, 3, 6, 13, 17):
+        v = rng.integers(0, 1 << width, size=20_000, dtype=np.uint64)
+        buf, starts, _ = _pack_rows([pack_bits(v, width)])
+        old = vd._UNPACK_CHUNK_VALUES
+        try:
+            vd._UNPACK_CHUNK_VALUES = 4096
+            got = _unpack_many(buf, starts, np.array([v.size], dtype=np.int64), width)
+        finally:
+            vd._UNPACK_CHUNK_VALUES = old
+        np.testing.assert_array_equal(got, v)
+
+
 def test_grouped_arange():
     np.testing.assert_array_equal(
         _grouped_arange(np.array([3, 0, 2, 1])), [0, 1, 2, 0, 1, 0]
