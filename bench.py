@@ -206,6 +206,30 @@ def main() -> None:
             .agg(F.sum("encoded_bytes"), F.sum("tok_sum"))
             .collect()
         )
+
+        # compressed-domain gather A/B: take every 8th position via the
+        # run-reuse kernel (RLE emitted directly, sum from output metadata)
+        # vs decoding and gathering the same positions JVM-side
+        from rle_array_spark.engine import take_blocks, decode_df
+
+        queries["take_stride8_compressed"] = timed(
+            lambda: take_blocks(blocks_cached, stride=8)
+            .agg(F.sum("tok_sum"))
+            .collect(),
+            reps=2,
+        )
+        queries["take_stride8_decode_gather"] = timed(
+            lambda: decode_df(blocks_cached)
+            .select(
+                F.expr(
+                    "aggregate(transform(tokens, (x, i) ->"
+                    " IF(i % 8 = 0, cast(x as bigint), 0L)), 0L, (a, v) -> a + v)"
+                ).alias("s")
+            )
+            .agg(F.sum("s"))
+            .collect(),
+            reps=2,
+        )
         blocks_cached.unpersist()
 
         # relational queries on driver testdata

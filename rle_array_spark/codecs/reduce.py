@@ -187,6 +187,57 @@ def decode_slice(codec: str, payload, n: int, start: int, stop: int) -> np.ndarr
     return CODECS[codec].decode(payload, n)[start:stop]
 
 
+def _merge_adjacent_runs(
+    vals: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonicalize runs: merge adjacent runs with equal values."""
+    if vals.size == 0:
+        return vals, lens
+    starts = np.concatenate(([0], np.flatnonzero(vals[1:] != vals[:-1]) + 1))
+    return vals[starts], np.add.reduceat(lens, starts)
+
+
+def take_runs(
+    codec: str, payload, n: int, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """values[idx] as canonical RLE runs, for sorted ``idx`` in [0, n).
+
+    The compressed-domain gather (reference ``_take_kernel``,
+    /root/reference/rle_array/_algorithms.py:370-481, incl. its run-reuse
+    optimization): for RLE, indices are mapped to source runs via one
+    searchsorted — consecutive indices landing in the same source run
+    collapse into one output run, and the gathered sequence is NEVER
+    materialized. Adjacent output runs that expose equal values (their
+    separating runs were skipped entirely) are merged, so the result
+    satisfies the canonical-form invariant (no empty runs, neighbors
+    differ). Other codecs gather the value stream and re-run-split.
+
+    Returns (run_values int32, run_lengths int64)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
+    if idx[0] < 0 or idx[-1] >= n:
+        raise IndexError(f"take index out of range [0, {n})")
+    if codec == "rle":
+        run_values, run_lengths = _rle_parts(payload)
+        ends = np.cumsum(run_lengths)
+        ridx = np.searchsorted(ends, idx, side="right")
+        starts = np.concatenate(([0], np.flatnonzero(ridx[1:] != ridx[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [idx.size])))
+        return _merge_adjacent_runs(run_values[ridx[starts]], lens)
+    if codec == "dict":
+        table, codes = _dict_parts(payload, n)
+        gathered = table[codes[idx]]
+    elif codec == "raw":
+        gathered = np.frombuffer(payload, dtype="<i4", count=n)[idx].astype(np.int32)
+    else:
+        gathered = CODECS[codec].decode(payload, n)[idx]
+    from rle_array_spark.codecs.rle import split_runs
+
+    vals, lens = split_runs(np.ascontiguousarray(gathered))
+    return vals.astype(np.int32, copy=False), lens
+
+
 def payload_stats(codec: str, payload, n: int) -> tuple[int, int, int, int]:
     """(n_runs, sum, min, max) of one encoded block — compressed-domain for
     RLE (O(n_runs)) and DICT (table + code scan), stream-unpack otherwise.

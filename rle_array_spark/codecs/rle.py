@@ -40,24 +40,31 @@ def split_runs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return values[starts], (ends - starts).astype(np.int64)
 
 
+def encode_runs(run_values: np.ndarray, run_lengths: np.ndarray) -> bytes:
+    """Pack canonical runs (no empty runs, adjacent values differ) into an
+    RLE payload — the direct-emit path for operators that already hold runs
+    (take/gather, zip) and the tail of :meth:`RleCodec.encode`."""
+    n_runs = run_values.size
+    if n_runs == 0:
+        return struct.pack(_HEADER, 0, 0, 0, 0)
+    vbase = int(run_values.min())
+    vwidth = bit_width(int(run_values.max()) - vbase)
+    lwidth = bit_width(int(run_lengths.max()) - 1)  # lengths >= 1
+    header = struct.pack(_HEADER, n_runs, vbase, vwidth, lwidth)
+    return (
+        header
+        + pack_bits(run_values.astype(np.int64) - vbase, vwidth)
+        + pack_bits(np.asarray(run_lengths, dtype=np.int64) - 1, lwidth)
+    )
+
+
 class RleCodec(Codec):
     name = "rle"
 
     def encode(self, values: np.ndarray) -> bytes:
         v = check_tokens(values)
         run_values, run_lengths = split_runs(v)
-        n_runs = run_values.size
-        if n_runs == 0:
-            return struct.pack(_HEADER, 0, 0, 0, 0)
-        vbase = int(run_values.min())
-        vwidth = bit_width(int(run_values.max()) - vbase)
-        lwidth = bit_width(int(run_lengths.max()) - 1)  # lengths >= 1
-        header = struct.pack(_HEADER, n_runs, vbase, vwidth, lwidth)
-        return (
-            header
-            + pack_bits(run_values.astype(np.int64) - vbase, vwidth)
-            + pack_bits(run_lengths - 1, lwidth)
-        )
+        return encode_runs(run_values, run_lengths)
 
     def decode(self, payload, n: int) -> np.ndarray:
         buf = memoryview(payload)

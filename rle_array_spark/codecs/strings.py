@@ -1,0 +1,261 @@
+"""String codec kernels: DICT / RLE-over-codes / RAW for variable-width
+utf8 values, with in-band null support.
+
+Closes the last dtype-surface gap vs the reference, which encodes object/str
+arrays with None (/root/reference/rle_array/dtype.py:11-27; object round-trip
+tests /root/reference/tests/test_algorithms.py:84-133). Strings have no
+fixed-width bit view, so the dictionary is the base representation: distinct
+values live once in an in-payload table (Arrow ``dictionary_encode``, C-side)
+and the body is either bit-packed codes (sdict), runs of codes (srle — the
+natural fit for sorted/grouped string columns), or plain offsets+bytes
+(sraw — the fallback when values are mostly distinct, where a table would
+just duplicate the data).
+
+Null handling mirrors codecs/typed.py: the validity mask travels in-band as
+an RLE over validity bits, and null slots are forward-filled with the
+previous code so they extend runs instead of breaking them (the reference's
+null-run semantics, _algorithms.py:155-171). Empty string and null stay
+distinct.
+
+Layout (little-endian)::
+
+    u8  flags               (bit0: has null section)
+    [null section: u32 n_mask_runs, u8 first_valid, u32 run_ends × n]
+    u32 k                   (dictionary cardinality; absent for sraw)
+    u32 table_offsets × (k+1), utf8 table bytes
+    body:
+      sdict: u8 code_width, bit-packed codes (n)
+      srle : u32 n_runs, u32 run_ends × n_runs, u8 code_width,
+             bit-packed run codes
+      sraw : u32 value_offsets × (n+1), utf8 value bytes (no table)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rle_array_spark.codecs import bitpack
+from rle_array_spark.codecs.core import _read_struct
+
+STRING_CODECS = ("srle", "sdict", "sraw")
+
+
+def _mask_runs(valid: np.ndarray) -> tuple[int, np.ndarray]:
+    change = np.flatnonzero(valid[1:] != valid[:-1]) + 1
+    ends = np.append(change, valid.size).astype(np.uint32)
+    return int(valid[0]), ends
+
+
+def _encode_flags(valid: np.ndarray | None) -> bytes:
+    if valid is None:
+        return struct.pack("<B", 0)
+    first, ends = _mask_runs(valid)
+    return struct.pack("<BIB", 1, ends.size, first) + ends.astype("<u4").tobytes()
+
+
+def _decode_flags(buf: memoryview, n: int):
+    (flags,), off = _read_struct("<B", buf, 0)
+    valid = None
+    if flags & 1:
+        (n_runs, first), off = _read_struct("<IB", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
+        off += 4 * n_runs
+        valid = np.zeros(n, dtype=bool)
+        lo, bit = 0, bool(first)
+        for hi in ends:
+            if bit:
+                valid[lo:hi] = True
+            lo = int(hi)
+            bit = not bit
+    return valid, off
+
+
+def _pack_table(table: list[bytes]) -> bytes:
+    offs = np.zeros(len(table) + 1, dtype=np.uint32)
+    np.cumsum([len(b) for b in table], out=offs[1:])
+    return (
+        struct.pack("<I", len(table)) + offs.astype("<u4").tobytes() + b"".join(table)
+    )
+
+
+def _unpack_table(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    (k,), off = _read_struct("<I", buf, off)
+    offs = np.frombuffer(buf, dtype="<u4", count=k + 1, offset=off).astype(np.int64)
+    off += 4 * (k + 1)
+    data = bytes(buf[off : off + int(offs[-1])])
+    off += int(offs[-1])
+    table = np.empty(k, dtype=object)
+    for i in range(k):
+        table[i] = data[offs[i] : offs[i + 1]].decode("utf-8")
+    return table, off
+
+
+def _dict_parts(arr: pa.Array) -> tuple[list[bytes], np.ndarray, np.ndarray | None]:
+    """(utf8 table bytes, forward-filled int64 codes, valid mask | None)."""
+    n = len(arr)
+    valid = None
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        if valid.all():
+            valid = None
+    denc = pc.dictionary_encode(arr)
+    table = [s.encode("utf-8") for s in denc.dictionary.to_pylist()]
+    idx = denc.indices
+    if idx.null_count:
+        idx = idx.fill_null(0)
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    if valid is not None:
+        pos = np.where(valid, np.arange(n, dtype=np.int64), -1)
+        np.maximum.accumulate(pos, out=pos)
+        codes = codes[np.maximum(pos, 0)]
+        codes[pos < 0] = 0
+    return table, codes, valid
+
+
+def encode_sdict(arr: pa.Array, parts=None) -> bytes:
+    table, codes, valid = parts if parts is not None else _dict_parts(arr)
+    width = bitpack.bit_width(len(table) - 1) if len(table) > 1 else 0
+    packed = bitpack.pack_bits(codes, width) if width else b""
+    return (
+        _encode_flags(valid)
+        + _pack_table(table)
+        + struct.pack("<B", width)
+        + packed
+    )
+
+
+def encode_srle(arr: pa.Array, parts=None) -> bytes:
+    table, codes, valid = parts if parts is not None else _dict_parts(arr)
+    if codes.size:
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.append(change, codes.size).astype(np.uint32)
+        run_codes = codes[starts]
+    else:
+        ends = np.zeros(0, dtype=np.uint32)
+        run_codes = codes
+    width = bitpack.bit_width(len(table) - 1) if len(table) > 1 else 0
+    packed = bitpack.pack_bits(run_codes, width) if width else b""
+    return (
+        _encode_flags(valid)
+        + _pack_table(table)
+        + struct.pack("<I", ends.size)
+        + ends.astype("<u4").tobytes()
+        + struct.pack("<B", width)
+        + packed
+    )
+
+
+def encode_sraw(arr: pa.Array) -> bytes:
+    n = len(arr)
+    valid = None
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        if valid.all():
+            valid = None
+        arr = arr.fill_null("")
+    vals = [s.encode("utf-8") for s in arr.to_pylist()]
+    offs = np.zeros(n + 1, dtype=np.uint32)
+    np.cumsum([len(b) for b in vals], out=offs[1:])
+    return _encode_flags(valid) + offs.astype("<u4").tobytes() + b"".join(vals)
+
+
+def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray | None]:
+    """→ (object ndarray of python str, valid bool mask | None). Null slots
+    carry their forward-filled value; callers mask them out via ``valid``."""
+    buf = memoryview(payload)
+    valid, off = _decode_flags(buf, n)
+    if name == "sraw":
+        offs = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=off).astype(np.int64)
+        off += 4 * (n + 1)
+        data = bytes(buf[off : off + int(offs[-1])])
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = data[offs[i] : offs[i + 1]].decode("utf-8")
+        return out, valid
+    table, off = _unpack_table(buf, off)
+    if name == "sdict":
+        (width,), off = _read_struct("<B", buf, off)
+        codes = (
+            bitpack.unpack_bits(buf[off:], n, width).astype(np.int64)
+            if width
+            else np.zeros(n, dtype=np.int64)
+        )
+        out = table[codes] if table.size else np.full(n, "", dtype=object)
+        return out, valid
+    if name == "srle":
+        (n_runs,), off = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off).astype(np.int64)
+        off += 4 * n_runs
+        (width,), off = _read_struct("<B", buf, off)
+        run_codes = (
+            bitpack.unpack_bits(buf[off:], n_runs, width).astype(np.int64)
+            if width
+            else np.zeros(n_runs, dtype=np.int64)
+        )
+        lens = np.diff(np.concatenate(([0], ends)))
+        if table.size:
+            vals = table[run_codes]
+        else:  # all-null block: codes forward-filled to 0 with no table
+            vals = np.full(n_runs, "", dtype=object)
+        out = np.repeat(vals, lens) if n_runs else np.empty(0, dtype=object)
+        if out.size != n:
+            raise ValueError(f"srle decode length mismatch: {out.size} != {n}")
+        return out, valid
+    raise ValueError(f"unknown string codec {name!r}")
+
+
+def encode_string_block(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]:
+    """Encode one string sequence; ``auto`` runs the cost-based choice."""
+    return encode_string_block_stats(arr, codec)[:2]
+
+
+def encode_string_block_stats(
+    arr: pa.Array, codec: str = "auto"
+) -> tuple[str, bytes, int, int, int]:
+    """(name, payload, n_runs, cardinality, null_count) with ONE dictionary
+    pass shared by the codec choice, the winning encode, and the metadata.
+
+    ``auto`` mirrors chooser.py: run count and cardinality rank the three
+    layouts analytically, the winner is encoded, and sraw wins ties so a
+    block is never larger than raw + header. n_runs counts runs of the
+    forward-filled codes — nulls extend the preceding run, the same
+    null-run semantics the payload itself uses."""
+    n = len(arr)
+    parts = _dict_parts(arr)
+    table, codes, valid = parts
+    k = len(table)
+    null_count = 0 if valid is None else int((~valid).sum())
+    r = (1 + int(np.count_nonzero(codes[1:] != codes[:-1]))) if n else 0
+    if codec == "srle":
+        return "srle", encode_srle(arr, parts), r, k, null_count
+    if codec == "sdict":
+        return "sdict", encode_sdict(arr, parts), r, k, null_count
+    if codec == "sraw":
+        return "sraw", encode_sraw(arr), r, k, null_count
+    if codec != "auto":
+        raise ValueError(f"unknown string codec {codec!r}")
+    if n == 0:
+        return "sraw", encode_sraw(arr), 0, 0, 0
+    table_bytes = 4 + 4 * (k + 1) + sum(len(b) for b in table)
+    total_bytes = int(
+        pc.sum(pc.binary_length(arr.cast(pa.binary()).fill_null(b""))).as_py() or 0
+    )
+    null_bytes = 0 if valid is None else 6 + 4 * _mask_runs(valid)[1].size
+    header = 1 + null_bytes
+    width = bitpack.bit_width(k - 1) if k > 1 else 0
+    est_dict = header + table_bytes + 1 + bitpack.packed_nbytes(n, width)
+    est_rle = header + table_bytes + 4 + 4 * r + 1 + bitpack.packed_nbytes(r, width)
+    est_raw = header + 4 * (n + 1) + total_bytes
+    best = min((est_rle, "srle"), (est_dict, "sdict"), (est_raw, "sraw"))[1]
+    if best == "sraw":
+        return "sraw", encode_sraw(arr), r, k, null_count
+    payload = {"srle": encode_srle, "sdict": encode_sdict}[best](arr, parts)
+    raw = encode_sraw(arr)
+    if len(raw) <= len(payload):
+        return "sraw", raw, r, k, null_count
+    return best, payload, r, k, null_count

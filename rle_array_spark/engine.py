@@ -614,6 +614,116 @@ def transform_blocks_fn(blocks: DataFrame, fn) -> DataFrame:
     return blocks.mapInArrow(_transform_kernel(wrapped), BLOCK_SCHEMA)
 
 
+def take_blocks(
+    blocks: DataFrame,
+    stride: int | None = None,
+    offset: int = 0,
+    indices=None,
+) -> DataFrame:
+    """Compressed-domain positional gather: keep values at sorted positions
+    and emit RLE blocks DIRECTLY from the gathered runs — the reference's
+    ``_take_kernel`` with its run-reuse optimization
+    (/root/reference/rle_array/_algorithms.py:370-481) at block granularity.
+
+    Positions are GLOBAL per doc_id: either the arithmetic grid
+    ``offset, offset+stride, …`` or an explicit sorted ``indices`` array
+    (same for every doc, clipped to each doc's length — the "sample every
+    k-th token position" shape). Chunked blocks translate global positions
+    through ``chunk_offset``, and the output's ``chunk_offset`` is rewritten
+    to the number of taken positions before the chunk, so
+    ``decode_df(reassemble_chunks=True)`` and positional stats stay exact.
+
+    For RLE input the gathered sequence is never materialized (one
+    searchsorted into run ends); metadata is recomputed exactly from the
+    output runs."""
+    if (stride is None) == (indices is None):
+        raise ValueError("exactly one of stride / indices is required")
+    if stride is not None and (stride < 1 or offset < 0):
+        raise ValueError(f"need stride >= 1 and offset >= 0, got {stride}/{offset}")
+    if indices is not None:
+        idx_global = np.unique(np.asarray(indices, dtype=np.int64))
+        if idx_global.size and idx_global[0] < 0:
+            raise ValueError("indices must be non-negative")
+    else:
+        idx_global = None
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import take_runs
+        from rle_array_spark.codecs.rle import encode_runs
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            payload_col = batch.column("payload")
+            _, _, chunk_off_arr = _chunk_cols(batch)
+            chunk_off = np.asarray(chunk_off_arr)
+            n_rows = batch.num_rows
+            new_payloads: list[bytes] = []
+            n_values = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            new_chunk_off = np.empty(n_rows, dtype=np.int64)
+            for i in range(n_rows):
+                n = int(n_col[i])
+                coff = int(chunk_off[i])
+                if stride is not None:
+                    start_local = max(offset - coff, (offset - coff) % stride)
+                    idx = np.arange(start_local, n, stride, dtype=np.int64)
+                    taken_before = max(0, (coff - offset + stride - 1) // stride)
+                else:
+                    lo = int(np.searchsorted(idx_global, coff))
+                    hi = int(np.searchsorted(idx_global, coff + n))
+                    idx = idx_global[lo:hi] - coff
+                    taken_before = lo
+                rv, rl = take_runs(
+                    codecs_col[i], memoryview(payload_col[i].as_buffer()), n, idx
+                )
+                new_payloads.append(encode_runs(rv, rl))
+                n_values[i] = idx.size
+                n_runs[i] = rv.size
+                tok_sum[i] = int(np.dot(rv.astype(np.int64), rl)) if rv.size else 0
+                tok_min[i] = int(rv.min()) if rv.size else 0
+                tok_max[i] = int(rv.max()) if rv.size else 0
+                new_chunk_off[i] = taken_before
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(["rle"] * n_rows, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    pa.array(n_values),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
+                    pa.array(n_values.astype(np.int64) * 4),
+                    pa.array(
+                        np.array([len(p) for p in new_payloads], dtype=np.int64)
+                    ),
+                    pa.array(
+                        np.array(
+                            [reference_rle_nbytes(int(r)) for r in n_runs],
+                            dtype=np.int64,
+                        )
+                    ),
+                    _chunk_cols(batch)[0],
+                    _chunk_cols(batch)[1],
+                    pa.array(new_chunk_off),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+                    "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+                    "ref_rle_bytes", "chunk_idx", "n_chunks", "chunk_offset",
+                ],
+            )
+
+    return blocks.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------

@@ -863,6 +863,85 @@ ORACLE_ROUNDTRIP_TIMESTAMP = """SELECT CAST(user_id AS VARCHAR) AS doc_id,
 FROM events GROUP BY doc_id"""
 
 
+def q_strided_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain positional gather (reference _take_kernel,
+    /root/reference/rle_array/_algorithms.py:370-481): sample every 7th
+    token position (from 2) of each doc WITHOUT decoding — RLE run-reuse
+    emits the gathered runs directly — then stats the sampled sequence.
+    tok_wsum makes the check positional: a gather that returns the right
+    multiset at wrong positions still fails."""
+    from rle_array_spark.engine import take_blocks
+
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    taken = take_blocks(blocks, stride=7, offset=2)
+    return decode_stats_df(taken).select(*_STATS_COLS)
+
+
+# DuckDB 1-based lambda index i → 0-based position p = i-1; keep p >= 2 with
+# (p-2) % 7 == 0.
+ORACLE_STRIDED_TAKE = f"""{_ORACLE_TOK_CTE},
+t AS (
+    SELECT doc_id, source,
+           list_filter(tokens, (x, i) -> i >= 3 AND (i - 3) % 7 = 0) AS taken
+    FROM tok
+)
+SELECT doc_id, source,
+       CAST(length(taken) AS INT) AS n_tok,
+       CAST(COALESCE(list_sum(taken), 0) AS BIGINT) AS tok_sum,
+       CAST(COALESCE(list_min(taken), 0) AS INT) AS tok_min,
+       CAST(COALESCE(list_max(taken), 0) AS INT) AS tok_max,
+       CAST(COALESCE(list_sum(list_transform(taken, (x, i) -> x * i)), 0) AS BIGINT) AS tok_wsum
+FROM t"""
+
+
+def q_roundtrip_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-dtype round-trip (reference object/str arrays with None,
+    /root/reference/rle_array/dtype.py:11-27): per-user event_type sequences
+    → srle/sdict/sraw auto-encode → decode → stats. The positional weighted
+    sum makes the check order-sensitive: a decode returning the right
+    multiset at wrong positions fails."""
+    from rle_array_spark.strings import decode_strings_df, encode_strings_df
+
+    ev = _table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy(F.col("user_id").cast("string").alias("doc_id"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ).alias("vals")
+        )
+        .withColumn("source", F.lit("events"))
+    )
+    blocks = encode_strings_df(seq, codec="auto")
+    out = decode_strings_df(blocks)
+    return out.select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        F.size(F.array_distinct("vals")).alias("card"),
+        F.array_min("vals").alias("v_min"),
+        F.array_max("vals").alias("v_max"),
+        F.expr(
+            "aggregate(transform(vals, (x, i) -> cast((i + 1) * length(x) as long)),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("wlen"),
+    )
+
+
+ORACLE_ROUNDTRIP_STRING = """WITH seq AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           list(event_type ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+)
+SELECT doc_id,
+       CAST(length(vals) AS INT) AS n,
+       CAST(length(list_distinct(vals)) AS INT) AS card,
+       list_min(vals) AS v_min,
+       list_max(vals) AS v_max,
+       CAST(list_sum(list_transform(vals, (x, i) -> i * length(x))) AS BIGINT) AS wlen
+FROM seq"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -902,6 +981,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["token_skew_kurt"] = q_token_skew_kurt
     out["transform_ufunc"] = q_transform_ufunc
     out["zip_compare"] = q_zip_compare
+    out["strided_take"] = q_strided_take
+    out["roundtrip_string"] = q_roundtrip_string
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -940,6 +1021,8 @@ def build_oracles() -> dict[str, str]:
     out["token_skew_kurt"] = ORACLE_TOKEN_SKEW_KURT
     out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
     out["zip_compare"] = ORACLE_ZIP_COMPARE
+    out["strided_take"] = ORACLE_STRIDED_TAKE
+    out["roundtrip_string"] = ORACLE_ROUNDTRIP_STRING
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 

@@ -134,6 +134,7 @@ def encode_to_dir(
     fail_at_partition: int | None = None,
     chunk_tokens: int | str | None = None,
     encode_first: bool = True,
+    commit_mode: str = "sidecar",
 ) -> list[dict]:
     """Encode a sequences DataFrame into ``out_dir`` (one immutable parquet
     file + lineage sidecar per partition), commit a new snapshot, and return
@@ -152,7 +153,27 @@ def encode_to_dir(
     raw (packed) tokens BEFORE encoding — the defense when the INPUT
     layout itself is pathological (e.g. one unsplittable parquet row group
     holding a giant sequence would otherwise pin its whole encode on one
-    scan task; chunking splits it only after the scan)."""
+    scan task; chunking splits it only after the scan).
+
+    ``commit_mode`` selects the resume protocol:
+
+    - ``"sidecar"`` (default): each partition writes a lineage JSON sidecar
+      via tmp-file + ``os.replace`` — assumes a shared filesystem with
+      atomic rename (local, NFS, HDFS).
+    - ``"manifest"``: NO executor-side sidecars. The data file itself is the
+      checkpoint: its name embeds the partition fingerprint, its bytes are
+      deterministic, and the skip-check is existence + a validating
+      metadata-columns read (a torn file from a mid-write crash fails the
+      read and is re-encoded). This is the object-store-safe protocol —
+      on S3-class storage a PUT is atomic per object and rename doesn't
+      exist, so per-partition rename-committed sidecars can't work; all
+      lineage then lives only in the driver-committed snapshot manifest,
+      exactly like Iceberg's metadata layer (the seam SURVEY.md §7.6
+      names). Both modes produce byte-identical data files and can resume
+      each other's partial runs (sidecar-mode reruns re-encode
+      manifest-written partitions at worst — never corrupt them)."""
+    if commit_mode not in ("sidecar", "manifest"):
+        raise ValueError(f"commit_mode must be 'sidecar' or 'manifest', got {commit_mode!r}")
     if chunk_tokens == "auto":
         chunk_tokens = auto_chunk_tokens(df, num_partitions)
     os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
@@ -198,11 +219,17 @@ def encode_to_dir(
         data_path = _data_path(out_dir, part_id, fp)
         lineage_path = _lineage_path(out_dir, part_id, fp)
 
-        if os.path.exists(lineage_path) and os.path.exists(data_path):
-            with open(lineage_path) as f:
-                rec = json.load(f)
-            if rec.get("fingerprint") == fp:
-                rec["status"] = "skipped"  # checkpoint hit: no re-encode
+        if commit_mode == "sidecar":
+            if os.path.exists(lineage_path) and os.path.exists(data_path):
+                with open(lineage_path) as f:
+                    rec = json.load(f)
+                if rec.get("fingerprint") == fp:
+                    rec["status"] = "skipped"  # checkpoint hit: no re-encode
+                    yield _lineage_batch(rec)
+                    return
+        else:  # manifest mode: the self-certifying data file IS the checkpoint
+            rec = _stats_from_data_file(data_path, part_id, fp)
+            if rec is not None:
                 yield _lineage_batch(rec)
                 return
 
@@ -245,10 +272,11 @@ def encode_to_dir(
             "codec_histogram": json.dumps(hist, sort_keys=True),
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
-        tmp_lineage = lineage_path + f".tmp-{os.getpid()}"
-        with open(tmp_lineage, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp_lineage, lineage_path)
+        if commit_mode == "sidecar":
+            tmp_lineage = lineage_path + f".tmp-{os.getpid()}"
+            with open(tmp_lineage, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp_lineage, lineage_path)
         yield _lineage_batch(rec)
 
     lineage_rows = [r.asDict() for r in parted.mapInArrow(kernel, LINEAGE_SCHEMA).collect()]
@@ -283,6 +311,40 @@ def encode_to_dir(
         json.dump(pointer, f, indent=1)
     os.replace(tmp_manifest, os.path.join(out_dir, "_manifest.json"))
     return lineage_rows
+
+
+_STATS_COLUMNS = ["codec", "n_values", "raw_bytes", "encoded_bytes", "ref_rle_bytes", "tok_sum"]
+
+
+def _stats_from_data_file(data_path: str, part_id: int, fp: str) -> dict | None:
+    """Manifest-mode skip-check: rebuild the lineage record from a committed
+    data file's own metadata columns (a bounded, partition-local read —
+    never the payloads). Returns None when the file is absent or unreadable
+    (torn mid-write crash on a filesystem without atomic rename) — the torn
+    file is removed so the caller's re-encode rewrites it cleanly."""
+    if not os.path.exists(data_path):
+        return None
+    try:
+        t = pq.read_table(data_path, columns=_STATS_COLUMNS)
+    except Exception:
+        os.remove(data_path)
+        return None
+    hist: dict[str, int] = {}
+    for c in t.column("codec").to_pylist():
+        hist[c] = hist.get(c, 0) + 1
+    return {
+        "part_id": part_id,
+        "status": "skipped",
+        "fingerprint": fp,
+        "n_rows": t.num_rows,
+        "n_tokens": int(_col_sum(t, "n_values")),
+        "raw_bytes": int(_col_sum(t, "raw_bytes")),
+        "encoded_bytes": int(_col_sum(t, "encoded_bytes")),
+        "ref_rle_bytes": int(_col_sum(t, "ref_rle_bytes")),
+        "tok_sum": int(_col_sum(t, "tok_sum")),
+        "codec_histogram": json.dumps(hist, sort_keys=True),
+        "wall_ms": 0,
+    }
 
 
 def _col_sum(table: pa.Table, name: str) -> int:

@@ -69,6 +69,71 @@ def test_resume_after_injected_failure(spark, sequences, tmp_path):
     assert _file_hashes(out) == _file_hashes(ref)
 
 
+def test_manifest_mode_resume_without_sidecars(spark, sequences, tmp_path):
+    """Sidecar-less (object-store-safe) protocol: the data file itself is
+    the checkpoint. Crash → resume must skip committed partitions with NO
+    lineage sidecars on disk, and lineage stats must be rebuilt exactly."""
+    out = str(tmp_path / "enc")
+    with pytest.raises(Exception, match="injected failure"):
+        encode_to_dir(
+            sequences, out, num_partitions=N_PARTS,
+            fail_at_partition=N_PARTS - 1, commit_mode="manifest",
+        )
+    assert glob.glob(os.path.join(out, "lineage", "*.json")) == []
+    done_before = len(glob.glob(os.path.join(out, "blocks", "*.parquet")))
+    assert 0 < done_before < N_PARTS
+
+    lineage = encode_to_dir(
+        sequences, out, num_partitions=N_PARTS, commit_mode="manifest"
+    )
+    statuses = {r["part_id"]: r["status"] for r in lineage}
+    assert sum(1 for s in statuses.values() if s == "skipped") >= done_before - 1
+    assert sum(1 for s in statuses.values() if s == "encoded") >= 1
+    assert glob.glob(os.path.join(out, "lineage", "*.json")) == []
+
+    blocks = read_blocks(spark, out)
+    assert verify_roundtrip(sequences, blocks) == 0
+
+    # skipped partitions' rebuilt lineage stats match an encoded-from-scratch run
+    ref = str(tmp_path / "ref")
+    ref_lineage = encode_to_dir(
+        sequences, ref, num_partitions=N_PARTS, commit_mode="manifest"
+    )
+    assert _file_hashes(out) == _file_hashes(ref)
+    keys = ("n_rows", "n_tokens", "raw_bytes", "encoded_bytes",
+            "ref_rle_bytes", "tok_sum", "codec_histogram", "fingerprint")
+    got = {r["part_id"]: tuple(r[k] for k in keys) for r in lineage}
+    exp = {r["part_id"]: tuple(r[k] for k in keys) for r in ref_lineage}
+    assert got == exp
+
+
+def test_manifest_mode_torn_file_reencoded(spark, sequences, tmp_path):
+    """A torn data file (mid-write crash without atomic rename) must fail
+    the validating read and be re-encoded, not trusted."""
+    out = str(tmp_path / "enc")
+    encode_to_dir(sequences, out, num_partitions=N_PARTS, commit_mode="manifest")
+    victim = sorted(glob.glob(os.path.join(out, "blocks", "*.parquet")))[0]
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(data[: len(data) // 2])  # truncate: invalid parquet footer
+
+    lineage = encode_to_dir(sequences, out, num_partitions=N_PARTS, commit_mode="manifest")
+    statuses = [r["status"] for r in lineage]
+    assert statuses.count("encoded") == 1
+    assert statuses.count("skipped") == N_PARTS - 1
+    assert hashlib.sha256(open(victim, "rb").read()).hexdigest() == hashlib.sha256(data).hexdigest()
+    assert verify_roundtrip(sequences, read_blocks(spark, out)) == 0
+
+
+def test_manifest_mode_resumes_sidecar_run(spark, sequences, tmp_path):
+    """The two protocols interoperate: data files are byte-identical, so a
+    manifest-mode rerun skips everything a sidecar-mode run committed."""
+    out = str(tmp_path / "enc")
+    encode_to_dir(sequences, out, num_partitions=N_PARTS)  # sidecar mode
+    lineage = encode_to_dir(sequences, out, num_partitions=N_PARTS, commit_mode="manifest")
+    assert {r["status"] for r in lineage} == {"skipped"}
+
+
 def test_param_change_writes_new_snapshot(spark, sequences, tmp_path):
     """Changing the codec produces new immutable files + a new snapshot;
     the old snapshot remains readable (time travel)."""

@@ -1,0 +1,110 @@
+"""String codec family: round-trip with nulls/unicode/empties, codec choice,
+size bound, and the Spark-level encode/decode path (the reference's
+object-dtype surface, /root/reference/rle_array/dtype.py:11-27 and
+tests/test_algorithms.py:84-133)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rle_array_spark.codecs.strings import (
+    STRING_CODECS,
+    decode_strings,
+    encode_sraw,
+    encode_string_block,
+    encode_string_block_stats,
+)
+
+CASES = {
+    "runny": ["a"] * 30 + ["bb"] * 20 + ["a"] * 10,
+    "distinct": [f"val-{i}" for i in range(50)],
+    "low_card": [f"k{i % 4}" for i in range(200)],
+    "with_nulls": ["x", None, None, "y", "y", None, "x"],
+    "leading_null": [None, None, "x", "x"],
+    "all_null": [None, None, None],
+    "unicode": ["héllo", "wörld", "héllo", "日本語", ""],
+    "empty_vs_null": ["", None, "", "a"],
+    "empty": [],
+    "single": ["only"],
+}
+
+
+def _roundtrip(vals, codec):
+    arr = pa.array(vals, type=pa.string())
+    name, payload = encode_string_block(arr, codec)
+    out, valid = decode_strings(name, payload, len(vals))
+    if valid is None:
+        return list(out)
+    return [v if ok else None for v, ok in zip(out, valid)]
+
+
+@pytest.mark.parametrize("codec", [*STRING_CODECS, "auto"])
+@pytest.mark.parametrize("case", CASES)
+def test_string_roundtrip(codec, case):
+    vals = CASES[case]
+    assert _roundtrip(vals, codec) == vals
+
+
+def test_string_auto_never_beats_raw_bound():
+    for case, vals in CASES.items():
+        arr = pa.array(vals, type=pa.string())
+        name, payload = encode_string_block(arr, "auto")
+        assert len(payload) <= len(encode_sraw(arr)), case
+
+
+def test_string_auto_picks_sensible_codecs():
+    runny = pa.array(["a"] * 500 + ["b"] * 500)
+    assert encode_string_block(runny, "auto")[0] == "srle"
+    low_card = pa.array([f"k{i % 3}" for i in range(999)])
+    assert encode_string_block(low_card, "auto")[0] in ("sdict", "srle")
+    distinct = pa.array([f"unique-value-{i:06d}" for i in range(500)])
+    assert encode_string_block(distinct, "auto")[0] == "sraw"
+
+
+def test_string_stats_null_run_semantics():
+    # nulls forward-fill: x x ∅ ∅ y → runs [x x x x][y] = 2
+    arr = pa.array(["x", "x", None, None, "y"])
+    name, payload, n_runs, card, nulls = encode_string_block_stats(arr, "auto")
+    assert n_runs == 2
+    assert card == 2
+    assert nulls == 2
+
+
+def test_encode_decode_strings_df(spark):
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.strings import decode_strings_df, encode_strings_df
+
+    rows = [
+        ("d1", "s", ["a", "a", "b", None, "b"]),
+        ("d2", "s", []),
+        ("d3", "t", [None, None]),
+        ("d4", "t", ["héllo", "", "héllo"] * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<string>")
+    blocks = encode_strings_df(df, codec="auto")
+    got_blocks = {r["doc_id"]: r for r in blocks.collect()}
+    assert got_blocks["d1"]["null_count"] == 1
+    assert got_blocks["d1"]["card"] == 2
+    assert got_blocks["d3"]["n_values"] == 2
+    assert got_blocks["d4"]["encoded_bytes"] < got_blocks["d4"]["raw_bytes"]
+    assert got_blocks["d4"]["val_min"] == "" and got_blocks["d4"]["val_max"] == "héllo"
+
+    out = {r["doc_id"]: r["vals"] for r in decode_strings_df(blocks).collect()}
+    for doc_id, _, vals in rows:
+        assert out[doc_id] == vals, doc_id
+
+
+def test_encode_strings_df_forced_codecs_roundtrip(spark):
+    from rle_array_spark.strings import decode_strings_df, encode_strings_df
+
+    rows = [("d%d" % i, "s", [f"w{j % 5}" for j in range(i * 7 % 23)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<string>")
+    for codec in STRING_CODECS:
+        blocks = encode_strings_df(df, codec=codec)
+        assert blocks.select("codec").distinct().collect() == [(codec,)]
+        out = {r["doc_id"]: r["vals"] for r in decode_strings_df(blocks).collect()}
+        for doc_id, _, vals in rows:
+            assert out[doc_id] == vals, (codec, doc_id)
