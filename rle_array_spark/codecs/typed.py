@@ -209,6 +209,79 @@ def decode_typed(name: str, payload: bytes | memoryview, n: int):
     return np.ascontiguousarray(out).view(dtype), valid
 
 
+def _valid_prefix_counts(valid: np.ndarray | None, positions: np.ndarray, n: int) -> np.ndarray:
+    """#valid slots in [0, p) for each p in ``positions`` without assuming
+    anything about the mask's run structure (O(n) bool scan, like the dict
+    code scan in reduce.payload_stats — never the values)."""
+    if valid is None:
+        return positions.astype(np.int64)
+    prefix = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
+    return prefix[positions]
+
+
+def typed_payload_stats(name: str, payload, n: int):
+    """(n_runs, null_count, vmin, vmax, vsum) of one typed block WITHOUT
+    decoding the array — compressed-domain for trle (run values + per-run
+    valid counts) and tdict (table × valid code counts); stream decode for
+    traw. Skipna semantics: nulls AND float NaNs are excluded from
+    min/max/sum, matching the reference's masked reductions
+    (/root/reference/rle_array/array.py:463-513). Returns floats (None when
+    no valid finite value exists); the audit primitive for typed blocks
+    written by other jobs."""
+    buf = memoryview(payload)
+    dtype, valid, off = _decode_header(buf, n)
+    w = dtype.itemsize
+    bits = _BIT_VIEWS[w]
+    null_count = 0 if valid is None else int(n - valid.sum())
+    if n == 0:
+        return 0, 0, None, None, None
+
+    def _reduce(vals: np.ndarray, weights: np.ndarray):
+        """min/max/weighted-sum over numeric view, skipping NaN."""
+        numeric = vals.astype(np.float64) if vals.dtype.kind in "fiub" else vals.view(
+            "<i8"
+        ).astype(np.float64)
+        keep = weights > 0
+        if vals.dtype.kind == "f":
+            keep &= ~np.isnan(numeric)
+        if not keep.any():
+            return None, None, None
+        kv, kw = numeric[keep], weights[keep]
+        return float(kv.min()), float(kv.max()), float(np.dot(kv, kw))
+
+    if name == "trle":
+        (n_runs,), off2 = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off2).astype(np.int64)
+        off2 += 4 * n_runs
+        run_vals = np.frombuffer(buf, dtype=bits, count=n_runs, offset=off2).view(dtype)
+        bounds = np.concatenate(([0], ends))
+        vcounts = np.diff(_valid_prefix_counts(valid, bounds, n))
+        vmin, vmax, vsum = _reduce(run_vals, vcounts)
+        return int(n_runs), null_count, vmin, vmax, vsum
+    if name == "tdict":
+        (k,), off2 = _read_struct("<I", buf, off)
+        table = np.frombuffer(buf, dtype=bits, count=k, offset=off2).view(dtype)
+        off2 += k * w
+        (width,), off2 = _read_struct("<B", buf, off2)
+        codes = (
+            bitpack.unpack_bits(buf[off2:], n, width).astype(np.int64)
+            if width
+            else np.zeros(n, dtype=np.int64)
+        )
+        counts = np.bincount(
+            codes if valid is None else codes[valid], minlength=max(k, 1)
+        ).astype(np.int64)
+        n_runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+        vmin, vmax, vsum = _reduce(table, counts[: max(k, 1)])
+        return n_runs, null_count, vmin, vmax, vsum
+    vals, _ = decode_typed(name, buf, n)
+    bv = _bit_view(np.ascontiguousarray(vals))
+    n_runs = 1 + int(np.count_nonzero(bv[1:] != bv[:-1]))
+    weights = np.ones(n, dtype=np.int64) if valid is None else valid.astype(np.int64)
+    vmin, vmax, vsum = _reduce(vals, weights)
+    return n_runs, null_count, vmin, vmax, vsum
+
+
 def choose_typed(values: np.ndarray, valid: np.ndarray | None = None) -> tuple[str, bytes]:
     """Cost-based auto-selection, mirroring chooser.py: analytic estimates
     from run count / cardinality rank candidates, the winner is actually

@@ -23,14 +23,26 @@ SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
 def _tokenize_kernel(batches):
+    import pyarrow.compute as pc
+
     for batch in batches:
         if not batch.num_rows:
             continue
-        texts = batch.column("text").to_pylist()
-        lengths = np.array([len(t) for t in texts], dtype=np.int64)
-        flat = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int32
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # Whole-batch transcode, zero per-row Python: char counts from
+        # pc.utf8_length (C), then ONE utf-8 decode + utf-32 encode over the
+        # batch's concatenated value buffer. Rows are contiguous in the
+        # buffer, so per-row codepoint slices follow from the char counts.
+        lengths = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        byte_offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=4 * col.offset
         )
+        seg = memoryview(col.buffers()[2])[byte_offs[0] : byte_offs[-1]]
+        flat = np.frombuffer(
+            str(seg, "utf-8").encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int32)
         offsets = np.concatenate(([0], np.cumsum(lengths)))
         tokens = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())

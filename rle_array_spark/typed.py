@@ -158,6 +158,63 @@ def encode_typed_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> Da
     return df.select("doc_id", "source", col).mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
 
 
+TYPED_REDUCTIONS_SCHEMA = (
+    "doc_id string, source string, n_runs int, null_count int, "
+    "val_min double, val_max double, val_sum double"
+)
+
+
+def typed_block_reductions_df(blocks: DataFrame) -> DataFrame:
+    """Recompute per-block stats from the PAYLOADS (compressed-domain for
+    trle/tdict — run values × per-run valid counts, table × code counts —
+    see codecs.typed.typed_payload_stats). The audit primitive for typed
+    blocks: comparing this against the stored metadata columns catches
+    payload corruption without decoding a single array."""
+    from rle_array_spark.codecs.typed import typed_payload_stats
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
+            payload_col = batch.column("payload")
+            n_rows = batch.num_rows
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            null_count = np.empty(n_rows, dtype=np.int32)
+            vmin = np.full(n_rows, np.nan)
+            vmax = np.full(n_rows, np.nan)
+            vsum = np.full(n_rows, np.nan)
+            for i in range(n_rows):
+                r, nc, lo, hi, s = typed_payload_stats(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                )
+                n_runs[i], null_count[i] = r, nc
+                if lo is not None:
+                    vmin[i], vmax[i], vsum[i] = lo, hi, s
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(n_runs),
+                    pa.array(null_count),
+                    pa.array(vmin),
+                    pa.array(vmax),
+                    pa.array(vsum),
+                ],
+                names=[
+                    "doc_id", "source", "n_runs", "null_count",
+                    "val_min", "val_max", "val_sum",
+                ],
+            )
+
+    return blocks.select(
+        "doc_id", "source", "codec", "payload", "n_values"
+    ).mapInArrow(kernel, TYPED_REDUCTIONS_SCHEMA)
+
+
 def decode_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
     """Typed blocks → (doc_id, source, vals array<elem_type>) with element
     nulls restored; values bit-identical to the encoded input."""

@@ -104,3 +104,24 @@ def test_chunk_reassembly_shuffles_encoded_payloads(spark, sequences):
     assert "tokens" not in lines[partial_i]
     # …and the decode kernel runs strictly AFTER the shuffle
     assert reasm_i < exchange_i
+
+
+def test_take_blocks_plan_is_narrow(spark, sequences):
+    """take_blocks is a per-block kernel: encode → take → stats must plan
+    with NO exchange (the gather never needs co-location)."""
+    from rle_array_spark.engine import decode_stats_df, take_blocks
+
+    taken = take_blocks(encode_df(sequences, codec="auto"), stride=7, offset=2)
+    assert "Exchange" not in explain_str(taken)
+    assert "Exchange" not in explain_str(decode_stats_df(taken))
+
+
+def test_string_encode_plan_is_narrow(spark):
+    """String encode/decode are scan-parallel kernels — no exchange."""
+    from rle_array_spark.strings import decode_strings_df, encode_strings_df
+
+    df = spark.createDataFrame(
+        [("a", "s", ["x", "y"])], "doc_id string, source string, vals array<string>"
+    )
+    plan = explain_str(decode_strings_df(encode_strings_df(df)))
+    assert "Exchange" not in plan

@@ -161,3 +161,87 @@ def test_typed_df_roundtrip_spark(spark):
 def test_typed_unsupported_dtype_raises():
     with pytest.raises(ValueError, match="unsupported typed-codec dtype"):
         encode_typed(np.array(["x", "y"], dtype=object), None, "trle")
+
+
+def _oracle_stats(vals, mask):
+    import numpy as np
+
+    if mask is None:
+        mask = np.ones(len(vals), dtype=bool)
+    numeric = (
+        vals.astype(np.float64)
+        if vals.dtype.kind in "fiub"
+        else vals.view("<i8").astype(np.float64)
+    )
+    keep = mask.copy()
+    if vals.dtype.kind == "f":
+        keep &= ~np.isnan(numeric)
+    nc = int((~mask).sum())
+    if not keep.any():
+        return nc, None, None, None
+    kv = numeric[keep]
+    return nc, float(kv.min()), float(kv.max()), float(kv.sum())
+
+
+@pytest.mark.parametrize("codec", ["trle", "tdict", "traw", "auto"])
+def test_typed_payload_stats_differential(codec):
+    import numpy as np
+
+    from rle_array_spark.codecs.typed import encode_typed, typed_payload_stats
+
+    rng = np.random.default_rng(17)
+    cases = [
+        (np.repeat(np.arange(6, dtype=np.int64), 40), None),
+        (rng.normal(size=200), rng.random(200) > 0.3),
+        (np.where(rng.random(300) < 0.25, np.nan, rng.normal(size=300)), None),
+        (np.array([np.nan, np.nan, np.nan]), None),
+        (np.zeros(50, dtype=bool), np.zeros(50, dtype=bool)),  # all null
+        (rng.integers(0, 3, 500).astype(np.int16), rng.random(500) > 0.1),
+        ((np.arange(100) * 1000).astype("<M8[us]"), rng.random(100) > 0.5),
+    ]
+    for vals, mask in cases:
+        name, payload = encode_typed(vals, mask, codec)
+        r, nc, lo, hi, s = typed_payload_stats(name, payload, vals.size)
+        enc, emin, emax, esum = _oracle_stats(np.ascontiguousarray(vals), mask)
+        assert nc == enc, (name, vals.dtype)
+        assert (lo is None) == (emin is None), (name, vals.dtype)
+        if lo is not None:
+            assert lo == emin and hi == emax, (name, vals.dtype)
+            assert s == pytest.approx(esum, rel=1e-12), (name, vals.dtype)
+
+
+def test_typed_block_reductions_df_matches_metadata(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.typed import (
+        encode_typed_df,
+        typed_block_reductions_df,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(30):
+        n = int(rng.integers(0, 60))
+        vals = rng.normal(size=n)
+        vals[rng.random(n) < 0.2] = np.nan
+        pyvals = [None if rng.random() < 0.15 else float(v) for v in vals]
+        rows.append((f"d{i}", "s", pyvals))
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, codec="auto")
+    audit = typed_block_reductions_df(blocks)
+    joined = (
+        blocks.alias("b")
+        .join(audit.alias("a"), ["doc_id"])
+        .select(
+            "doc_id",
+            (F.col("b.null_count") == F.col("a.null_count")).alias("nc_ok"),
+            (
+                F.col("b.val_min").eqNullSafe(F.col("a.val_min"))
+                & F.col("b.val_max").eqNullSafe(F.col("a.val_max"))
+            ).alias("mm_ok"),
+        )
+        .collect()
+    )
+    assert all(r["nc_ok"] for r in joined)
+    assert all(r["mm_ok"] for r in joined)
