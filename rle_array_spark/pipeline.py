@@ -472,3 +472,168 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     present) plugs into the same batch loop per-item — see
     :func:`_image_features_kernel`."""
     return images.mapInPandas(_image_features_kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def fake_audio_table(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in for an audio table: 32-byte payload per doc
+    (two md5 digests). Header convention for the fake decoder: byte 0 sets
+    the sample rate (8000 + b0*64 Hz), bytes 1-2 the sample count."""
+    d = _docs_prepared(docs)
+    return d.select(
+        "doc_id",
+        F.expr("to_binary(md5(text) || md5(concat(text, '2')), 'hex')").alias("audio"),
+        "source",
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id string, sample_rate int, n_samples int, duration_ms double, energy long"
+)
+
+
+def _audio_features_kernel(batches):
+    """mapInPandas kernel for :func:`extract_audio_features`. Header fields
+    and the energy (sum of squared payload bytes) are computed vectorized
+    over the concatenated buffer; a real decoder (soundfile/librosa — not in
+    this container) would plug into the same loop per-item behind an
+    import-try, exactly like the image kernel's Pillow branch."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["audio"]
+        n = len(payloads)
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+        buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        starts = offsets[:-1]
+        b0 = np.zeros(n, dtype=np.int64)
+        b1 = np.zeros(n, dtype=np.int64)
+        b2 = np.zeros(n, dtype=np.int64)
+        b0[lens > 0] = buf[starts[lens > 0]]
+        b1[lens > 1] = buf[starts[lens > 1] + 1]
+        b2[lens > 2] = buf[starts[lens > 2] + 2]
+        sample_rate = (8000 + b0 * 64).astype(np.int32)
+        n_samples = (b1 * 256 + b2).astype(np.int32)
+        # unrounded: callers round SQL-side (np.round is half-to-even,
+        # SQL ROUND half-away — kernel-side rounding would diverge on ties)
+        duration_ms = n_samples * 1000.0 / sample_rate
+        sq = buf.astype(np.int64) ** 2
+        cs = np.concatenate(([0], np.cumsum(sq)))
+        energy = cs[offsets[1:]] - cs[starts]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": sample_rate,
+                "n_samples": n_samples,
+                "duration_ms": duration_ms,
+                "energy": energy,
+            }
+        )
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """Audio analog of :func:`extract_image_features`: typed metadata from
+    an opaque binary column, vectorized per Arrow batch."""
+    return audio.mapInPandas(_audio_features_kernel, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAME_BYTES = 16
+
+FRAME_SAMPLE_SCHEMA = "doc_id string, frame_idx int, frame_sum long"
+
+
+def fake_video_table(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in for a video table: 48-byte payload per doc =
+    three 16-byte 'frames' (md5 digests)."""
+    d = _docs_prepared(docs)
+    return d.select(
+        "doc_id",
+        F.expr(
+            "to_binary(md5(text) || md5(concat(text, 'f1')) || md5(concat(text, 'f2')),"
+            " 'hex')"
+        ).alias("video"),
+        "source",
+    )
+
+
+def frame_sample(video: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling over an opaque video column: emit every ``stride``-th
+    fixed-size frame as its own row (mapInPandas with row expansion — the
+    1→N shape a real frame extractor uses). The per-frame feature here is
+    the byte sum of the frame; a real codec (ffmpeg) would produce decoded
+    frames through the identical batch loop."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        fb = VIDEO_FRAME_BYTES
+        for pdf in batches:
+            payloads = pdf["video"]
+            n = len(payloads)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            n_frames = lens // fb
+            buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            # one output row per sampled frame, fully vectorized: repeat the
+            # doc index by its sampled-frame count, then gather frame sums
+            # from the byte-prefix cumsum
+            sampled_per_doc = (n_frames + stride - 1) // stride
+            doc_idx = np.repeat(np.arange(n), sampled_per_doc)
+            within = np.concatenate(
+                [np.arange(0, int(k), dtype=np.int64) for k in sampled_per_doc]
+            ) if n else np.zeros(0, dtype=np.int64)
+            frame_idx = within * stride
+            fstart = offsets[doc_idx] + frame_idx * fb
+            cs = np.concatenate(([0], np.cumsum(buf.astype(np.int64))))
+            frame_sum = cs[fstart + fb] - cs[fstart]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_sum": frame_sum,
+                }
+            )
+
+    return video.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id string, n_out int, out_sum long"
+
+
+def resize_image(images: DataFrame) -> DataFrame:
+    """'Resize' over the opaque image column: average adjacent byte pairs
+    (floor), halving the payload — the deterministic stand-in for a real
+    downscale kernel, with the same batch shape a Pillow/opencv resize
+    would use. Emits the resized length and byte sum (SQL-checkable)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["img"]
+            n = len(payloads)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            pairs = lens // 2
+            # resized value j of doc i = (buf[2j] + buf[2j+1]) // 2
+            doc_idx = np.repeat(np.arange(n), pairs)
+            within = np.concatenate(
+                [np.arange(0, int(k), dtype=np.int64) for k in pairs]
+            ) if n else np.zeros(0, dtype=np.int64)
+            base = offsets[doc_idx] + within * 2
+            vals = (buf[base].astype(np.int64) + buf[base + 1]) // 2
+            out_sum = np.zeros(n, dtype=np.int64)
+            np.add.at(out_sum, doc_idx, vals)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_out": pairs.astype(np.int32),
+                    "out_sum": out_sum,
+                }
+            )
+
+    return images.mapInPandas(kernel, RESIZE_SCHEMA)

@@ -304,6 +304,67 @@ SELECT doc_id,
 FROM d"""
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    feats = P.extract_audio_features(P.fake_audio_table(_docs(spark, sf_dir)))
+    return feats.withColumn("duration_ms", F.round("duration_ms", 3))
+
+
+def _hexbyte(expr: str, i: str) -> str:
+    """DuckDB: byte ``i`` (0-based) of the hex string ``expr`` as INT."""
+    return f"CAST(('0x' || substr({expr}, ({i}) * 2 + 1, 2)) AS INT)"
+
+
+ORACLE_AUDIO_FEATURES = f"""WITH {_D_CTE},
+h AS (SELECT doc_id, md5(text) || md5(text || '2') AS hx FROM d),
+b AS (
+    SELECT doc_id,
+           {_hexbyte('hx', '0')} AS b0,
+           {_hexbyte('hx', '1')} AS b1,
+           {_hexbyte('hx', '2')} AS b2,
+           list_sum(list_transform(range(0, 32),
+                    i -> CAST({_hexbyte('hx', 'i')} AS BIGINT)
+                         * CAST({_hexbyte('hx', 'i')} AS BIGINT))) AS energy
+    FROM h
+)
+SELECT doc_id,
+       CAST(8000 + b0 * 64 AS INT) AS sample_rate,
+       CAST(b1 * 256 + b2 AS INT) AS n_samples,
+       round((b1 * 256 + b2) * 1000.0 / (8000 + b0 * 64), 3) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy
+FROM b"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.frame_sample(P.fake_video_table(_docs(spark, sf_dir)), stride=2)
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = f"""WITH {_D_CTE},
+h AS (SELECT doc_id, md5(text) || md5(text || 'f1') || md5(text || 'f2') AS hx FROM d),
+f AS (SELECT doc_id, hx, unnest([0, 2]) AS frame_idx FROM h)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(list_sum(list_transform(range(0, 16),
+            i -> CAST({_hexbyte('hx', 'frame_idx * 16 + i')} AS BIGINT))) AS BIGINT)
+           AS frame_sum
+FROM f"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.resize_image(P.fake_image_table(_docs(spark, sf_dir)))
+
+
+ORACLE_IMAGE_RESIZE = f"""WITH {_D_CTE},
+h AS (SELECT doc_id, md5(text) AS hx FROM d)
+SELECT doc_id,
+       CAST(8 AS INT) AS n_out,
+       CAST(list_sum(list_transform(range(0, 8),
+            i -> CAST(({_hexbyte('hx', 'i * 2')} + {_hexbyte('hx', 'i * 2 + 1')}) // 2 AS BIGINT)))
+           AS BIGINT) AS out_sum
+FROM h"""
+
+
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -318,6 +379,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
+        "image_resize": q_image_resize,
     }
 
 
@@ -335,4 +399,7 @@ def pipeline_oracles() -> dict[str, str]:
         "token_counts": ORACLE_TOKEN_COUNTS,
         "doc_fingerprints": ORACLE_FINGERPRINTS,
         "image_features": ORACLE_IMAGE_FEATURES,
+        "audio_features": ORACLE_AUDIO_FEATURES,
+        "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
+        "image_resize": ORACLE_IMAGE_RESIZE,
     }

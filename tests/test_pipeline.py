@@ -180,3 +180,44 @@ def test_fingerprint_order_sensitivity(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in P.doc_fingerprints(docs).collect()}
     assert fp["1"] == fp["3"]
     assert fp["1"] != fp["2"]  # same chars, different order
+
+
+def test_audio_features_kernel():
+    import numpy as np
+    import pandas as pd
+
+    payload = bytes(range(32))
+    pdf = pd.DataFrame({"doc_id": ["a"], "audio": [payload]})
+    (out,) = list(P._audio_features_kernel([pdf]))
+    assert out["sample_rate"][0] == 8000  # b0 = 0
+    assert out["n_samples"][0] == 1 * 256 + 2
+    assert out["energy"][0] == sum(b * b for b in payload)
+    assert out["duration_ms"][0] == (258 * 1000.0 / 8000)
+
+
+def test_video_frame_sample(planted_docs, spark):
+    video = P.fake_video_table(planted_docs)
+    rows = P.frame_sample(video, stride=2).collect()
+    n_docs = video.count()
+    # 3 frames per doc, stride 2 → frames 0 and 2
+    assert len(rows) == 2 * n_docs
+    assert {r["frame_idx"] for r in rows} == {0, 2}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    payloads = {r["doc_id"]: bytes(r["video"]) for r in video.collect()}
+    for doc_id, frames in list(by_doc.items())[:5]:
+        p = payloads[doc_id]
+        for fr in frames:
+            lo = fr["frame_idx"] * P.VIDEO_FRAME_BYTES
+            assert fr["frame_sum"] == sum(p[lo : lo + P.VIDEO_FRAME_BYTES])
+
+
+def test_resize_image(planted_docs, spark):
+    images = P.fake_image_table(planted_docs)
+    rows = {r["doc_id"]: r for r in P.resize_image(images).collect()}
+    payloads = {r["doc_id"]: bytes(r["img"]) for r in images.collect()}
+    for doc_id, p in list(payloads.items())[:5]:
+        exp = sum((p[2 * j] + p[2 * j + 1]) // 2 for j in range(8))
+        assert rows[doc_id]["n_out"] == 8
+        assert rows[doc_id]["out_sum"] == exp
