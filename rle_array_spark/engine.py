@@ -614,6 +614,59 @@ def transform_blocks_fn(blocks: DataFrame, fn) -> DataFrame:
     return blocks.mapInArrow(_transform_kernel(wrapped), BLOCK_SCHEMA)
 
 
+def reverse_blocks(blocks: DataFrame) -> DataFrame:
+    """Compressed-domain reversal — the reference's negative-step slice
+    (NormalizedSlice, /root/reference/rle_array/_slicing.py; step<0 paths in
+    tests/test_slicing.py). For RLE the payload is rebuilt by reversing the
+    RUN order (O(n_runs), values never materialize); other codecs decode,
+    reverse, and re-encode as RLE via the run splitter. Every metadata
+    column is order-invariant, so only codec/payload/encoded_bytes change.
+
+    Chunked docs are rejected: the reversed chunk offsets need the doc
+    total, which is only known at reassembly — reverse after
+    ``decode_df(reassemble_chunks=True)`` instead."""
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import _rle_parts
+        from rle_array_spark.codecs.rle import encode_runs
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            if "n_chunks" in batch.schema.names:
+                nch = batch.column("n_chunks").to_numpy(zero_copy_only=False)
+                if (nch > 1).any():
+                    raise ValueError(
+                        "reverse_blocks requires unchunked blocks; reassemble first"
+                    )
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            payload_col = batch.column("payload")
+            new_payloads: list[bytes] = []
+            for i in range(batch.num_rows):
+                codec = codecs_col[i]
+                payload = memoryview(payload_col[i].as_buffer())
+                n = int(n_col[i])
+                if codec == "rle":
+                    rv, rl = _rle_parts(payload)
+                    new_payloads.append(encode_runs(rv[::-1], rl[::-1]))
+                else:  # same codec back: size characteristics preserved
+                    vals = CODECS[codec].decode(payload, n)[::-1]
+                    new_payloads.append(
+                        CODECS[codec].encode(np.ascontiguousarray(vals))
+                    )
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            cols["payload"] = pa.array(new_payloads, type=pa.binary())
+            cols["encoded_bytes"] = pa.array(
+                np.array([len(p) for p in new_payloads], dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [cols[n] for n in batch.schema.names], names=batch.schema.names
+            )
+
+    return blocks.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
 def take_blocks(
     blocks: DataFrame,
     stride: int | None = None,

@@ -942,6 +942,29 @@ SELECT doc_id,
 FROM seq"""
 
 
+def q_reverse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain reversal (reference negative-step slice,
+    /root/reference/rle_array/_slicing.py): encode → reverse run order →
+    decode → stats. tok_wsum flips with position, so a reversal that isn't
+    exact fails the hash."""
+    from rle_array_spark.engine import reverse_blocks
+
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return decode_stats_df(reverse_blocks(blocks)).select(*_STATS_COLS)
+
+
+ORACLE_REVERSE_STATS = f"""{_ORACLE_TOK_CTE},
+r AS (SELECT doc_id, source, list_reverse(tokens) AS tokens FROM tok)
+SELECT doc_id,
+       source,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
+FROM r"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -983,6 +1006,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["zip_compare"] = q_zip_compare
     out["strided_take"] = q_strided_take
     out["roundtrip_string"] = q_roundtrip_string
+    out["reverse_stats"] = q_reverse_stats
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -1023,6 +1047,7 @@ def build_oracles() -> dict[str, str]:
     out["zip_compare"] = ORACLE_ZIP_COMPARE
     out["strided_take"] = ORACLE_STRIDED_TAKE
     out["roundtrip_string"] = ORACLE_ROUNDTRIP_STRING
+    out["reverse_stats"] = ORACLE_REVERSE_STATS
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 

@@ -121,3 +121,37 @@ def test_take_blocks_metadata_exact(spark):
             assert r["tok_max"] == int(exp.max())
             boundaries = 1 + int(np.count_nonzero(exp[1:] != exp[:-1]))
             assert r["n_runs"] == boundaries
+
+
+def test_reverse_blocks_differential(spark):
+    from rle_array_spark import datagen
+    from rle_array_spark.engine import decode_df, encode_df, reverse_blocks
+
+    table = datagen.generate_table(n_blocks=1, rows_per_source=8)
+    df = spark.createDataFrame(table.to_pandas())
+    raw = {r["doc_id"]: list(r["tokens"]) for r in df.collect()}
+    for codec in ("rle", "dict", "bitpack", "for", "raw", "auto"):
+        blocks = encode_df(df, codec=codec)
+        rev = reverse_blocks(blocks)
+        got = {r["doc_id"]: list(r["tokens"]) for r in decode_df(rev).collect()}
+        for doc_id, toks in raw.items():
+            assert got[doc_id] == toks[::-1], (codec, doc_id)
+        # metadata is order-invariant: sum/min/max/n_runs unchanged
+        before = {r["doc_id"]: (r["tok_sum"], r["tok_min"], r["tok_max"], r["n_runs"])
+                  for r in blocks.collect()}
+        after = {r["doc_id"]: (r["tok_sum"], r["tok_min"], r["tok_max"], r["n_runs"])
+                 for r in rev.collect()}
+        assert before == after, codec
+
+
+def test_reverse_blocks_rejects_chunked(spark):
+    import pytest as _pytest
+
+    from rle_array_spark import datagen
+    from rle_array_spark.engine import encode_df, reverse_blocks
+
+    table = datagen.generate_table(n_blocks=1, rows_per_source=8)
+    df = spark.createDataFrame(table.to_pandas())
+    blocks = encode_df(df, codec="auto", chunk_tokens=64)
+    with _pytest.raises(Exception, match="unchunked"):
+        reverse_blocks(blocks).collect()
