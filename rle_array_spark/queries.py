@@ -965,6 +965,58 @@ SELECT doc_id,
 FROM r"""
 
 
+def q_table_mixed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table mixed-dtype encode (reference auto_convert_to_rle over a
+    DataFrame, /root/reference/rle_array/autoconversion.py): per-user event
+    sequences as THREE parallel columns — int ids (token codecs), double
+    values (typed codecs), string types (string codecs) — encoded in one
+    wide row, decoded, then cross-column stats."""
+    from rle_array_spark.tableframe import decode_table_df, encode_table_df
+
+    ev = _table(spark, sf_dir, "events")
+    sorted_ = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+    )
+    seq = (
+        ev.groupBy(F.col("user_id").cast("string").alias("doc_id"))
+        .agg(
+            F.transform(sorted_, lambda s: (s.event_id % 997).cast("int")).alias("toks"),
+            F.transform(sorted_, lambda s: s.value).alias("vals"),
+            F.transform(sorted_, lambda s: s.event_type).alias("tags"),
+        )
+        .withColumn("source", F.lit("events"))
+    )
+    enc = encode_table_df(seq, ["toks", "vals", "tags"])
+    dec = decode_table_df(enc, {"toks": "int", "vals": "double", "tags": "string"})
+    return dec.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.expr("aggregate(toks, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        F.round(F.expr("aggregate(vals, 0D, (a, x) -> a + x)"), 4).alias("val_sum"),
+        F.size(F.array_distinct("tags")).alias("tag_card"),
+        F.expr(
+            "aggregate(transform(toks, (x, i) -> cast((i + 1) * x as long)),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("tok_wsum"),
+    )
+
+
+ORACLE_TABLE_MIXED = """WITH seq AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           list(CAST(event_id % 997 AS INT) ORDER BY ts, event_id) AS toks,
+           list(value ORDER BY ts, event_id) AS vals,
+           list(event_type ORDER BY ts, event_id) AS tags
+    FROM events GROUP BY user_id
+)
+SELECT doc_id,
+       CAST(length(toks) AS INT) AS n,
+       CAST(list_sum(toks) AS BIGINT) AS tok_sum,
+       round(list_sum(vals), 4) AS val_sum,
+       CAST(length(list_distinct(tags)) AS INT) AS tag_card,
+       CAST(list_sum(list_transform(toks, (x, i) -> i * x)) AS BIGINT) AS tok_wsum
+FROM seq"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1007,6 +1059,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["strided_take"] = q_strided_take
     out["roundtrip_string"] = q_roundtrip_string
     out["reverse_stats"] = q_reverse_stats
+    out["table_mixed_roundtrip"] = q_table_mixed_roundtrip
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -1048,6 +1101,7 @@ def build_oracles() -> dict[str, str]:
     out["strided_take"] = ORACLE_STRIDED_TAKE
     out["roundtrip_string"] = ORACLE_ROUNDTRIP_STRING
     out["reverse_stats"] = ORACLE_REVERSE_STATS
+    out["table_mixed_roundtrip"] = ORACLE_TABLE_MIXED
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 
