@@ -1,0 +1,133 @@
+"""Typed RLE ⊕ RLE binary ops on the run-boundary union grid, with null
+propagation.
+
+Extends the int-token union-grid zip (codecs/zip_ops.py) to the typed
+family: the reference applies every binary operator across all dtypes with
+NaN/null propagation (/root/reference/tests/test_operators.py over the
+dtype fixtures; null semantics _algorithms.py:155-199). Values expand onto
+the union of the two run grids — O(runs_a + runs_b) value work, never a
+materialized value array for trle⊕trle — while validity combines as
+``valid_a AND valid_b`` (bool work, 1 B/slot). Output null slots carry
+op(filled_a, filled_b); since each input forward-fills its own previous
+value, that equals the previous output value except at leading-null slots,
+which the merge step simply keeps as fillers — decode masks them out either
+way.
+
+Float ops may produce NaN (e.g. inf - inf): runs are compared on the BIT
+view, so NaN outputs form runs exactly like NaN inputs do.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable
+
+import numpy as np
+
+from rle_array_spark.codecs.typed import (
+    _BIT_VIEWS,
+    _decode_header,
+    _encode_header,
+    _read_struct,
+    decode_typed,
+    dtype_code,
+    encode_traw,
+)
+
+TYPED_ZIP_OPS: dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: np.divide(a, b),
+    "min": np.minimum,
+    "max": np.maximum,
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+}
+
+COMPARISON_OPS = frozenset({"eq", "ne", "lt", "le", "gt", "ge"})
+
+
+def _typed_run_form(name: str, payload, n: int):
+    """→ (run_ends int64 (last == n), run_values ndarray of the tagged
+    dtype, valid bool array | None). trle parses the run form directly;
+    tdict/traw decode the stream and re-split on the bit view."""
+    buf = memoryview(payload)
+    dtype, valid, off = _decode_header(buf, n)
+    w = dtype.itemsize
+    bits = _BIT_VIEWS[w]
+    if name == "trle":
+        (n_runs,), off = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off).astype(np.int64)
+        off += 4 * n_runs
+        run_vals = np.frombuffer(buf, dtype=bits, count=n_runs, offset=off).view(dtype)
+        return ends, run_vals, valid
+    vals, _ = decode_typed(name, buf, n)
+    bv = np.ascontiguousarray(vals).view(bits)
+    if bv.size == 0:
+        return np.zeros(0, np.int64), vals[:0], valid
+    change = np.flatnonzero(bv[1:] != bv[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.append(change, bv.size).astype(np.int64)
+    return ends, vals[starts], valid
+
+
+def zip_typed_blocks(
+    name_a: str,
+    payload_a,
+    name_b: str,
+    payload_b,
+    n: int,
+    op: str,
+) -> tuple[str, bytes]:
+    """Elementwise ``op(a, b)`` over two equal-length typed blocks of the
+    SAME dtype. Returns (codec, payload); comparisons yield bool blocks.
+    Null propagation: result valid iff both inputs valid."""
+    fn = TYPED_ZIP_OPS[op]
+    if n == 0:
+        return "traw", encode_traw(np.zeros(0, dtype=np.float64))
+    ends_a, vals_a, valid_a = _typed_run_form(name_a, payload_a, n)
+    ends_b, vals_b, valid_b = _typed_run_form(name_b, payload_b, n)
+    if vals_a.dtype != vals_b.dtype:
+        raise ValueError(
+            f"typed zip dtype mismatch: {vals_a.dtype} vs {vals_b.dtype}"
+        )
+    union_ends = np.union1d(ends_a, ends_b)
+    a_exp = vals_a[np.searchsorted(ends_a, union_ends, side="left")]
+    b_exp = vals_b[np.searchsorted(ends_b, union_ends, side="left")]
+    out_vals = np.ascontiguousarray(fn(a_exp, b_exp))
+    if op in COMPARISON_OPS:
+        out_vals = out_vals.astype(np.bool_)
+    out_bits = out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize])
+    # merge adjacent grid cells with equal output bit patterns
+    if out_bits.size > 1:
+        keep = np.concatenate(([True], out_bits[1:] != out_bits[:-1]))
+        if not keep.all():
+            starts = np.flatnonzero(keep)
+            out_vals = out_vals[starts]
+            union_ends = union_ends[np.append(starts[1:] - 1, union_ends.size - 1)]
+    if valid_a is None:
+        valid = valid_b
+    elif valid_b is None:
+        valid = valid_a
+    else:
+        valid = valid_a & valid_b
+    code = dtype_code(out_vals.dtype)
+    header = _encode_header(code, valid)
+    trle_payload = (
+        header
+        + struct.pack("<I", union_ends.size)
+        + union_ends.astype("<u4").tobytes()
+        + out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize]).tobytes()
+    )
+    raw_size = len(header) + n * out_vals.dtype.itemsize
+    if len(trle_payload) <= raw_size:
+        return "trle", trle_payload
+    # runs ≈ n: expand once and store raw (never larger than raw + header)
+    lens = np.diff(np.concatenate(([0], union_ends)))
+    full = np.repeat(out_vals, lens)
+    return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()

@@ -46,6 +46,7 @@ def cmd_encode(args) -> int:
             num_partitions=args.partitions,
             chunk_tokens=args.chunk_tokens,
             encode_first=not args.shuffle_first,
+            commit_mode=args.commit_mode,
         )
         summary = {
             "partitions": len(lineage),
@@ -137,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
         "from corpus shape (salted mode only)",
     )
     enc.add_argument("--mode", default="overwrite")
+    enc.add_argument(
+        "--commit-mode",
+        default="sidecar",
+        choices=("sidecar", "manifest"),
+        help="resume protocol: per-partition rename-committed sidecars "
+        "(shared POSIX/HDFS) or manifest-only with self-certifying data "
+        "files (object stores, no atomic rename)",
+    )
     enc.add_argument(
         "--shuffle-first",
         action="store_true",

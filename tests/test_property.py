@@ -183,3 +183,66 @@ def test_zip_any_codec_pair_property(arr, codec_a, codec_b, op_name):
         codec, payload = zip_blocks(codec_a, pa_, codec_b, pb, arr.size, op)
     out = decode_block(payload, codec, arr.size)
     np.testing.assert_array_equal(out, expect64.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# typed family: any fixed-width dtype + any null mask must round-trip
+# bit-identically (reference round-trip properties across dtype fixtures,
+# /root/reference/tests/test_algorithms.py:84-133)
+# ---------------------------------------------------------------------------
+
+typed_payload_cases = st.one_of(
+    arrays(np.float64, st.integers(0, 200),
+           elements=st.floats(allow_nan=True, allow_infinity=True, width=64)),
+    arrays(np.int64, st.integers(0, 200),
+           elements=st.integers(-(2**40), 2**40)),
+    arrays(np.bool_, st.integers(0, 200)),
+    arrays(np.int16, st.integers(0, 200),
+           elements=st.integers(-(2**15), 2**15 - 1)),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(vals=typed_payload_cases, data=st.data(),
+       codec=st.sampled_from(["trle", "tdict", "traw", "auto"]))
+def test_typed_roundtrip_property(vals, data, codec):
+    from rle_array_spark.codecs.typed import decode_typed, encode_typed
+
+    mask = data.draw(
+        st.one_of(st.none(), arrays(np.bool_, vals.size)), label="mask"
+    )
+    name, payload = encode_typed(vals, mask, codec)
+    out, valid = decode_typed(name, payload, vals.size)
+    assert out.dtype == vals.dtype
+    eff_mask = (
+        np.ones(vals.size, bool) if mask is None
+        else np.asarray(mask, bool)
+    )
+    got_mask = np.ones(vals.size, bool) if valid is None else valid
+    np.testing.assert_array_equal(got_mask, eff_mask)
+    # BIT-identity at valid slots (NaN == NaN, -0.0 != +0.0)
+    w = vals.dtype.itemsize
+    bits = {1: "<u1", 2: "<u2", 4: "<u4", 8: "<u8"}[w]
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out).view(bits)[eff_mask],
+        np.ascontiguousarray(vals).view(bits)[eff_mask],
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(vals=st.lists(
+    st.one_of(st.none(), st.text(max_size=8)), min_size=0, max_size=120),
+    codec=st.sampled_from(["srle", "sdict", "sraw", "auto"]))
+def test_string_roundtrip_property(vals, codec):
+    import pyarrow as pa
+
+    from rle_array_spark.codecs.strings import decode_strings, encode_string_block
+
+    arr = pa.array(vals, type=pa.string())
+    name, payload = encode_string_block(arr, codec)
+    out, valid = decode_strings(name, payload, len(vals))
+    restored = (
+        list(out) if valid is None
+        else [v if ok else None for v, ok in zip(out, valid)]
+    )
+    assert restored == vals

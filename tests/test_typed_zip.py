@@ -1,0 +1,130 @@
+"""Typed union-grid zips: differential vs decode → numpy op → mask combine
+(reference binary operators across dtypes with null propagation,
+/root/reference/tests/test_operators.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rle_array_spark.codecs.typed import decode_typed, encode_typed
+from rle_array_spark.codecs.typed_zip import (
+    COMPARISON_OPS,
+    TYPED_ZIP_OPS,
+    zip_typed_blocks,
+)
+
+
+def _mk(vals, mask, codec):
+    vals = np.ascontiguousarray(vals)
+    return encode_typed(vals, mask, codec)
+
+
+def _pairs():
+    rng = np.random.default_rng(41)
+    n = 240
+    runny = np.repeat(rng.normal(size=8), 30)
+    noisy = rng.normal(size=n)
+    nanny = noisy.copy()
+    nanny[rng.random(n) < 0.3] = np.nan
+    m1 = rng.random(n) > 0.2
+    m2 = rng.random(n) > 0.2
+    ints = rng.integers(0, 5, n).astype(np.int64)
+    intr = np.repeat(rng.integers(0, 9, 12), 20).astype(np.int64)
+    return [
+        ("float_runny_runny", runny, None, np.roll(runny, 7), None),
+        ("float_runny_noisy", runny, None, noisy, None),
+        ("float_nan_masks", nanny, m1, noisy, m2),
+        ("float_one_masked", runny, m1, noisy, None),
+        ("int_runny", intr, None, np.roll(intr, 3), None),
+        ("int_masked", ints, m1, intr, m2),
+    ]
+
+
+@pytest.mark.parametrize("codec_a", ["trle", "tdict", "traw", "auto"])
+@pytest.mark.parametrize("op", sorted(TYPED_ZIP_OPS))
+def test_zip_typed_differential(codec_a, op):
+    for label, va, ma, vb, mb in _pairs():
+        if op == "div" and va.dtype.kind != "f":
+            continue  # int true-div leaves the dtype; float-only here
+        na, pa_ = _mk(va, ma, codec_a)
+        nb, pb_ = _mk(vb, mb, "auto")
+        name, payload = zip_typed_blocks(na, pa_, nb, pb_, va.size, op)
+        got, valid = decode_typed(name, payload, va.size)
+        exp = TYPED_ZIP_OPS[op](va, vb)
+        if op in COMPARISON_OPS:
+            exp = exp.astype(np.bool_)
+        exp_mask = None
+        if ma is not None or mb is not None:
+            exp_mask = (ma if ma is not None else np.ones(va.size, bool)) & (
+                mb if mb is not None else np.ones(vb.size, bool)
+            )
+        if exp_mask is None:
+            assert valid is None or valid.all(), label
+            np.testing.assert_array_equal(
+                got.view(np.uint8 if got.dtype.kind == "b" else got.dtype),
+                exp.view(np.uint8 if exp.dtype.kind == "b" else exp.dtype),
+                err_msg=f"{label} {op}",
+            )
+        else:
+            vgot = np.ones(va.size, bool) if valid is None else valid
+            np.testing.assert_array_equal(vgot, exp_mask, err_msg=f"{label} {op} mask")
+            # compare only valid slots (null slots carry fillers by design)
+            ga, ea = got[exp_mask], exp[exp_mask]
+            if ga.dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    ga.view("<u8"), ea.view("<u8"), err_msg=f"{label} {op}"
+                )
+            else:
+                np.testing.assert_array_equal(ga, ea, err_msg=f"{label} {op}")
+
+
+def test_zip_typed_dtype_mismatch_raises():
+    na, pa_ = _mk(np.zeros(4, np.float64), None, "auto")
+    nb, pb_ = _mk(np.zeros(4, np.int64), None, "auto")
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        zip_typed_blocks(na, pa_, nb, pb_, 4, "add")
+
+
+def test_zip_typed_empty():
+    na, pa_ = _mk(np.zeros(0, np.float64), None, "auto")
+    name, payload = zip_typed_blocks(na, pa_, na, pa_, 0, "add")
+    got, valid = decode_typed(name, payload, 0)
+    assert got.size == 0
+
+
+def test_zip_typed_df_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df, zip_typed_df
+
+    rng = np.random.default_rng(43)
+    rows_a, rows_b = [], []
+    for i in range(15):
+        n = int(rng.integers(0, 50))
+        a = [None if rng.random() < 0.2 else float(np.round(rng.normal(), 3)) for _ in range(n)]
+        b = [None if rng.random() < 0.2 else float(np.round(rng.normal(), 3)) for _ in range(n)]
+        rows_a.append((f"d{i}", "s", a))
+        rows_b.append((f"d{i}", "s", b))
+    schema = "doc_id string, source string, vals array<double>"
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    ba = encode_typed_df(da, codec="auto")
+    bb = encode_typed_df(db, codec="auto")
+    summed = zip_typed_df(ba, bb, "add")
+    out = {r["doc_id"]: r["vals"] for r in decode_typed_df(summed, "double").collect()}
+    for (doc_id, _, a), (_, _, b) in zip(rows_a, rows_b):
+        exp = [None if (x is None or y is None) else x + y for x, y in zip(a, b)]
+        got = out[doc_id]
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert (g is None) == (e is None)
+            if g is not None:
+                assert g == pytest.approx(e, abs=0)
+    # comparison op → bool blocks with the same null propagation
+    ltb = zip_typed_df(ba, bb, "lt")
+    assert ltb.select("vtype").distinct().collect() == [("bool",)]
+    out2 = {r["doc_id"]: r["vals"] for r in decode_typed_df(ltb, "boolean").collect()}
+    for (doc_id, _, a), (_, _, b) in zip(rows_a, rows_b):
+        exp = [None if (x is None or y is None) else (x < y) for x, y in zip(a, b)]
+        assert out2[doc_id] == exp, doc_id
