@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 from rle_array_spark.codecs import bitpack
 from rle_array_spark.codecs.core import _read_struct
 
-STRING_CODECS = ("srle", "sdict", "sraw")
+STRING_CODECS = ("srle", "sdict", "sraw", "sfsst")
 
 
 def _mask_runs(valid: np.ndarray) -> tuple[int, np.ndarray]:
@@ -150,6 +150,36 @@ def encode_srle(arr: pa.Array, parts=None) -> bytes:
     )
 
 
+def _value_bytes(arr: pa.Array) -> tuple[list[bytes], np.ndarray | None]:
+    valid = None
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        if valid.all():
+            valid = None
+        arr = arr.fill_null("")
+    return [s.encode("utf-8") for s in arr.to_pylist()], valid
+
+
+def encode_sfsst(arr: pa.Array) -> bytes:
+    """FSST-path for strings: the values' concatenated utf8 byte stream is
+    compressed with the NGRAM Re-Pair grammar (codecs/ngram.py — the token
+    analog of FSST's substring symbol table), with per-value byte offsets
+    alongside. Wins when values share substrings but cardinality is too
+    high for the dictionary (URLs, paths, prefixed ids)."""
+    from rle_array_spark.codecs.ngram import NgramCodec
+
+    vals, valid = _value_bytes(arr)
+    offs = np.zeros(len(vals) + 1, dtype=np.uint32)
+    np.cumsum([len(b) for b in vals], out=offs[1:])
+    stream = np.frombuffer(b"".join(vals), dtype=np.uint8).astype(np.int32)
+    body = NgramCodec().encode(stream)
+    return (
+        _encode_flags(valid)
+        + offs.astype("<u4").tobytes()
+        + body
+    )
+
+
 def encode_sraw(arr: pa.Array) -> bytes:
     n = len(arr)
     valid = None
@@ -169,6 +199,17 @@ def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray |
     carry their forward-filled value; callers mask them out via ``valid``."""
     buf = memoryview(payload)
     valid, off = _decode_flags(buf, n)
+    if name == "sfsst":
+        from rle_array_spark.codecs.ngram import NgramCodec
+
+        offs = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=off).astype(np.int64)
+        off += 4 * (n + 1)
+        stream = NgramCodec().decode(buf[off:], int(offs[-1]))
+        data = stream.astype(np.uint8).tobytes()
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = data[offs[i] : offs[i + 1]].decode("utf-8")
+        return out, valid
     if name == "sraw":
         offs = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=off).astype(np.int64)
         off += 4 * (n + 1)
@@ -237,6 +278,8 @@ def encode_string_block_stats(
         return "sdict", encode_sdict(arr, parts), r, k, null_count
     if codec == "sraw":
         return "sraw", encode_sraw(arr), r, k, null_count
+    if codec == "sfsst":
+        return "sfsst", encode_sfsst(arr), r, k, null_count
     if codec != "auto":
         raise ValueError(f"unknown string codec {codec!r}")
     if n == 0:
@@ -253,7 +296,15 @@ def encode_string_block_stats(
     est_raw = header + 4 * (n + 1) + total_bytes
     best = min((est_rle, "srle"), (est_dict, "sdict"), (est_raw, "sraw"))[1]
     if best == "sraw":
-        return "sraw", encode_sraw(arr), r, k, null_count
+        # raw is the analytic winner: neither runs nor the dictionary pay.
+        # The remaining candidate is substring sharing — trial the FSST
+        # grammar when there are enough bytes for a table to amortize.
+        raw = encode_sraw(arr)
+        if total_bytes >= 256:
+            fsst = encode_sfsst(arr)
+            if len(fsst) < len(raw):
+                return "sfsst", fsst, r, k, null_count
+        return "sraw", raw, r, k, null_count
     payload = {"srle": encode_srle, "sdict": encode_sdict}[best](arr, parts)
     raw = encode_sraw(arr)
     if len(raw) <= len(payload):

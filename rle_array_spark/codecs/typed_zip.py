@@ -66,6 +66,16 @@ def _typed_run_form(name: str, payload, n: int):
         off += 4 * n_runs
         run_vals = np.frombuffer(buf, dtype=bits, count=n_runs, offset=off).view(dtype)
         return ends, run_vals, valid
+    import warnings
+
+    from rle_array_spark.codecs.core import PerformanceWarning
+
+    warnings.warn(
+        f"typed zip input {name!r} decodes its value stream "
+        "(the union-grid fast path needs trle)",
+        PerformanceWarning,
+        stacklevel=3,
+    )
     vals, _ = decode_typed(name, buf, n)
     bv = np.ascontiguousarray(vals).view(bits)
     if bv.size == 0:

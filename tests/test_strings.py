@@ -59,8 +59,14 @@ def test_string_auto_picks_sensible_codecs():
     assert encode_string_block(runny, "auto")[0] == "srle"
     low_card = pa.array([f"k{i % 3}" for i in range(999)])
     assert encode_string_block(low_card, "auto")[0] in ("sdict", "srle")
-    distinct = pa.array([f"unique-value-{i:06d}" for i in range(500)])
-    assert encode_string_block(distinct, "auto")[0] == "sraw"
+    # shared-prefix distinct values → the FSST grammar beats raw (and on
+    # any ASCII payload the grammar's bit-packed stream alone beats 8-bit
+    # raw bytes, so sfsst is the expected winner for distinct ASCII text)
+    prefixed = pa.array([f"unique-value-{i:06d}" for i in range(500)])
+    assert encode_string_block(prefixed, "auto")[0] == "sfsst"
+    # tiny distinct blocks stay raw (no bytes for a grammar to amortize)
+    small = pa.array([f"v{i}" for i in range(20)])
+    assert encode_string_block(small, "auto")[0] == "sraw"
 
 
 def test_string_stats_null_run_semantics():
@@ -108,3 +114,23 @@ def test_encode_strings_df_forced_codecs_roundtrip(spark):
         out = {r["doc_id"]: r["vals"] for r in decode_strings_df(blocks).collect()}
         for doc_id, _, vals in rows:
             assert out[doc_id] == vals, (codec, doc_id)
+
+
+def test_sfsst_roundtrip_all_cases():
+    from rle_array_spark.codecs.strings import encode_sfsst
+
+    for case, vals in CASES.items():
+        assert _roundtrip(vals, "sfsst") == vals, case
+
+
+def test_sfsst_wins_on_shared_substrings():
+    # high-cardinality values sharing a long prefix: dictionary stores every
+    # distinct value whole, raw stores every byte — the grammar pays
+    from rle_array_spark.codecs.strings import encode_sraw
+
+    vals = [f"https://example.com/products/category/item-{i:05d}" for i in range(300)]
+    arr = pa.array(vals, type=pa.string())
+    name, payload = encode_string_block(arr, "auto")
+    assert name == "sfsst"
+    assert len(payload) < 0.5 * len(encode_sraw(arr))
+    assert _roundtrip(vals, "auto") == vals

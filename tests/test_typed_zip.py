@@ -128,3 +128,23 @@ def test_zip_typed_df_roundtrip(spark):
     for (doc_id, _, a), (_, _, b) in zip(rows_a, rows_b):
         exp = [None if (x is None or y is None) else (x < y) for x, y in zip(a, b)]
         assert out2[doc_id] == exp, doc_id
+
+
+def test_zip_typed_fastpath_contract():
+    """trle⊕trle must be silent; any non-trle input must raise
+    PerformanceWarning (escalated to error here, the fastpath discipline of
+    tests/test_fastpath.py)."""
+    import warnings
+
+    from rle_array_spark.codecs.core import PerformanceWarning
+
+    runny = np.repeat(np.arange(5, dtype=np.float64), 40)
+    na, pa_ = _mk(runny, None, "trle")
+    nb, pb_ = _mk(np.roll(runny, 3), None, "trle")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PerformanceWarning)
+        zip_typed_blocks(na, pa_, nb, pb_, runny.size, "add")  # silent
+
+    nc, pc_ = _mk(runny, None, "traw")
+    with pytest.warns(PerformanceWarning, match="decodes its value stream"):
+        zip_typed_blocks(na, pa_, nc, pc_, runny.size, "add")
