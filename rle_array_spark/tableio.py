@@ -427,3 +427,192 @@ def vacuum(out_dir: str, keep_snapshots: int | None = None) -> list[str]:
             if os.path.exists(sidecar):
                 os.remove(sidecar)
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# Whole-table (mixed-dtype) checkpointed writer
+# ---------------------------------------------------------------------------
+
+def encode_table_to_dir(
+    df,
+    cols: list[str],
+    out_dir: str,
+    codec: str = "auto",
+    num_partitions: int = 32,
+    fail_at_partition: int | None = None,
+    commit_mode: str = "sidecar",
+) -> list[dict]:
+    """Checkpointed writer for the mixed-dtype whole-table encode
+    (tableframe.encode_table_df): every array column under its codec
+    family, one wide row per input row, written as one immutable parquet
+    file per partition with the same snapshot/lineage/resume discipline as
+    :func:`encode_to_dir`.
+
+    Encode-first by construction: columns are encoded at scan parallelism
+    and the shuffle moves encoded wide rows (binary payloads), keyed by a
+    deterministic hash repartition on doc_id. Frame rows are assumed
+    bounded (no chunking — chunk upstream or use the single-column path
+    for giant-sequence corpora). Lineage totals aggregate across all
+    encoded columns."""
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.tableframe import encode_table_df, table_schema
+
+    if commit_mode not in ("sidecar", "manifest"):
+        raise ValueError(f"commit_mode must be 'sidecar' or 'manifest', got {commit_mode!r}")
+    os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "snapshots"), exist_ok=True)
+    _, kinds = table_schema(df, cols)
+    params_key = (
+        f"table|{codec}|{num_partitions}|{','.join(f'{c}:{kinds[c]}' for c in cols)}"
+    )
+
+    blocks = encode_table_df(df, cols, codec=codec)
+    parted = blocks.repartition(num_partitions, "doc_id").sortWithinPartitions("doc_id")
+
+    n_value_cols = [f"{c}__n_values" for c in cols]
+    enc_cols = [f"{c}__encoded_bytes" for c in cols]
+
+    def kernel(batches):
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        t0 = time.monotonic()
+        in_batches = [b for b in batches if b.num_rows]
+        doc_ids: list[str] = []
+        n_vals: list[int] = []
+        for b in in_batches:
+            doc_ids.extend(b.column("doc_id").to_pylist())
+            totals = None
+            for nc in n_value_cols:
+                col = b.column(nc).to_numpy(zero_copy_only=False)
+                totals = col.astype("int64") if totals is None else totals + col
+            n_vals.extend(int(x) for x in totals)
+        fp = _fingerprint(doc_ids, n_vals, [0] * len(doc_ids), params_key)
+        data_path = _data_path(out_dir, part_id, fp)
+        lineage_path = _lineage_path(out_dir, part_id, fp)
+
+        if commit_mode == "sidecar":
+            if os.path.exists(lineage_path) and os.path.exists(data_path):
+                with open(lineage_path) as f:
+                    rec = json.load(f)
+                if rec.get("fingerprint") == fp:
+                    rec["status"] = "skipped"
+                    yield _lineage_batch(rec)
+                    return
+        else:
+            rec = _table_stats_from_file(data_path, part_id, fp, n_value_cols, enc_cols)
+            if rec is not None:
+                yield _lineage_batch(rec)
+                return
+
+        if fail_at_partition is not None and part_id == fail_at_partition:
+            raise InjectedFailure(f"injected failure at partition {part_id}")
+
+        if in_batches:
+            table = pa.Table.from_batches(in_batches)
+        else:
+            # empty partition: schema comes from the plan via an empty select
+            yield _lineage_batch({
+                "part_id": part_id, "status": "encoded", "fingerprint": fp,
+                "n_rows": 0, "n_tokens": 0, "raw_bytes": 0, "encoded_bytes": 0,
+                "ref_rle_bytes": 0, "tok_sum": 0, "codec_histogram": "{}",
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            })
+            return
+        table = table.sort_by([("doc_id", "ascending")])
+        tmp_path = data_path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp_path)
+        os.replace(tmp_path, data_path)
+
+        hist: dict[str, int] = {}
+        for c in cols:
+            for name in table.column(f"{c}__codec").to_pylist():
+                hist[name] = hist.get(name, 0) + 1
+        rec = {
+            "part_id": part_id,
+            "status": "encoded",
+            "fingerprint": fp,
+            "n_rows": table.num_rows,
+            "n_tokens": sum(_col_sum(table, nc) for nc in n_value_cols),
+            # per-column raw accounting lives in the blocks themselves
+            # (field sets differ per family); lineage totals track values+bytes
+            "raw_bytes": 0,
+            "encoded_bytes": sum(_col_sum(table, ec) for ec in enc_cols),
+            "ref_rle_bytes": 0,
+            "tok_sum": 0,
+            "codec_histogram": json.dumps(hist, sort_keys=True),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+        if commit_mode == "sidecar":
+            tmp_lineage = lineage_path + f".tmp-{os.getpid()}"
+            with open(tmp_lineage, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp_lineage, lineage_path)
+        yield _lineage_batch(rec)
+
+    lineage_rows = [r.asDict() for r in parted.mapInArrow(kernel, LINEAGE_SCHEMA).collect()]
+    lineage_rows.sort(key=lambda r: r["part_id"])
+
+    existing = sorted(glob.glob(os.path.join(out_dir, "snapshots", "v*.json")))
+    version = 1 + max((int(os.path.basename(p)[1:-5]) for p in existing), default=0)
+    snapshot = {
+        "version": version,
+        "parent": version - 1 if existing else None,
+        "codec": codec,
+        "table_cols": {c: kinds[c] for c in cols},
+        "num_partitions": num_partitions,
+        "params_key": params_key,
+        "files": [
+            os.path.basename(_data_path(out_dir, r["part_id"], r["fingerprint"]))
+            for r in lineage_rows
+            if r["n_rows"] > 0 or os.path.exists(
+                _data_path(out_dir, r["part_id"], r["fingerprint"])
+            )
+        ],
+        "partitions": lineage_rows,
+    }
+    snap_path = os.path.join(out_dir, "snapshots", f"v{version}.json")
+    with open(snap_path + ".tmp", "w") as f:
+        json.dump(snapshot, f, indent=1)
+    os.replace(snap_path + ".tmp", snap_path)
+    pointer = {"latest": version, "codec": codec, "num_partitions": num_partitions,
+               "table_cols": snapshot["table_cols"], "partitions": lineage_rows}
+    tmp_manifest = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp_manifest, "w") as f:
+        json.dump(pointer, f, indent=1)
+    os.replace(tmp_manifest, os.path.join(out_dir, "_manifest.json"))
+    return lineage_rows
+
+
+def _table_stats_from_file(
+    data_path: str, part_id: int, fp: str, n_value_cols: list[str], enc_cols: list[str]
+) -> dict | None:
+    """Manifest-mode skip-check for table-writer files (wide schema)."""
+    if not os.path.exists(data_path):
+        return None
+    try:
+        t = pq.read_table(data_path, columns=n_value_cols + enc_cols)
+    except Exception:
+        os.remove(data_path)
+        return None
+    return {
+        "part_id": part_id,
+        "status": "skipped",
+        "fingerprint": fp,
+        "n_rows": t.num_rows,
+        "n_tokens": sum(_col_sum(t, nc) for nc in n_value_cols),
+        "raw_bytes": 0,
+        "encoded_bytes": sum(_col_sum(t, ec) for ec in enc_cols),
+        "ref_rle_bytes": 0,
+        "tok_sum": 0,
+        "codec_histogram": "{}",
+        "wall_ms": 0,
+    }
+
+
+def read_table_blocks(spark: SparkSession, out_dir: str, snapshot: int | None = None) -> DataFrame:
+    """Read the wide encoded-table rows at a snapshot (latest by default)."""
+    snap = read_snapshot(out_dir, snapshot)
+    files = [os.path.join(out_dir, "blocks", f) for f in snap["files"]]
+    return spark.read.parquet(*files)
