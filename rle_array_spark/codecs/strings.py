@@ -181,6 +181,8 @@ def encode_sfsst(arr: pa.Array) -> bytes:
 
 
 def encode_sraw(arr: pa.Array) -> bytes:
+    """Buffer-level raw layout: the Arrow string offsets/data buffers are
+    re-based and written directly — no per-value Python."""
     n = len(arr)
     valid = None
     if arr.null_count:
@@ -188,10 +190,16 @@ def encode_sraw(arr: pa.Array) -> bytes:
         if valid.all():
             valid = None
         arr = arr.fill_null("")
-    vals = [s.encode("utf-8") for s in arr.to_pylist()]
-    offs = np.zeros(n + 1, dtype=np.uint32)
-    np.cumsum([len(b) for b in vals], out=offs[1:])
-    return _encode_flags(valid) + offs.astype("<u4").tobytes() + b"".join(vals)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if n == 0 or arr.buffers()[1] is None:
+        return _encode_flags(valid) + np.zeros(n + 1, dtype="<u4").tobytes()
+    abs_offs = np.frombuffer(
+        arr.buffers()[1], dtype="<i4", count=n + 1, offset=4 * arr.offset
+    ).astype(np.int64)
+    data = memoryview(arr.buffers()[2])[abs_offs[0] : abs_offs[-1]]
+    offs = (abs_offs - abs_offs[0]).astype("<u4")
+    return _encode_flags(valid) + offs.tobytes() + bytes(data)
 
 
 def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray | None]:
@@ -256,10 +264,18 @@ def encode_string_block(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]
 
 
 def encode_string_block_stats(
-    arr: pa.Array, codec: str = "auto"
+    arr: pa.Array,
+    codec: str = "auto",
+    parts=None,
+    total_bytes: int | None = None,
 ) -> tuple[str, bytes, int, int, int]:
     """(name, payload, n_runs, cardinality, null_count) with ONE dictionary
     pass shared by the codec choice, the winning encode, and the metadata.
+
+    ``parts`` may carry precomputed ``(table_bytes, codes, valid)`` — the
+    batch-level kernel dictionary-encodes a whole Arrow batch once and
+    localizes per row, passing the result here; ``total_bytes`` then skips
+    the per-row byte-length reduction too.
 
     ``auto`` mirrors chooser.py: run count and cardinality rank the three
     layouts analytically, the winner is encoded, and sraw wins ties so a
@@ -267,7 +283,8 @@ def encode_string_block_stats(
     forward-filled codes — nulls extend the preceding run, the same
     null-run semantics the payload itself uses."""
     n = len(arr)
-    parts = _dict_parts(arr)
+    if parts is None:
+        parts = _dict_parts(arr)
     table, codes, valid = parts
     k = len(table)
     null_count = 0 if valid is None else int((~valid).sum())
@@ -285,28 +302,29 @@ def encode_string_block_stats(
     if n == 0:
         return "sraw", encode_sraw(arr), 0, 0, 0
     table_bytes = 4 + 4 * (k + 1) + sum(len(b) for b in table)
-    total_bytes = int(
-        pc.sum(pc.binary_length(arr.cast(pa.binary()).fill_null(b""))).as_py() or 0
-    )
+    if total_bytes is None:
+        total_bytes = int(
+            pc.sum(pc.binary_length(arr.cast(pa.binary()).fill_null(b""))).as_py() or 0
+        )
     null_bytes = 0 if valid is None else 6 + 4 * _mask_runs(valid)[1].size
     header = 1 + null_bytes
     width = bitpack.bit_width(k - 1) if k > 1 else 0
     est_dict = header + table_bytes + 1 + bitpack.packed_nbytes(n, width)
     est_rle = header + table_bytes + 4 + 4 * r + 1 + bitpack.packed_nbytes(r, width)
     est_raw = header + 4 * (n + 1) + total_bytes
+    # est_raw is EXACT for the buffer-level sraw layout (header + offsets +
+    # utf8 bytes), so the raw guard needs no trial encode.
     best = min((est_rle, "srle"), (est_dict, "sdict"), (est_raw, "sraw"))[1]
     if best == "sraw":
         # raw is the analytic winner: neither runs nor the dictionary pay.
         # The remaining candidate is substring sharing — trial the FSST
         # grammar when there are enough bytes for a table to amortize.
-        raw = encode_sraw(arr)
         if total_bytes >= 256:
             fsst = encode_sfsst(arr)
-            if len(fsst) < len(raw):
+            if len(fsst) < est_raw:
                 return "sfsst", fsst, r, k, null_count
-        return "sraw", raw, r, k, null_count
+        return "sraw", encode_sraw(arr), r, k, null_count
     payload = {"srle": encode_srle, "sdict": encode_sdict}[best](arr, parts)
-    raw = encode_sraw(arr)
-    if len(raw) <= len(payload):
-        return "sraw", raw, r, k, null_count
+    if est_raw <= len(payload):
+        return "sraw", encode_sraw(arr), r, k, null_count
     return best, payload, r, k, null_count

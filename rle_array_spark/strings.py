@@ -26,6 +26,80 @@ STRING_BLOCKS_SCHEMA = (
 )
 
 
+def encode_string_rows(child: pa.Array, offsets: np.ndarray, codec: str) -> dict:
+    """Encode every row of a flattened string child (rows delimited by
+    0-based ``offsets``, len n_rows+1) → dict of per-row output arrays.
+
+    ONE dictionary pass for the whole batch (C-side), localized per row via
+    integer ops — per-row Arrow calls measured 3-8× slower on short rows
+    (fixed call overhead dominates). Shared by encode_strings_df and the
+    mixed-table kernel (tableframe)."""
+    import pyarrow.compute as pc
+
+    n_rows = offsets.size - 1
+    denc = pc.dictionary_encode(child)
+    gtable = [s.encode("utf-8") for s in denc.dictionary.to_pylist()]
+    glens = np.array([len(b) for b in gtable], dtype=np.int64)
+    gidx = denc.indices
+    if gidx.null_count:
+        gidx = gidx.fill_null(-1)
+    gcodes = gidx.to_numpy(zero_copy_only=False).astype(np.int64)
+    out = {
+        "codec": [], "payload": [],
+        "n_values": np.empty(n_rows, dtype=np.int32),
+        "n_runs": np.empty(n_rows, dtype=np.int32),
+        "null_count": np.zeros(n_rows, dtype=np.int32),
+        "card": np.zeros(n_rows, dtype=np.int32),
+        "val_min": [], "val_max": [],
+        "raw_bytes": np.empty(n_rows, dtype=np.int64),
+        "encoded_bytes": np.empty(n_rows, dtype=np.int64),
+    }
+    for i in range(n_rows):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        nv = hi - lo
+        rc = gcodes[lo:hi]
+        valid = None
+        if (rc < 0).any():
+            valid = rc >= 0
+            pos = np.where(valid, np.arange(nv, dtype=np.int64), -1)
+            np.maximum.accumulate(pos, out=pos)
+            rc = rc[np.maximum(pos, 0)]
+            first_valid = int(np.argmax(valid)) if valid.any() else 0
+            rc = np.where(pos < 0, rc[first_valid] if valid.any() else 0, rc)
+        if nv:
+            uniq, inv = np.unique(rc, return_inverse=True)
+        else:
+            uniq = np.zeros(0, dtype=np.int64)
+            inv = np.zeros(0, dtype=np.int64)
+        if valid is not None and not valid.any():
+            table: list[bytes] = []  # all-null row: empty table
+            inv = np.zeros(nv, dtype=np.int64)
+        else:
+            table = [gtable[int(u)] for u in uniq]
+        vbytes = glens[rc[valid]] if valid is not None else glens[rc] if nv else glens[:0]
+        tb = int(vbytes.sum())
+        row = child.slice(lo, nv)
+        name, payload, r, k, nulls = encode_string_block_stats(
+            row, codec, parts=(table, inv, valid), total_bytes=tb
+        )
+        out["codec"].append(name)
+        out["payload"].append(payload)
+        out["n_values"][i] = nv
+        out["n_runs"][i] = r
+        out["null_count"][i] = nulls
+        out["card"][i] = k
+        if table:
+            svals = [b.decode("utf-8") for b in table]
+            out["val_min"].append(min(svals))
+            out["val_max"].append(max(svals))
+        else:
+            out["val_min"].append(None)
+            out["val_max"].append(None)
+        out["raw_bytes"][i] = tb + 4 * nv
+        out["encoded_bytes"][i] = len(payload)
+    return out
+
+
 def encode_strings_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> DataFrame:
     """(doc_id, source, <col> array<string>) → string encoded blocks."""
 
@@ -38,41 +112,13 @@ def encode_strings_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> 
                 lists = lists.combine_chunks()
             offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             child = lists.flatten()
-            n_rows = batch.num_rows
-            names_out: list[str] = []
-            payloads: list[bytes] = []
-            n_values = np.empty(n_rows, dtype=np.int32)
-            n_runs = np.empty(n_rows, dtype=np.int32)
-            null_count = np.zeros(n_rows, dtype=np.int32)
-            card = np.zeros(n_rows, dtype=np.int32)
-            vmin: list[str | None] = []
-            vmax: list[str | None] = []
-            raw_bytes = np.empty(n_rows, dtype=np.int64)
-            enc_bytes = np.empty(n_rows, dtype=np.int64)
-            import pyarrow.compute as pc
-
-            base = offsets[0]
-            for i in range(n_rows):
-                lo, hi = int(offsets[i] - base), int(offsets[i + 1] - base)
-                row = child.slice(lo, hi - lo)
-                name, payload, r, k, nulls = encode_string_block_stats(row, codec)
-                names_out.append(name)
-                payloads.append(payload)
-                n_values[i] = hi - lo
-                n_runs[i] = r
-                null_count[i] = nulls
-                card[i] = k
-                valid_vals = row.drop_null()
-                if len(valid_vals):
-                    vmin.append(pc.min(valid_vals).as_py())
-                    vmax.append(pc.max(valid_vals).as_py())
-                else:
-                    vmin.append(None)
-                    vmax.append(None)
-                raw_bytes[i] = int(
-                    pc.sum(pc.binary_length(valid_vals.cast(pa.binary()))).as_py() or 0
-                ) + 4 * (hi - lo)
-                enc_bytes[i] = len(payload)
+            c = encode_string_rows(child, offsets - offsets[0], codec)
+            names_out = c["codec"]
+            payloads = c["payload"]
+            n_values, n_runs = c["n_values"], c["n_runs"]
+            null_count, card = c["null_count"], c["card"]
+            vmin, vmax = c["val_min"], c["val_max"]
+            raw_bytes, enc_bytes = c["raw_bytes"], c["encoded_bytes"]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),

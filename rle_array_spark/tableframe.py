@@ -23,7 +23,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from rle_array_spark.codecs import CODECS
-from rle_array_spark.codecs.strings import decode_strings, encode_string_block_stats
+from rle_array_spark.codecs.strings import decode_strings
 from rle_array_spark.codecs.typed import decode_typed, encode_typed
 from rle_array_spark.chooser import DEFAULT_THRESHOLD
 from rle_array_spark.engine import _encode_column, _list_to_numpy
@@ -129,35 +129,23 @@ def encode_table_df(df: DataFrame, cols: list[str], codec: str = "auto") -> Data
                     names.extend(f"{cname}__{f}" for f, _ in TYPED_FIELDS)
                     names.append(f"{cname}__vtype")
                 else:  # string
+                    from rle_array_spark.strings import encode_string_rows
+
                     if isinstance(col, pa.ChunkedArray):
                         col = col.combine_chunks()
                     soffsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-                    child = col.flatten()
-                    base = soffsets[0]
-                    scodec = codec if codec in ("srle", "sdict", "sraw") else "auto"
-                    cnames, payloads = [], []
-                    n_values = np.empty(n_rows, dtype=np.int32)
-                    n_runs = np.empty(n_rows, dtype=np.int32)
-                    null_count = np.empty(n_rows, dtype=np.int32)
-                    card = np.empty(n_rows, dtype=np.int32)
-                    enc_bytes = np.empty(n_rows, dtype=np.int64)
-                    for i in range(n_rows):
-                        lo, hi = int(soffsets[i] - base), int(soffsets[i + 1] - base)
-                        row = child.slice(lo, hi - lo)
-                        name, payload, r, k, nulls = encode_string_block_stats(row, scodec)
-                        cnames.append(name)
-                        payloads.append(payload)
-                        n_values[i], n_runs[i] = hi - lo, r
-                        null_count[i], card[i] = nulls, k
-                        enc_bytes[i] = len(payload)
+                    scodec = codec if codec in ("srle", "sdict", "sraw", "sfsst") else "auto"
+                    c = encode_string_rows(
+                        col.flatten(), soffsets - soffsets[0], scodec
+                    )
                     arrays.extend([
-                        pa.array(cnames, type=pa.string()),
-                        pa.array(payloads, type=pa.binary()),
-                        pa.array(n_values),
-                        pa.array(n_runs),
-                        pa.array(null_count),
-                        pa.array(card),
-                        pa.array(enc_bytes),
+                        pa.array(c["codec"], type=pa.string()),
+                        pa.array(c["payload"], type=pa.binary()),
+                        pa.array(c["n_values"]),
+                        pa.array(c["n_runs"]),
+                        pa.array(c["null_count"]),
+                        pa.array(c["card"]),
+                        pa.array(c["encoded_bytes"]),
                     ])
                     names.extend(f"{cname}__{f}" for f, _ in STRING_FIELDS)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
