@@ -328,3 +328,81 @@ def encode_string_block_stats(
     if est_raw <= len(payload):
         return "sraw", encode_sraw(arr), r, k, null_count
     return best, payload, r, k, null_count
+
+
+def _codes_form(name: str, payload, n: int):
+    """→ (table object-ndarray of str, codes int64 (length n, nulls
+    forward-filled), valid | None) for the dictionary-backed codecs."""
+    buf = memoryview(payload)
+    valid, off = _decode_flags(buf, n)
+    table, off = _unpack_table(buf, off)
+    if name == "sdict":
+        (width,), off = _read_struct("<B", buf, off)
+        codes = (
+            bitpack.unpack_bits(buf[off:], n, width).astype(np.int64)
+            if width
+            else np.zeros(n, dtype=np.int64)
+        )
+        return table, codes, valid
+    if name == "srle":
+        (n_runs,), off = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off).astype(np.int64)
+        off += 4 * n_runs
+        (width,), off = _read_struct("<B", buf, off)
+        run_codes = (
+            bitpack.unpack_bits(buf[off:], n_runs, width).astype(np.int64)
+            if width
+            else np.zeros(n_runs, dtype=np.int64)
+        )
+        codes = np.repeat(run_codes, np.diff(np.concatenate(([0], ends))))
+        return table, codes, valid
+    raise ValueError(f"{name!r} carries no code stream")
+
+
+def _emit_codes(table: np.ndarray, codes: np.ndarray, valid) -> tuple[str, bytes]:
+    """Re-encode a (table, codes, valid) triple as srle or sdict, whichever
+    is smaller (the two layouts share the table; values never touched)."""
+    tbytes = [t.encode("utf-8") for t in table]
+    parts = (tbytes, codes, valid)
+    arr = None  # parts-only paths below never need the values
+    rle_p = encode_srle(arr, parts)
+    dict_p = encode_sdict(arr, parts)
+    return ("srle", rle_p) if len(rle_p) <= len(dict_p) else ("sdict", dict_p)
+
+
+def take_strings(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]:
+    """values[idx] (sorted idx) as a string block. For the
+    dictionary-backed codecs the gather happens in the CODE domain — string
+    bytes are never touched, only the (shared) table is copied. sraw/sfsst
+    decode, gather, and re-choose."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size and (idx[0] < 0 or idx[-1] >= n):
+        raise IndexError(f"take index out of range [0, {n})")
+    if name in ("srle", "sdict"):
+        table, codes, valid = _codes_form(name, payload, n)
+        new_valid = valid[idx] if valid is not None else None
+        if new_valid is not None and new_valid.all():
+            new_valid = None
+        return _emit_codes(table, codes[idx], new_valid)
+    vals, valid = decode_strings(name, payload, n)
+    gathered = vals[idx] if idx.size else np.empty(0, dtype=object)
+    mask = None
+    if valid is not None:
+        gv = valid[idx]
+        gathered = np.where(gv, gathered, None)
+    arr = pa.array(list(gathered), type=pa.string())
+    return encode_string_block(arr, "auto")
+
+
+def reverse_strings(name: str, payload, n: int) -> tuple[str, bytes]:
+    """Reversed string block; code-domain for srle/sdict."""
+    if name in ("srle", "sdict"):
+        table, codes, valid = _codes_form(name, payload, n)
+        new_valid = valid[::-1].copy() if valid is not None else None
+        return _emit_codes(table, codes[::-1].copy(), new_valid)
+    vals, valid = decode_strings(name, payload, n)
+    rev = vals[::-1].copy()
+    if valid is not None:
+        rev = np.where(valid[::-1], rev, None)
+    arr = pa.array(list(rev), type=pa.string())
+    return encode_string_block(arr, "auto")

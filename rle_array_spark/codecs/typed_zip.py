@@ -71,8 +71,8 @@ def _typed_run_form(name: str, payload, n: int):
     from rle_array_spark.codecs.core import PerformanceWarning
 
     warnings.warn(
-        f"typed zip input {name!r} decodes its value stream "
-        "(the union-grid fast path needs trle)",
+        f"typed run-form input {name!r} decodes its value stream "
+        "(the compressed-domain fast path needs trle)",
         PerformanceWarning,
         stacklevel=3,
     )
@@ -140,4 +140,75 @@ def zip_typed_blocks(
     # runs ≈ n: expand once and store raw (never larger than raw + header)
     lens = np.diff(np.concatenate(([0], union_ends)))
     full = np.repeat(out_vals, lens)
+    return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()
+
+
+def take_typed(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]:
+    """values[idx] for sorted ``idx`` in [0, n) as a typed block — the
+    reference ``_take_kernel`` generalized to every dtype
+    (/root/reference/rle_array/_algorithms.py:370-481): source runs are
+    located with ONE searchsorted, consecutive indices in one run collapse
+    (run reuse), equal-valued neighbors merge on the bit view, and the
+    validity mask gathers positionally."""
+    idx = np.asarray(idx, dtype=np.int64)
+    buf = memoryview(payload)
+    dtype, valid, _ = _decode_header(buf, n)
+    if idx.size and (idx[0] < 0 or idx[-1] >= n):
+        raise IndexError(f"take index out of range [0, {n})")
+    ends, run_vals, _ = _typed_run_form(name, payload, n)
+    bits = _BIT_VIEWS[dtype.itemsize]
+    if idx.size == 0:
+        header = _encode_header(dtype_code(dtype), None)
+        return "trle", header + struct.pack("<I", 0)
+    ridx = np.searchsorted(ends, idx, side="right")
+    starts = np.concatenate(([0], np.flatnonzero(ridx[1:] != ridx[:-1]) + 1))
+    lens = np.diff(np.concatenate((starts, [idx.size])))
+    out_vals = np.ascontiguousarray(run_vals[ridx[starts]])
+    ob = out_vals.view(bits)
+    if ob.size > 1:
+        keep = np.concatenate(([True], ob[1:] != ob[:-1]))
+        if not keep.all():
+            s2 = np.flatnonzero(keep)
+            out_vals = out_vals[s2]
+            lens = np.add.reduceat(lens, s2)
+    new_valid = valid[idx] if valid is not None else None
+    if new_valid is not None and new_valid.all():
+        new_valid = None
+    header = _encode_header(dtype_code(dtype), new_valid)
+    out_ends = np.cumsum(lens).astype("<u4")
+    trle = (
+        header
+        + struct.pack("<I", out_ends.size)
+        + out_ends.tobytes()
+        + out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize]).tobytes()
+    )
+    raw_size = len(header) + idx.size * dtype.itemsize
+    if len(trle) <= raw_size:
+        return "trle", trle
+    full = np.repeat(out_vals, lens)
+    return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()
+
+
+def reverse_typed(name: str, payload, n: int) -> tuple[str, bytes]:
+    """Reversed typed block (negative-step slice) in the run domain:
+    O(n_runs) for trle, with the validity mask's run structure reversed."""
+    buf = memoryview(payload)
+    dtype, valid, _ = _decode_header(buf, n)
+    ends, run_vals, _ = _typed_run_form(name, payload, n)
+    lens = np.diff(np.concatenate(([0], ends)))
+    out_vals = np.ascontiguousarray(run_vals[::-1])
+    out_lens = lens[::-1]
+    new_valid = valid[::-1].copy() if valid is not None else None
+    header = _encode_header(dtype_code(dtype), new_valid)
+    out_ends = np.cumsum(out_lens).astype("<u4")
+    trle = (
+        header
+        + struct.pack("<I", out_ends.size)
+        + out_ends.tobytes()
+        + out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize]).tobytes()
+    )
+    raw_size = len(header) + n * dtype.itemsize
+    if len(trle) <= raw_size:
+        return "trle", trle
+    full = np.repeat(out_vals, out_lens)
     return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()

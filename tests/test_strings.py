@@ -134,3 +134,34 @@ def test_sfsst_wins_on_shared_substrings():
     assert name == "sfsst"
     assert len(payload) < 0.5 * len(encode_sraw(arr))
     assert _roundtrip(vals, "auto") == vals
+
+
+@pytest.mark.parametrize("codec", [*STRING_CODECS, "auto"])
+def test_take_and_reverse_strings_differential(codec):
+    from rle_array_spark.codecs.strings import (
+        encode_string_block,
+        reverse_strings,
+        take_strings,
+    )
+
+    for case, vals in CASES.items():
+        arr = pa.array(vals, type=pa.string())
+        name, payload = encode_string_block(arr, codec)
+        n = len(vals)
+        for idx in (list(range(0, n, 3)), list(range(1, n, 2)), list(range(n)), []):
+            import numpy as np
+
+            tname, tpayload = take_strings(name, payload, n, np.array(idx, dtype=np.int64))
+            out, valid = decode_strings(tname, tpayload, len(idx))
+            got = (
+                list(out) if valid is None
+                else [v if ok else None for v, ok in zip(out, valid)]
+            )
+            assert got == [vals[i] for i in idx], (case, codec, idx[:3])
+        rname, rpayload = reverse_strings(name, payload, n)
+        out, valid = decode_strings(rname, rpayload, n)
+        got = (
+            list(out) if valid is None
+            else [v if ok else None for v, ok in zip(out, valid)]
+        )
+        assert got == vals[::-1], (case, codec)

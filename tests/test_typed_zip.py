@@ -148,3 +148,77 @@ def test_zip_typed_fastpath_contract():
     nc, pc_ = _mk(runny, None, "traw")
     with pytest.warns(PerformanceWarning, match="decodes its value stream"):
         zip_typed_blocks(na, pa_, nc, pc_, runny.size, "add")
+
+
+@pytest.mark.parametrize("codec", ["trle", "tdict", "traw", "auto"])
+def test_take_typed_differential(codec):
+    import warnings
+
+    from rle_array_spark.codecs.typed_zip import take_typed
+
+    rng = np.random.default_rng(61)
+    cases = [
+        (np.repeat(rng.normal(size=7), 40), None),
+        (rng.normal(size=200), rng.random(200) > 0.25),
+        (rng.integers(0, 4, 300).astype(np.int64), None),
+        (np.zeros(0, np.float64), None),
+    ]
+    idx_builders = [
+        lambda n: np.arange(0, n, 3),
+        lambda n: np.arange(2, n, 7),
+        lambda n: np.arange(n),
+        lambda n: np.zeros(0, dtype=np.int64),
+    ]
+    for vals, mask in cases:
+        vals = np.ascontiguousarray(vals)
+        name, payload = encode_typed(vals, mask, codec)
+        for build in idx_builders:
+            idx = build(vals.size)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                tname, tpayload = take_typed(name, payload, vals.size, idx)
+            got, gvalid = decode_typed(tname, tpayload, idx.size)
+            exp = vals[idx]
+            exp_mask = mask[idx] if mask is not None else None
+            if exp_mask is not None and exp_mask.all():
+                exp_mask = None
+            if exp_mask is None:
+                assert gvalid is None
+            else:
+                np.testing.assert_array_equal(gvalid, exp_mask)
+            keep = exp_mask if exp_mask is not None else np.ones(idx.size, bool)
+            w = vals.dtype.itemsize
+            bits = {1: "<u1", 2: "<u2", 4: "<u4", 8: "<u8"}[w]
+            np.testing.assert_array_equal(
+                np.ascontiguousarray(got).view(bits)[keep],
+                np.ascontiguousarray(exp).view(bits)[keep],
+            )
+
+
+@pytest.mark.parametrize("codec", ["trle", "tdict", "traw", "auto"])
+def test_reverse_typed_differential(codec):
+    import warnings
+
+    from rle_array_spark.codecs.typed_zip import reverse_typed
+
+    rng = np.random.default_rng(67)
+    for vals, mask in [
+        (np.repeat(rng.normal(size=5), 30), rng.random(150) > 0.3),
+        (rng.integers(0, 9, 120).astype(np.int64), None),
+    ]:
+        vals = np.ascontiguousarray(vals)
+        name, payload = encode_typed(vals, mask, codec)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rname, rpayload = reverse_typed(name, payload, vals.size)
+        got, gvalid = decode_typed(rname, rpayload, vals.size)
+        exp_mask = mask[::-1] if mask is not None else None
+        keep = exp_mask if exp_mask is not None else np.ones(vals.size, bool)
+        if exp_mask is None:
+            assert gvalid is None or gvalid.all()
+        else:
+            np.testing.assert_array_equal(gvalid, exp_mask)
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(got).view("<u8" if vals.dtype.itemsize == 8 else "<u4")[keep],
+            np.ascontiguousarray(vals[::-1]).view("<u8" if vals.dtype.itemsize == 8 else "<u4")[keep],
+        )
