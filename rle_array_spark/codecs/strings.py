@@ -64,13 +64,11 @@ def _decode_flags(buf: memoryview, n: int):
         (n_runs, first), off = _read_struct("<IB", buf, off)
         ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
         off += 4 * n_runs
-        valid = np.zeros(n, dtype=bool)
-        lo, bit = 0, bool(first)
-        for hi in ends:
-            if bit:
-                valid[lo:hi] = True
-            lo = int(hi)
-            bit = not bit
+        # alternating-run expansion, fully vectorized (runs alternate
+        # between `first` and its negation)
+        lens = np.diff(ends.astype(np.int64), prepend=0)
+        run_bits = (np.arange(n_runs) % 2 == 0) == bool(first)
+        valid = np.repeat(run_bits, lens)
     return valid, off
 
 
@@ -226,36 +224,12 @@ def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray |
         for i in range(n):
             out[i] = data[offs[i] : offs[i + 1]].decode("utf-8")
         return out, valid
-    table, off = _unpack_table(buf, off)
-    if name == "sdict":
-        (width,), off = _read_struct("<B", buf, off)
-        codes = (
-            bitpack.unpack_bits(buf[off:], n, width).astype(np.int64)
-            if width
-            else np.zeros(n, dtype=np.int64)
-        )
-        out = table[codes] if table.size else np.full(n, "", dtype=object)
-        return out, valid
-    if name == "srle":
-        (n_runs,), off = _read_struct("<I", buf, off)
-        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off).astype(np.int64)
-        off += 4 * n_runs
-        (width,), off = _read_struct("<B", buf, off)
-        run_codes = (
-            bitpack.unpack_bits(buf[off:], n_runs, width).astype(np.int64)
-            if width
-            else np.zeros(n_runs, dtype=np.int64)
-        )
-        lens = np.diff(np.concatenate(([0], ends)))
-        if table.size:
-            vals = table[run_codes]
-        else:  # all-null block: codes forward-filled to 0 with no table
-            vals = np.full(n_runs, "", dtype=object)
-        out = np.repeat(vals, lens) if n_runs else np.empty(0, dtype=object)
-        if out.size != n:
-            raise ValueError(f"srle decode length mismatch: {out.size} != {n}")
-        return out, valid
-    raise ValueError(f"unknown string codec {name!r}")
+    # dictionary-backed codecs: single parser (_codes_form) + table gather
+    table, codes, _ = _codes_form(name, payload, n)
+    if codes.size != n:
+        raise ValueError(f"{name} decode length mismatch: {codes.size} != {n}")
+    out = table[codes] if table.size else np.full(n, "", dtype=object)
+    return out, valid
 
 
 def encode_string_block(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]:
@@ -306,7 +280,8 @@ def encode_string_block_stats(
         total_bytes = int(
             pc.sum(pc.binary_length(arr.cast(pa.binary()).fill_null(b""))).as_py() or 0
         )
-    null_bytes = 0 if valid is None else 6 + 4 * _mask_runs(valid)[1].size
+    # null section beyond the flag byte: u32 n_runs + u8 first + u32 ends
+    null_bytes = 0 if valid is None else 5 + 4 * _mask_runs(valid)[1].size
     header = 1 + null_bytes
     width = bitpack.bit_width(k - 1) if k > 1 else 0
     est_dict = header + table_bytes + 1 + bitpack.packed_nbytes(n, width)

@@ -111,14 +111,10 @@ def _decode_header(buf: memoryview, n: int):
         (n_runs, first), off = _read_struct("<IB", buf, off)
         ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
         off += 4 * n_runs
-        valid = np.zeros(n, dtype=bool)
-        lo = 0
-        bit = bool(first)
-        for hi in ends:
-            if bit:
-                valid[lo:hi] = True
-            lo = int(hi)
-            bit = not bit
+        # alternating-run expansion, fully vectorized
+        lens = np.diff(ends.astype(np.int64), prepend=0)
+        run_bits = (np.arange(n_runs) % 2 == 0) == bool(first)
+        valid = np.repeat(run_bits, lens)
         if valid.all():
             valid = None
     return dtype, valid, off

@@ -86,6 +86,31 @@ def _typed_run_form(name: str, payload, n: int):
     return ends, vals[starts], valid
 
 
+def _emit_runs(
+    code: int,
+    valid: np.ndarray | None,
+    run_vals: np.ndarray,
+    run_lens: np.ndarray,
+    n: int,
+) -> tuple[str, bytes]:
+    """Pack canonical typed runs as trle, falling back to expanded traw
+    when the run form is larger (never exceeds raw + header)."""
+    header = _encode_header(code, valid)
+    ends = np.cumsum(run_lens).astype("<u4")
+    bits = _BIT_VIEWS[run_vals.dtype.itemsize]
+    trle = (
+        header
+        + struct.pack("<I", ends.size)
+        + ends.tobytes()
+        + run_vals.view(bits).tobytes()
+    )
+    raw_size = len(header) + n * run_vals.dtype.itemsize
+    if len(trle) <= raw_size:
+        return "trle", trle
+    full = np.repeat(run_vals, run_lens)
+    return "traw", header + full.view(bits).tobytes()
+
+
 def zip_typed_blocks(
     name_a: str,
     payload_a,
@@ -99,7 +124,14 @@ def zip_typed_blocks(
     Null propagation: result valid iff both inputs valid."""
     fn = TYPED_ZIP_OPS[op]
     if n == 0:
-        return "traw", encode_traw(np.zeros(0, dtype=np.float64))
+        # preserve the RESULT dtype for empty blocks: apply the op to empty
+        # arrays of the input dtype (comparisons → bool, int div → float)
+        in_dtype, _, _ = _decode_header(memoryview(payload_a), 0)
+        empty = np.zeros(0, dtype=in_dtype)
+        out = np.ascontiguousarray(fn(empty, empty))
+        if op in COMPARISON_OPS:
+            out = out.astype(np.bool_)
+        return "traw", encode_traw(out)
     ends_a, vals_a, valid_a = _typed_run_form(name_a, payload_a, n)
     ends_b, vals_b, valid_b = _typed_run_form(name_b, payload_b, n)
     if vals_a.dtype != vals_b.dtype:
@@ -126,21 +158,8 @@ def zip_typed_blocks(
         valid = valid_a
     else:
         valid = valid_a & valid_b
-    code = dtype_code(out_vals.dtype)
-    header = _encode_header(code, valid)
-    trle_payload = (
-        header
-        + struct.pack("<I", union_ends.size)
-        + union_ends.astype("<u4").tobytes()
-        + out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize]).tobytes()
-    )
-    raw_size = len(header) + n * out_vals.dtype.itemsize
-    if len(trle_payload) <= raw_size:
-        return "trle", trle_payload
-    # runs ≈ n: expand once and store raw (never larger than raw + header)
     lens = np.diff(np.concatenate(([0], union_ends)))
-    full = np.repeat(out_vals, lens)
-    return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()
+    return _emit_runs(dtype_code(out_vals.dtype), valid, out_vals, lens, n)
 
 
 def take_typed(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]:
@@ -174,19 +193,7 @@ def take_typed(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]
     new_valid = valid[idx] if valid is not None else None
     if new_valid is not None and new_valid.all():
         new_valid = None
-    header = _encode_header(dtype_code(dtype), new_valid)
-    out_ends = np.cumsum(lens).astype("<u4")
-    trle = (
-        header
-        + struct.pack("<I", out_ends.size)
-        + out_ends.tobytes()
-        + out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize]).tobytes()
-    )
-    raw_size = len(header) + idx.size * dtype.itemsize
-    if len(trle) <= raw_size:
-        return "trle", trle
-    full = np.repeat(out_vals, lens)
-    return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()
+    return _emit_runs(dtype_code(dtype), new_valid, out_vals, lens, idx.size)
 
 
 def reverse_typed(name: str, payload, n: int) -> tuple[str, bytes]:
@@ -199,16 +206,4 @@ def reverse_typed(name: str, payload, n: int) -> tuple[str, bytes]:
     out_vals = np.ascontiguousarray(run_vals[::-1])
     out_lens = lens[::-1]
     new_valid = valid[::-1].copy() if valid is not None else None
-    header = _encode_header(dtype_code(dtype), new_valid)
-    out_ends = np.cumsum(out_lens).astype("<u4")
-    trle = (
-        header
-        + struct.pack("<I", out_ends.size)
-        + out_ends.tobytes()
-        + out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize]).tobytes()
-    )
-    raw_size = len(header) + n * dtype.itemsize
-    if len(trle) <= raw_size:
-        return "trle", trle
-    full = np.repeat(out_vals, out_lens)
-    return "traw", header + full.view(_BIT_VIEWS[full.dtype.itemsize]).tobytes()
+    return _emit_runs(dtype_code(dtype), new_valid, out_vals, out_lens, n)

@@ -694,9 +694,14 @@ def take_blocks(
     if stride is not None and (stride < 1 or offset < 0):
         raise ValueError(f"need stride >= 1 and offset >= 0, got {stride}/{offset}")
     if indices is not None:
-        idx_global = np.unique(np.asarray(indices, dtype=np.int64))
-        if idx_global.size and idx_global[0] < 0:
-            raise ValueError("indices must be non-negative")
+        # sorted, repeats ALLOWED (reference _take_kernel supports repeated
+        # positions; run-reuse handles them for free)
+        idx_global = np.asarray(indices, dtype=np.int64)
+        if idx_global.size:
+            if idx_global[0] < 0:
+                raise ValueError("indices must be non-negative")
+            if np.any(np.diff(idx_global) < 0):
+                raise ValueError("indices must be sorted non-decreasing")
     else:
         idx_global = None
 

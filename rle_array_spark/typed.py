@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from rle_array_spark.codecs.typed import decode_typed, encode_typed
+from rle_array_spark.codecs.typed import _fill_nulls, decode_typed, encode_typed
 
 TYPED_BLOCKS_SCHEMA = (
     "doc_id string, source string, vtype string, codec string, payload binary, "
@@ -114,9 +114,10 @@ def encode_typed_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> Da
                 bv = row.view(f"<u{w}") if w > 1 else row.view("<u1")
                 if mask is not None and not mask.all():
                     null_count[i] = int((~mask).sum())
-                    bvv = bv[mask]
-                else:
-                    bvv = bv
+                    # n_runs must match the PAYLOAD's run structure, which
+                    # forward-fills null slots (the audit primitive
+                    # typed_payload_stats recomputes exactly this)
+                    bv = _fill_nulls(bv, mask)
                 n_runs[i] = (
                     1 + int(np.count_nonzero(bv[1:] != bv[:-1])) if bv.size else 0
                 )

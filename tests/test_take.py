@@ -155,3 +155,20 @@ def test_reverse_blocks_rejects_chunked(spark):
     blocks = encode_df(df, codec="auto", chunk_tokens=64)
     with _pytest.raises(Exception, match="unchunked"):
         reverse_blocks(blocks).collect()
+
+
+def test_take_blocks_repeated_indices(spark):
+    from rle_array_spark import datagen
+    from rle_array_spark.engine import decode_df, encode_df, take_blocks
+
+    table = datagen.generate_table(n_blocks=1, rows_per_source=4)
+    df = spark.createDataFrame(table.to_pandas())
+    raw = {r["doc_id"]: np.asarray(r["tokens"]) for r in df.collect()}
+    idx = np.array([0, 0, 2, 2, 2, 5])
+    taken = decode_df(take_blocks(encode_df(df, codec="auto"), indices=idx))
+    got = {r["doc_id"]: np.asarray(r["tokens"]) for r in taken.collect()}
+    for doc_id, toks in raw.items():
+        exp = toks[idx[idx < toks.size]]
+        np.testing.assert_array_equal(got[doc_id], exp, err_msg=doc_id)
+    with pytest.raises(Exception, match="sorted"):
+        take_blocks(encode_df(df, codec="auto"), indices=np.array([3, 1]))

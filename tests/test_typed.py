@@ -245,3 +245,40 @@ def test_typed_block_reductions_df_matches_metadata(spark):
     )
     assert all(r["nc_ok"] for r in joined)
     assert all(r["mm_ok"] for r in joined)
+
+
+def test_encode_typed_df_n_runs_matches_payload_audit(spark):
+    """Stored n_runs must agree with the payload's forward-filled run
+    structure (the audit contract): [1.0, None, 1.0] is ONE payload run."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.typed import encode_typed_df, typed_block_reductions_df
+
+    df = spark.createDataFrame(
+        [("a", "s", [1.0, None, 1.0]), ("b", "s", [None, 2.0, None, 3.0, 3.0])],
+        "doc_id string, source string, vals array<double>",
+    )
+    blocks = encode_typed_df(df, codec="auto")
+    stored = {r["doc_id"]: r["n_runs"] for r in blocks.collect()}
+    audit = {r["doc_id"]: r["n_runs"] for r in typed_block_reductions_df(blocks).collect()}
+    assert stored == audit
+    assert stored["a"] == 1  # null forward-fills: one run of 1.0
+    assert stored["b"] == 3  # leading null fills with 0: [0][2,2][3,3]
+
+
+def test_zip_typed_df_empty_rows_keep_dtype(spark):
+    """A doc with an empty sequence must not poison the batch dtype."""
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df, zip_typed_df
+
+    rows = [("a", "s", [1, 2, 3]), ("b", "s", [])]
+    schema = "doc_id string, source string, vals array<long>"
+    ba = encode_typed_df(spark.createDataFrame(rows, schema))
+    bb = encode_typed_df(spark.createDataFrame(rows, schema))
+    out = zip_typed_df(ba, bb, "add")
+    assert set(r["vtype"] for r in out.collect()) == {"int64"}
+    dec = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, "long").collect()}
+    assert dec["a"] == [2, 4, 6] and dec["b"] == []
+    # comparison on empty rows → bool everywhere
+    cmp_out = zip_typed_df(ba, bb, "le")
+    assert set(r["vtype"] for r in cmp_out.collect()) == {"bool"}
