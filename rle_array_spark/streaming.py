@@ -121,3 +121,35 @@ def running_source_stats_stream(
     )
     query.awaitTermination()
     return query
+
+
+def encode_table_stream(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    cols: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    codec: str = "auto",
+    available_now: bool = True,
+):
+    """Streaming variant of the mixed-dtype whole-table encode: every array
+    column of arriving rows goes to its codec family (tableframe), with the
+    same exactly-once micro-batch semantics as :func:`encode_stream`.
+    ``input_schema`` is the arriving rows' DDL (streaming file sources need
+    an explicit schema)."""
+    from rle_array_spark.tableframe import encode_table_df
+
+    stream = spark.readStream.schema(input_schema).parquet(input_dir)
+    blocks = encode_table_df(stream, cols, codec=codec)
+    writer = (
+        blocks.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.trigger(processingTime="10 seconds").start()

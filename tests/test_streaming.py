@@ -108,3 +108,29 @@ def test_stateful_running_source_stats(spark, tmp_path):
         for r in seq.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
     }
     assert {s: r["tokens"] for s, r in latest.items()} == truth
+
+
+def test_streaming_table_encode_roundtrip(spark, tmp_path):
+    """Mixed-dtype table encode under Structured Streaming: drain with
+    availableNow, then restart exactly-once after new files land."""
+    import numpy as np
+
+    from rle_array_spark.streaming import encode_table_stream
+    from rle_array_spark.tableframe import decode_table_df
+
+    schema = "doc_id string, source string, toks array<int>, tags array<string>"
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rows1 = [(f"a{i}", "s", [i % 3] * 8, [f"t{i % 2}"] * 8) for i in range(10)]
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(inp)
+    encode_table_stream(spark, inp, schema, ["toks", "tags"], out, ckpt)
+
+    rows2 = [(f"b{i}", "s", [5] * 4, ["x"] * 4) for i in range(5)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(inp)
+    encode_table_stream(spark, inp, schema, ["toks", "tags"], out, ckpt)
+
+    blocks = spark.read.parquet(out)
+    assert blocks.count() == 15  # exactly-once: no re-emitted first batch
+    dec = decode_table_df(blocks, {"toks": "int", "tags": "string"})
+    got = {r["doc_id"]: r for r in dec.collect()}
+    for doc_id, _, toks, tags in rows1 + rows2:
+        assert got[doc_id]["toks"] == toks and got[doc_id]["tags"] == tags
