@@ -1017,6 +1017,48 @@ SELECT doc_id,
 FROM seq"""
 
 
+def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed union-grid zip with a SQL-portable integer domain (the
+    reference's any-dtype binary operators, tests/test_operators.py): two
+    int64 columns derived from the same per-user event sequence are
+    zipped with `add` (int64, exact) and `lt` (bool blocks), then reduced
+    per user."""
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df, zip_typed_df
+
+    ev = _table(spark, sf_dir, "events")
+    sorted_ = F.sort_array(F.collect_list(F.struct("ts", "event_id")))
+    seq = ev.groupBy(F.col("user_id").cast("string").alias("doc_id")).agg(
+        F.transform(sorted_, lambda s: s.event_id % 997).alias("a"),
+        F.transform(sorted_, lambda s: s.event_id % 991).alias("b"),
+    ).withColumn("source", F.lit("events"))
+    ba = encode_typed_df(seq.select("doc_id", "source", F.col("a").alias("vals")))
+    bb = encode_typed_df(seq.select("doc_id", "source", F.col("b").alias("vals")))
+    added = decode_typed_df(zip_typed_df(ba, bb, "add"), "long")
+    less = decode_typed_df(zip_typed_df(ba, bb, "lt"), "boolean")
+    return (
+        added.select("doc_id", F.size("vals").alias("n"),
+                     F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias("sum_ab"))
+        .join(
+            less.select("doc_id",
+                        F.size(F.filter("vals", lambda x: x)).alias("lt_count")),
+            "doc_id",
+        )
+    )
+
+
+ORACLE_TYPED_ZIP = """WITH seq AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           list(event_id % 997 ORDER BY ts, event_id) AS a,
+           list(event_id % 991 ORDER BY ts, event_id) AS b
+    FROM events GROUP BY user_id
+)
+SELECT doc_id,
+       CAST(length(a) AS INT) AS n,
+       CAST(list_sum(list_transform(range(1, length(a) + 1), i -> a[i] + b[i])) AS BIGINT) AS sum_ab,
+       CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS lt_count
+FROM seq"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1060,6 +1102,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["roundtrip_string"] = q_roundtrip_string
     out["reverse_stats"] = q_reverse_stats
     out["table_mixed_roundtrip"] = q_table_mixed_roundtrip
+    out["typed_zip_compare"] = q_typed_zip_compare
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -1102,6 +1145,7 @@ def build_oracles() -> dict[str, str]:
     out["roundtrip_string"] = ORACLE_ROUNDTRIP_STRING
     out["reverse_stats"] = ORACLE_REVERSE_STATS
     out["table_mixed_roundtrip"] = ORACLE_TABLE_MIXED
+    out["typed_zip_compare"] = ORACLE_TYPED_ZIP
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 
