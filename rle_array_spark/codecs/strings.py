@@ -203,6 +203,12 @@ def encode_sraw(arr: pa.Array) -> bytes:
 def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray | None]:
     """→ (object ndarray of python str, valid bool mask | None). Null slots
     carry their forward-filled value; callers mask them out via ``valid``."""
+    if name in ("srle", "sdict"):
+        table, codes, valid = _codes_form(name, payload, n)
+        if codes.size != n:
+            raise ValueError(f"{name} decode length mismatch: {codes.size} != {n}")
+        out = table[codes] if table.size else np.full(n, "", dtype=object)
+        return out, valid
     buf = memoryview(payload)
     valid, off = _decode_flags(buf, n)
     if name == "sfsst":
@@ -224,12 +230,7 @@ def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray |
         for i in range(n):
             out[i] = data[offs[i] : offs[i + 1]].decode("utf-8")
         return out, valid
-    # dictionary-backed codecs: single parser (_codes_form) + table gather
-    table, codes, _ = _codes_form(name, payload, n)
-    if codes.size != n:
-        raise ValueError(f"{name} decode length mismatch: {codes.size} != {n}")
-    out = table[codes] if table.size else np.full(n, "", dtype=object)
-    return out, valid
+    raise ValueError(f"unknown string codec {name!r}")
 
 
 def encode_string_block(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]:
@@ -351,7 +352,11 @@ def take_strings(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, byte
     bytes are never touched, only the (shared) table is copied. sraw/sfsst
     decode, gather, and re-choose."""
     idx = np.asarray(idx, dtype=np.int64)
-    if idx.size and (idx[0] < 0 or idx[-1] >= n):
+    if idx.size == 0:
+        return encode_string_block(pa.array([], type=pa.string()), "sraw")
+    if np.any(np.diff(idx) < 0):
+        raise ValueError("take indices must be sorted non-decreasing")
+    if idx[0] < 0 or idx[-1] >= n:  # sorted: first/last are min/max
         raise IndexError(f"take index out of range [0, {n})")
     if name in ("srle", "sdict"):
         table, codes, valid = _codes_form(name, payload, n)

@@ -125,9 +125,13 @@ def zip_typed_blocks(
     fn = TYPED_ZIP_OPS[op]
     if n == 0:
         # preserve the RESULT dtype for empty blocks: apply the op to empty
-        # arrays of the input dtype (comparisons → bool, int div → float)
-        in_dtype, _, _ = _decode_header(memoryview(payload_a), 0)
-        empty = np.zeros(0, dtype=in_dtype)
+        # arrays of the input dtype (comparisons → bool, int div → float).
+        # The dtype-mismatch contract holds for empty pairs too.
+        dt_a, _, _ = _decode_header(memoryview(payload_a), 0)
+        dt_b, _, _ = _decode_header(memoryview(payload_b), 0)
+        if dt_a != dt_b:
+            raise ValueError(f"typed zip dtype mismatch: {dt_a} vs {dt_b}")
+        empty = np.zeros(0, dtype=dt_a)
         out = np.ascontiguousarray(fn(empty, empty))
         if op in COMPARISON_OPS:
             out = out.astype(np.bool_)
@@ -172,13 +176,15 @@ def take_typed(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]
     idx = np.asarray(idx, dtype=np.int64)
     buf = memoryview(payload)
     dtype, valid, _ = _decode_header(buf, n)
-    if idx.size and (idx[0] < 0 or idx[-1] >= n):
+    if idx.size == 0:  # before the run form: empty take must be O(1)
+        header = _encode_header(dtype_code(dtype), None)
+        return "trle", header + struct.pack("<I", 0)
+    if np.any(np.diff(idx) < 0):
+        raise ValueError("take indices must be sorted non-decreasing")
+    if idx[0] < 0 or idx[-1] >= n:  # sorted: first/last are min/max
         raise IndexError(f"take index out of range [0, {n})")
     ends, run_vals, _ = _typed_run_form(name, payload, n)
     bits = _BIT_VIEWS[dtype.itemsize]
-    if idx.size == 0:
-        header = _encode_header(dtype_code(dtype), None)
-        return "trle", header + struct.pack("<I", 0)
     ridx = np.searchsorted(ends, idx, side="right")
     starts = np.concatenate(([0], np.flatnonzero(ridx[1:] != ridx[:-1]) + 1))
     lens = np.diff(np.concatenate((starts, [idx.size])))

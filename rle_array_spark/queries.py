@@ -1031,8 +1031,10 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(sorted_, lambda s: s.event_id % 997).alias("a"),
         F.transform(sorted_, lambda s: s.event_id % 991).alias("b"),
     ).withColumn("source", F.lit("events"))
-    ba = encode_typed_df(seq.select("doc_id", "source", F.col("a").alias("vals")))
-    bb = encode_typed_df(seq.select("doc_id", "source", F.col("b").alias("vals")))
+    # both zips consume both encoded columns: persist so the groupBy +
+    # encode lineage runs once, not once per downstream pipeline
+    ba = encode_typed_df(seq.select("doc_id", "source", F.col("a").alias("vals"))).persist()
+    bb = encode_typed_df(seq.select("doc_id", "source", F.col("b").alias("vals"))).persist()
     added = decode_typed_df(zip_typed_df(ba, bb, "add"), "long")
     less = decode_typed_df(zip_typed_df(ba, bb, "lt"), "boolean")
     return (

@@ -89,7 +89,10 @@ def encode_table_df(df: DataFrame, cols: list[str], codec: str = "auto") -> Data
                 col = batch.column(cname)
                 if kind == "int":
                     flat, offsets = _list_to_numpy(col)
-                    c = _encode_column(flat, offsets, codec, DEFAULT_THRESHOLD)
+                    # family-foreign codec names fall back to auto, like the
+                    # typed/string branches below
+                    icodec = codec if codec in CODECS or codec == "auto" else "auto"
+                    c = _encode_column(flat, offsets, icodec, DEFAULT_THRESHOLD)
                     arrays.extend([
                         pa.array(c["codec"], type=pa.string()),
                         pa.array(c["payload"], type=pa.binary()),

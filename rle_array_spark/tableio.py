@@ -463,7 +463,7 @@ def encode_table_to_dir(
     os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "snapshots"), exist_ok=True)
-    _, kinds = table_schema(df, cols)
+    wide_ddl, kinds = table_schema(df, cols)
     params_key = (
         f"table|{codec}|{num_partitions}|{','.join(f'{c}:{kinds[c]}' for c in cols)}"
     )
@@ -501,7 +501,10 @@ def encode_table_to_dir(
                     yield _lineage_batch(rec)
                     return
         else:
-            rec = _table_stats_from_file(data_path, part_id, fp, n_value_cols, enc_cols)
+            rec = _table_stats_from_file(
+                data_path, part_id, fp, n_value_cols, enc_cols,
+                [f"{c}__codec" for c in cols],
+            )
             if rec is not None:
                 yield _lineage_batch(rec)
                 return
@@ -561,6 +564,7 @@ def encode_table_to_dir(
         "parent": version - 1 if existing else None,
         "codec": codec,
         "table_cols": {c: kinds[c] for c in cols},
+        "table_schema": wide_ddl,
         "num_partitions": num_partitions,
         "params_key": params_key,
         "files": [
@@ -586,16 +590,25 @@ def encode_table_to_dir(
 
 
 def _table_stats_from_file(
-    data_path: str, part_id: int, fp: str, n_value_cols: list[str], enc_cols: list[str]
+    data_path: str,
+    part_id: int,
+    fp: str,
+    n_value_cols: list[str],
+    enc_cols: list[str],
+    codec_cols: list[str],
 ) -> dict | None:
     """Manifest-mode skip-check for table-writer files (wide schema)."""
     if not os.path.exists(data_path):
         return None
     try:
-        t = pq.read_table(data_path, columns=n_value_cols + enc_cols)
+        t = pq.read_table(data_path, columns=n_value_cols + enc_cols + codec_cols)
     except Exception:
         os.remove(data_path)
         return None
+    hist: dict[str, int] = {}
+    for cc in codec_cols:
+        for name in t.column(cc).to_pylist():
+            hist[name] = hist.get(name, 0) + 1
     return {
         "part_id": part_id,
         "status": "skipped",
@@ -606,13 +619,19 @@ def _table_stats_from_file(
         "encoded_bytes": sum(_col_sum(t, ec) for ec in enc_cols),
         "ref_rle_bytes": 0,
         "tok_sum": 0,
-        "codec_histogram": "{}",
+        "codec_histogram": json.dumps(hist, sort_keys=True),
         "wall_ms": 0,
     }
 
 
 def read_table_blocks(spark: SparkSession, out_dir: str, snapshot: int | None = None) -> DataFrame:
-    """Read the wide encoded-table rows at a snapshot (latest by default)."""
+    """Read the wide encoded-table rows at a snapshot (latest by default).
+    An all-empty snapshot (no data files) yields an empty DataFrame with
+    the committed schema."""
     snap = read_snapshot(out_dir, snapshot)
     files = [os.path.join(out_dir, "blocks", f) for f in snap["files"]]
-    return spark.read.parquet(*files)
+    ddl = snap.get("table_schema")
+    if not files:
+        return spark.createDataFrame([], ddl)
+    reader = spark.read.schema(ddl) if ddl else spark.read
+    return reader.parquet(*files)

@@ -103,3 +103,26 @@ def test_table_writer_lineage_totals(spark, mixed, tmp_path):
     ).collect()[0]
     assert sum(r["n_tokens"] for r in lineage) == sum(agg[c] for c in COLS)
     assert sum(r["encoded_bytes"] for r in lineage) == sum(agg[f"e_{c}"] for c in COLS)
+
+
+def test_table_writer_empty_input(spark, tmp_path):
+    """An all-empty input commits a snapshot whose read yields an empty
+    DataFrame with the committed wide schema (no zero-path crash)."""
+    out = str(tmp_path / "empty")
+    df = spark.createDataFrame(
+        [], "doc_id string, source string, toks array<int>, tags array<string>"
+    )
+    lineage = encode_table_to_dir(df, ["toks", "tags"], out, num_partitions=3)
+    assert all(r["n_rows"] == 0 for r in lineage)
+    blocks = read_table_blocks(spark, out)
+    assert blocks.count() == 0
+    assert "toks__payload" in blocks.columns and "tags__card" in blocks.columns
+
+
+def test_table_writer_manifest_histogram_survives_resume(spark, mixed, tmp_path):
+    out = str(tmp_path / "hist")
+    first = encode_table_to_dir(mixed, COLS, out, num_partitions=N_PARTS, commit_mode="manifest")
+    second = encode_table_to_dir(mixed, COLS, out, num_partitions=N_PARTS, commit_mode="manifest")
+    h1 = {r["part_id"]: r["codec_histogram"] for r in first if r["n_rows"] > 0}
+    h2 = {r["part_id"]: r["codec_histogram"] for r in second if r["n_rows"] > 0}
+    assert h1 == h2  # skipped partitions rebuild the histogram exactly
