@@ -683,8 +683,9 @@ FROM tok"""
 def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying chunked-encode round trip on a deterministic synthetic
     corpus (giant sequences split across blocks, salted shuffle, relational
-    reassembly). `mismatches` must be 0. Rows-only check — the synthetic
-    corpus is not a DuckDB view; the assertion is carried in the result."""
+    reassembly). `mismatches` must be 0. The corpus is deterministic, so
+    the oracle is the expected constant row — the hash gate enforces the
+    self-carried assertion instead of a weaker rows-only count."""
     import pyarrow as pa
 
     from rle_array_spark.datagen import generate_block
@@ -701,6 +702,15 @@ def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(df.count(), int(n_chunked), int(mismatches))],
         "docs long, chunked_blocks long, mismatches long",
     )
+
+
+# The corpus is deterministic (fixed generator seed/config), so the expected
+# output is a CONSTANT — and encoding it as the oracle upgrades the check
+# from rows-only (any 1-row result "passes") to a hash gate that actually
+# enforces mismatches == 0 and the chunk count.
+ORACLE_CHUNKED_SELFTEST = """SELECT CAST(73 AS BIGINT) AS docs,
+       CAST(17 AS BIGINT) AS chunked_blocks,
+       CAST(0 AS BIGINT) AS mismatches"""
 
 
 def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,6 +1158,7 @@ def build_oracles() -> dict[str, str]:
     out["reverse_stats"] = ORACLE_REVERSE_STATS
     out["table_mixed_roundtrip"] = ORACLE_TABLE_MIXED
     out["typed_zip_compare"] = ORACLE_TYPED_ZIP
+    out["chunked_roundtrip_selftest"] = ORACLE_CHUNKED_SELFTEST
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles
 
