@@ -386,3 +386,55 @@ def reverse_strings(name: str, payload, n: int) -> tuple[str, bytes]:
         rev = np.where(valid[::-1], rev, None)
     arr = pa.array(list(rev), type=pa.string())
     return encode_string_block(arr, "auto")
+
+
+def zip_strings_compare(
+    name_a: str, payload_a, name_b: str, payload_b, n: int, op: str = "eq"
+) -> tuple[str, bytes]:
+    """Elementwise string comparison of two equal-length blocks → a TYPED
+    bool block (codecs/typed.py) with null propagation (result valid iff
+    both inputs valid) — the reference's eq/ne on object dtype
+    (/root/reference/tests/test_pandas.py compare fixtures).
+
+    Fast path when BOTH sides are dictionary-backed: table_a is remapped
+    into table_b's code space once (O(k) string work), then the comparison
+    is a pure integer code compare — the value bytes are never touched.
+    Other codec pairs decode (PerformanceWarning)."""
+    if op not in ("eq", "ne"):
+        raise ValueError(f"string zip supports eq/ne, got {op!r}")
+    from rle_array_spark.codecs.typed import encode_typed
+
+    if name_a in ("srle", "sdict") and name_b in ("srle", "sdict"):
+        table_a, codes_a, valid_a = _codes_form(name_a, payload_a, n)
+        table_b, codes_b, valid_b = _codes_form(name_b, payload_b, n)
+        pos_b = {v: i for i, v in enumerate(table_b)}
+        mapped = np.array(
+            [pos_b.get(v, -1) for v in table_a], dtype=np.int64
+        )  # -1: value absent from b → never equal
+        if table_a.size:
+            eq = mapped[codes_a] == codes_b
+        else:
+            eq = np.zeros(n, dtype=bool)
+    else:
+        import warnings
+
+        from rle_array_spark.codecs.core import PerformanceWarning
+
+        warnings.warn(
+            f"string zip of ({name_a!r}, {name_b!r}) decodes both value "
+            "streams (the code-compare fast path needs dictionary-backed "
+            "payloads on both sides)",
+            PerformanceWarning,
+            stacklevel=2,
+        )
+        va, valid_a = decode_strings(name_a, payload_a, n)
+        vb, valid_b = decode_strings(name_b, payload_b, n)
+        eq = va == vb if n else np.zeros(0, dtype=bool)
+    out = eq if op == "eq" else ~eq
+    if valid_a is None:
+        valid = valid_b
+    elif valid_b is None:
+        valid = valid_a
+    else:
+        valid = valid_a & valid_b
+    return encode_typed(np.ascontiguousarray(out), valid, "auto")

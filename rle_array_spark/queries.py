@@ -1071,6 +1071,47 @@ SELECT doc_id,
 FROM seq"""
 
 
+def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String comparison zip (reference eq/ne on object dtype): two string
+    columns derived from each user's event sequence, zipped in the CODE
+    domain (dictionary-backed fast path, value bytes untouched), reduced
+    to per-user equal counts."""
+    from rle_array_spark.strings import encode_strings_df, zip_strings_df
+    from rle_array_spark.typed import decode_typed_df
+
+    ev = _table(spark, sf_dir, "events")
+    sorted_ = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    seq = ev.groupBy(F.col("user_id").cast("string").alias("doc_id")).agg(
+        F.transform(sorted_, lambda s: s.event_type).alias("a"),
+        F.transform(
+            sorted_,
+            lambda s: F.when(s.event_id % 2 == 0, s.event_type).otherwise(F.lit("odd")),
+        ).alias("b"),
+    ).withColumn("source", F.lit("events"))
+    ba = encode_strings_df(seq.select("doc_id", "source", F.col("a").alias("vals"))).persist()
+    bb = encode_strings_df(seq.select("doc_id", "source", F.col("b").alias("vals"))).persist()
+    eq = decode_typed_df(zip_strings_df(ba, bb, "eq"), "boolean")
+    return eq.select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        F.size(F.filter("vals", lambda x: x)).alias("eq_count"),
+    )
+
+
+ORACLE_STRING_EQ_ZIP = """WITH seq AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           list(event_type ORDER BY ts, event_id) AS a,
+           list(CASE WHEN event_id % 2 = 0 THEN event_type ELSE 'odd' END
+                ORDER BY ts, event_id) AS b
+    FROM events GROUP BY user_id
+)
+SELECT doc_id,
+       CAST(length(a) AS INT) AS n,
+       CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] = b[i])), 0) AS INT)
+           AS eq_count
+FROM seq"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1115,6 +1156,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["reverse_stats"] = q_reverse_stats
     out["table_mixed_roundtrip"] = q_table_mixed_roundtrip
     out["typed_zip_compare"] = q_typed_zip_compare
+    out["string_eq_zip"] = q_string_eq_zip
     from rle_array_spark.pipeline_queries import pipeline_queries
 
     out.update(pipeline_queries())
@@ -1158,6 +1200,7 @@ def build_oracles() -> dict[str, str]:
     out["reverse_stats"] = ORACLE_REVERSE_STATS
     out["table_mixed_roundtrip"] = ORACLE_TABLE_MIXED
     out["typed_zip_compare"] = ORACLE_TYPED_ZIP
+    out["string_eq_zip"] = ORACLE_STRING_EQ_ZIP
     out["chunked_roundtrip_selftest"] = ORACLE_CHUNKED_SELFTEST
     # codec_histogram / compression_vs_reference: intentionally no oracle.
     from rle_array_spark.pipeline_queries import pipeline_oracles

@@ -165,3 +165,51 @@ def test_take_and_reverse_strings_differential(codec):
             else [v if ok else None for v, ok in zip(out, valid)]
         )
         assert got == vals[::-1], (case, codec)
+
+
+def test_zip_strings_compare_kernel():
+    import warnings
+
+    from rle_array_spark.codecs.strings import encode_string_block, zip_strings_compare
+    from rle_array_spark.codecs.typed import decode_typed
+    from rle_array_spark.codecs.core import PerformanceWarning
+
+    a = ["x", "y", None, "z", "x"] * 20
+    b = ["x", "n", "y", None, "x"] * 20
+    pa_a = encode_string_block(pa.array(a, type=pa.string()), "sdict")
+    pa_b = encode_string_block(pa.array(b, type=pa.string()), "srle")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PerformanceWarning)  # code path: silent
+        name, payload = zip_strings_compare(*pa_a, *pa_b, len(a), "eq")
+    out, valid = decode_typed(name, payload, len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            assert not valid[i]
+        else:
+            assert valid is None or valid[i]
+            assert bool(out[i]) == (x == y), i
+    # ne is the complement at valid slots
+    name2, payload2 = zip_strings_compare(*pa_a, *pa_b, len(a), "ne")
+    out2, valid2 = decode_typed(name2, payload2, len(a))
+    for i in range(len(a)):
+        if valid is None or valid[i]:
+            assert bool(out2[i]) == (not bool(out[i]))
+    # non-dict pair decodes with a warning
+    pa_raw = encode_string_block(pa.array(a, type=pa.string()), "sraw")
+    with pytest.warns(PerformanceWarning, match="decodes both value"):
+        zip_strings_compare(*pa_raw, *pa_b, len(a), "eq")
+
+
+def test_zip_strings_df(spark):
+    from rle_array_spark.strings import encode_strings_df, zip_strings_df
+    from rle_array_spark.typed import decode_typed_df
+
+    rows_a = [("d1", "s", ["a", "b", None, "c"]), ("d2", "s", [])]
+    rows_b = [("d1", "s", ["a", "x", "b", None]), ("d2", "s", [])]
+    schema = "doc_id string, source string, vals array<string>"
+    ba = encode_strings_df(spark.createDataFrame(rows_a, schema))
+    bb = encode_strings_df(spark.createDataFrame(rows_b, schema))
+    out = zip_strings_df(ba, bb, "eq")
+    dec = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, "boolean").collect()}
+    assert dec["d1"] == [True, False, None, None]
+    assert dec["d2"] == []
