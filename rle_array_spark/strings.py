@@ -192,82 +192,15 @@ def decode_strings_df(blocks: DataFrame) -> DataFrame:
 
 
 def zip_strings_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str = "eq") -> DataFrame:
-    """Elementwise eq/ne over two string encoded columns aligned on doc_id,
-    producing TYPED bool blocks (decode with typed.decode_typed_df(...,
-    'boolean')). Dictionary-backed pairs compare in the code domain — one
-    O(cardinality) table remap, value bytes untouched."""
-    from pyspark.sql import functions as F
-
+    """Elementwise eq/ne over two string encoded columns aligned on
+    (doc_id, source), producing TYPED bool blocks (decode with
+    typed.decode_typed_df(..., 'boolean')). Dictionary-backed pairs
+    compare in the code domain — one O(cardinality) table remap, value
+    bytes untouched."""
     from rle_array_spark.codecs.strings import zip_strings_compare
-    from rle_array_spark.codecs.typed import DTYPE_CODES, typed_payload_stats
-    from rle_array_spark.typed import TYPED_BLOCKS_SCHEMA
+    from rle_array_spark.typed import zip_blocks_pairwise_df
 
-    a = blocks_a.select(
-        "doc_id", "source",
-        F.col("codec").alias("codec_a"), F.col("payload").alias("payload_a"),
-        "n_values",
-    )
-    b = blocks_b.select(
-        "doc_id",
-        F.col("codec").alias("codec_b"), F.col("payload").alias("payload_b"),
-        F.col("n_values").alias("n_values_b"),
-    )
-    joined = a.join(b, ["doc_id"], "inner")
+    def row_op(ca, pa_, cb, pb_, nv):
+        return zip_strings_compare(ca, pa_, cb, pb_, nv, op)
 
-    def kernel(batches):
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            ca = batch.column("codec_a").to_pylist()
-            cb = batch.column("codec_b").to_pylist()
-            pa_col = batch.column("payload_a")
-            pb_col = batch.column("payload_b")
-            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
-            nb_col = batch.column("n_values_b").to_numpy(zero_copy_only=False)
-            n_rows = batch.num_rows
-            new_codecs: list[str] = []
-            new_payloads: list[bytes] = []
-            n_runs = np.empty(n_rows, dtype=np.int32)
-            null_count = np.empty(n_rows, dtype=np.int32)
-            vmin = np.full(n_rows, np.nan)
-            vmax = np.full(n_rows, np.nan)
-            for i in range(n_rows):
-                nv = int(n_col[i])
-                if nv != int(nb_col[i]):
-                    raise ValueError(
-                        f"string zip length mismatch: {nv} != {int(nb_col[i])}"
-                    )
-                c, p = zip_strings_compare(
-                    ca[i], memoryview(pa_col[i].as_buffer()),
-                    cb[i], memoryview(pb_col[i].as_buffer()),
-                    nv, op,
-                )
-                new_codecs.append(c)
-                new_payloads.append(p)
-                r, nc, lo, hi, _ = typed_payload_stats(c, p, nv)
-                n_runs[i], null_count[i] = r, nc
-                if lo is not None:
-                    vmin[i], vmax[i] = lo, hi
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("doc_id"),
-                    batch.column("source"),
-                    pa.array(["bool"] * n_rows, type=pa.string()),
-                    pa.array(new_codecs, type=pa.string()),
-                    pa.array(new_payloads, type=pa.binary()),
-                    batch.column("n_values"),
-                    pa.array(n_runs),
-                    pa.array(null_count),
-                    pa.array(vmin),
-                    pa.array(vmax),
-                    pa.array(n_col.astype(np.int64)),
-                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
-                ],
-                names=[
-                    "doc_id", "source", "vtype", "codec", "payload", "n_values",
-                    "n_runs", "null_count", "val_min", "val_max", "raw_bytes",
-                    "encoded_bytes",
-                ],
-            )
-
-    return joined.mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+    return zip_blocks_pairwise_df(blocks_a, blocks_b, row_op)

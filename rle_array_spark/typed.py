@@ -159,20 +159,16 @@ def encode_typed_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> Da
     return df.select("doc_id", "source", col).mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
 
 
-def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame:
-    """Elementwise ``op`` over two typed encoded columns aligned on doc_id,
-    on the run-boundary union grid (codecs/typed_zip.py) — the reference's
-    any-dtype binary operators with null propagation
-    (/root/reference/tests/test_operators.py over dtype fixtures).
-    Comparisons produce bool blocks. Metadata (n_runs, null_count,
-    val_min/val_max) is recomputed exactly from the new payload."""
+def zip_blocks_pairwise_df(blocks_a: DataFrame, blocks_b: DataFrame, row_op) -> DataFrame:
+    """Shared scaffolding for block-pair zips that emit typed blocks:
+    align two block tables on (doc_id, source) — one block per key is the
+    contract of the typed/string encoders (no chunking) — check lengths,
+    apply ``row_op(codec_a, payload_a, codec_b, payload_b, n) -> (codec,
+    payload)`` per pair, and recompute metadata exactly from the new
+    payloads. Used by :func:`zip_typed_df` and strings.zip_strings_df."""
     from pyspark.sql import functions as F
 
     from rle_array_spark.codecs.typed import DTYPE_CODES, typed_payload_stats
-    from rle_array_spark.codecs.typed_zip import TYPED_ZIP_OPS, zip_typed_blocks
-
-    if op not in TYPED_ZIP_OPS:
-        raise ValueError(f"unsupported typed zip op {op!r}; one of {sorted(TYPED_ZIP_OPS)}")
 
     a = blocks_a.select(
         "doc_id", "source",
@@ -180,11 +176,11 @@ def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame
         "n_values",
     )
     b = blocks_b.select(
-        "doc_id",
+        "doc_id", "source",
         F.col("codec").alias("codec_b"), F.col("payload").alias("payload_b"),
         F.col("n_values").alias("n_values_b"),
     )
-    joined = a.join(b, ["doc_id"], "inner")
+    joined = a.join(b, ["doc_id", "source"], "inner")
 
     def kernel(batches):
         for batch in batches:
@@ -208,12 +204,12 @@ def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame
                 nv = int(n_col[i])
                 if nv != int(nb_col[i]):
                     raise ValueError(
-                        f"typed zip length mismatch: {nv} != {int(nb_col[i])}"
+                        f"zip length mismatch: {nv} != {int(nb_col[i])}"
                     )
-                c, p = zip_typed_blocks(
+                c, p = row_op(
                     ca[i], memoryview(pa_col[i].as_buffer()),
                     cb[i], memoryview(pb_col[i].as_buffer()),
-                    nv, op,
+                    nv,
                 )
                 new_codecs.append(c)
                 new_payloads.append(p)
@@ -251,6 +247,24 @@ def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame
             )
 
     return joined.mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+
+
+def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame:
+    """Elementwise ``op`` over two typed encoded columns aligned on
+    (doc_id, source), on the run-boundary union grid (codecs/typed_zip.py)
+    — the reference's any-dtype binary operators with null propagation
+    (/root/reference/tests/test_operators.py over dtype fixtures).
+    Comparisons produce bool blocks. Metadata (n_runs, null_count,
+    val_min/val_max) is recomputed exactly from the new payload."""
+    from rle_array_spark.codecs.typed_zip import TYPED_ZIP_OPS, zip_typed_blocks
+
+    if op not in TYPED_ZIP_OPS:
+        raise ValueError(f"unsupported typed zip op {op!r}; one of {sorted(TYPED_ZIP_OPS)}")
+
+    def row_op(ca, pa_, cb, pb_, nv):
+        return zip_typed_blocks(ca, pa_, cb, pb_, nv, op)
+
+    return zip_blocks_pairwise_df(blocks_a, blocks_b, row_op)
 
 
 TYPED_REDUCTIONS_SCHEMA = (
