@@ -246,3 +246,29 @@ def test_string_roundtrip_property(vals, codec):
         else [v if ok else None for v, ok in zip(out, valid)]
     )
     assert restored == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(arr=any_tokens, data=st.data(), codec=st.sampled_from(sorted(CODECS)))
+def test_take_runs_property(arr, data, codec):
+    """For ANY array, codec, and sorted index list (repeats allowed),
+    take_runs must equal decode-then-fancy-index and stay canonical."""
+    from rle_array_spark.codecs.reduce import take_runs
+
+    payload = encode_block(arr, codec)
+    if arr.size:
+        idx = np.sort(
+            np.asarray(
+                data.draw(
+                    st.lists(st.integers(0, arr.size - 1), max_size=50), label="idx"
+                ),
+                dtype=np.int64,
+            )
+        )
+    else:
+        idx = np.zeros(0, dtype=np.int64)
+    rv, rl = take_runs(codec, payload, arr.size, idx)
+    np.testing.assert_array_equal(np.repeat(rv, rl), arr[idx])
+    assert (rl >= 1).all()
+    if rv.size > 1:
+        assert (rv[1:] != rv[:-1]).all()

@@ -213,3 +213,21 @@ def test_zip_strings_df(spark):
     dec = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, "boolean").collect()}
     assert dec["d1"] == [True, False, None, None]
     assert dec["d2"] == []
+
+
+def test_string_corrupt_payload_raises_never_wrong():
+    """Truncated string payloads must raise, not silently return data."""
+    import struct
+
+    vals = ["alpha", None, "beta", "beta", "gamma"] * 20
+    arr = pa.array(vals, type=pa.string())
+    for codec in STRING_CODECS:
+        name, payload = encode_string_block(arr, codec)
+        for cut in (1, len(payload) // 2, len(payload) - 1):
+            with pytest.raises((ValueError, IndexError, struct.error)):
+                out, valid = decode_strings(name, payload[:cut], len(vals))
+                assert len(out) == len(vals)
+                # a "successful" decode of a truncated payload must at least
+                # fail to reproduce the data (checked via ValueError above);
+                # reaching here with full-size output means silent corruption
+                raise ValueError("decode accepted truncated payload")

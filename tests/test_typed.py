@@ -282,3 +282,28 @@ def test_zip_typed_df_empty_rows_keep_dtype(spark):
     # comparison on empty rows → bool everywhere
     cmp_out = zip_typed_df(ba, bb, "le")
     assert set(r["vtype"] for r in cmp_out.collect()) == {"bool"}
+
+
+def test_typed_corrupt_payload_raises_never_wrong():
+    """Truncated typed payloads must raise, not silently return data
+    (mirrors the token-path corruption probe in the verify recipe)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.codecs.typed import decode_typed, encode_typed
+
+    vals = np.repeat(np.arange(20, dtype=np.int64), 10)
+    mask = np.arange(200) % 5 != 0
+    for codec in ("trle", "tdict", "traw"):
+        name, payload = encode_typed(vals, mask, codec)
+        for cut in (1, len(payload) // 2, len(payload) - 1):
+            with _pytest.raises((ValueError, IndexError, KeyError, struct_error())):
+                out, valid = decode_typed(name, payload[:cut], vals.size)
+                # length checks may pass short cuts through to here:
+                assert out.size == vals.size
+
+
+def struct_error():
+    import struct
+
+    return struct.error
