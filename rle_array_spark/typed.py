@@ -370,3 +370,120 @@ def decode_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
     return blocks.select("doc_id", "source", "codec", "payload", "n_values").mapInArrow(
         kernel, schema
     )
+
+
+def _typed_rewrite_df(blocks: DataFrame, row_op, n_values_fn) -> DataFrame:
+    """Per-block payload rewrite for typed block tables: apply
+    ``row_op(codec, payload, n) -> (codec, payload)``, set n_values via
+    ``n_values_fn(n)``, and recompute all metadata from the new payload.
+    Scan-parallel, shuffle-free."""
+    from rle_array_spark.codecs.typed import DTYPE_CODES, typed_payload_stats
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            payload_col = batch.column("payload")
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            vtypes: list[str] = []
+            n_values = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            null_count = np.empty(n_rows, dtype=np.int32)
+            vmin = np.full(n_rows, np.nan)
+            vmax = np.full(n_rows, np.nan)
+            for i in range(n_rows):
+                n = int(n_col[i])
+                c, p = row_op(
+                    codecs_col[i], memoryview(payload_col[i].as_buffer()), n
+                )
+                nv = n_values_fn(n)
+                new_codecs.append(c)
+                new_payloads.append(p)
+                n_values[i] = nv
+                r, nc, lo, hi, _ = typed_payload_stats(c, p, nv)
+                n_runs[i], null_count[i] = r, nc
+                if lo is not None:
+                    vmin[i], vmax[i] = lo, hi
+                vtypes.append(str(DTYPE_CODES[p[0]]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(vtypes, type=pa.string()),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    pa.array(n_values),
+                    pa.array(n_runs),
+                    pa.array(null_count),
+                    pa.array(vmin),
+                    pa.array(vmax),
+                    pa.array(
+                        n_values.astype(np.int64)
+                        * np.array(
+                            [DTYPE_CODES[p[0]].itemsize for p in new_payloads],
+                            dtype=np.int64,
+                        )
+                    ),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                ],
+                names=[
+                    "doc_id", "source", "vtype", "codec", "payload", "n_values",
+                    "n_runs", "null_count", "val_min", "val_max", "raw_bytes",
+                    "encoded_bytes",
+                ],
+            )
+
+    return blocks.select(
+        "doc_id", "source", "codec", "payload", "n_values"
+    ).mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+
+
+def take_typed_df(
+    blocks: DataFrame,
+    stride: int | None = None,
+    offset: int = 0,
+    indices=None,
+) -> DataFrame:
+    """Positional gather over typed blocks — the any-dtype analog of
+    engine.take_blocks (stride grid or explicit sorted indices clipped per
+    block; repeats allowed). Run-domain for trle (codecs/typed_zip.take_typed),
+    with exact metadata recompute."""
+    from rle_array_spark.codecs.typed_zip import take_typed
+
+    if (stride is None) == (indices is None):
+        raise ValueError("exactly one of stride / indices is required")
+    if stride is not None and (stride < 1 or offset < 0):
+        raise ValueError(f"need stride >= 1 and offset >= 0, got {stride}/{offset}")
+    if indices is not None:
+        idx_global = np.asarray(indices, dtype=np.int64)
+        if idx_global.size:
+            if idx_global[0] < 0:
+                raise ValueError("indices must be non-negative")
+            if np.any(np.diff(idx_global) < 0):
+                raise ValueError("indices must be sorted non-decreasing")
+
+    def row_op(codec, payload, n):
+        if stride is not None:
+            idx = np.arange(offset, n, stride, dtype=np.int64)
+        else:
+            idx = idx_global[: int(np.searchsorted(idx_global, n))]
+        return take_typed(codec, payload, n, idx)
+
+    def n_values_fn(n):
+        if stride is not None:
+            return max(0, (n - offset + stride - 1) // stride) if n > offset else 0
+        return int(np.searchsorted(idx_global, n))
+
+    return _typed_rewrite_df(blocks, row_op, n_values_fn)
+
+
+def reverse_typed_df(blocks: DataFrame) -> DataFrame:
+    """Reversed typed blocks (negative-step slice) — run-domain, O(n_runs)
+    for trle."""
+    from rle_array_spark.codecs.typed_zip import reverse_typed
+
+    return _typed_rewrite_df(blocks, reverse_typed, lambda n: n)

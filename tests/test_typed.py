@@ -307,3 +307,50 @@ def struct_error():
     import struct
 
     return struct.error
+
+
+def test_take_and_reverse_typed_df(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        reverse_typed_df,
+        take_typed_df,
+    )
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for i in range(20):
+        n = int(rng.integers(0, 40))
+        vals = [None if rng.random() < 0.2 else float(np.round(rng.normal(), 3)) for _ in range(n)]
+        rows.append((f"d{i}", "s", vals))
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, codec="auto")
+
+    taken = decode_typed_df(take_typed_df(blocks, stride=3, offset=1), "double")
+    got = {r["doc_id"]: r["vals"] for r in taken.collect()}
+    for doc_id, _, vals in rows:
+        assert got[doc_id] == vals[1::3], doc_id
+
+    idx = np.array([0, 0, 2, 7])
+    taken2 = decode_typed_df(take_typed_df(blocks, indices=idx), "double")
+    got2 = {r["doc_id"]: r["vals"] for r in taken2.collect()}
+    for doc_id, _, vals in rows:
+        exp = [vals[j] for j in idx if j < len(vals)]
+        assert got2[doc_id] == exp, doc_id
+
+    rev = decode_typed_df(reverse_typed_df(blocks), "double")
+    got3 = {r["doc_id"]: r["vals"] for r in rev.collect()}
+    for doc_id, _, vals in rows:
+        assert got3[doc_id] == vals[::-1], doc_id
+
+    # metadata on the rewritten blocks matches a fresh audit
+    from rle_array_spark.typed import typed_block_reductions_df
+
+    tk = take_typed_df(blocks, stride=3, offset=1)
+    audit = {r["doc_id"]: r for r in typed_block_reductions_df(tk).collect()}
+    for r in tk.collect():
+        a = audit[r["doc_id"]]
+        assert r["n_runs"] == a["n_runs"] and r["null_count"] == a["null_count"]
