@@ -272,3 +272,52 @@ def test_take_runs_property(arr, data, codec):
     assert (rl >= 1).all()
     if rv.size > 1:
         assert (rv[1:] != rv[:-1]).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data(),
+       op=st.sampled_from(["add", "mul", "min", "max", "eq", "lt", "ge"]),
+       codec_a=st.sampled_from(["trle", "tdict", "traw", "auto"]),
+       codec_b=st.sampled_from(["trle", "tdict", "traw", "auto"]))
+def test_zip_typed_property(data, op, codec_a, codec_b):
+    """Any same-dtype pair, any codecs, any masks: zip must equal the
+    numpy op at mutually-valid slots with AND-combined validity."""
+    import warnings
+
+    from rle_array_spark.codecs.typed import decode_typed, encode_typed
+    from rle_array_spark.codecs.typed_zip import COMPARISON_OPS, TYPED_ZIP_OPS, zip_typed_blocks
+
+    n = data.draw(st.integers(0, 120), label="n")
+    kind = data.draw(st.sampled_from(["f8", "i8"]), label="dtype")
+    if kind == "f8":
+        va = np.asarray(data.draw(arrays(np.float64, n,
+            elements=st.floats(allow_nan=True, allow_infinity=True, width=32))), dtype=np.float64)
+        vb = np.asarray(data.draw(arrays(np.float64, n,
+            elements=st.floats(allow_nan=True, allow_infinity=True, width=32))), dtype=np.float64)
+    else:
+        va = np.asarray(data.draw(arrays(np.int64, n, elements=st.integers(-100, 100))))
+        vb = np.asarray(data.draw(arrays(np.int64, n, elements=st.integers(-100, 100))))
+    ma = data.draw(st.one_of(st.none(), arrays(np.bool_, n)), label="mask_a")
+    mb = data.draw(st.one_of(st.none(), arrays(np.bool_, n)), label="mask_b")
+    na, pa_ = encode_typed(va, ma, codec_a)
+    nb, pb_ = encode_typed(vb, mb, codec_b)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        name, payload = zip_typed_blocks(na, pa_, nb, pb_, n, op)
+    got, valid = decode_typed(name, payload, n)
+    keep = np.ones(n, dtype=bool)
+    if ma is not None:
+        keep &= np.asarray(ma, bool)
+    if mb is not None:
+        keep &= np.asarray(mb, bool)
+    got_mask = np.ones(n, bool) if valid is None else valid
+    np.testing.assert_array_equal(got_mask, keep)
+    exp = TYPED_ZIP_OPS[op](va, vb)
+    if op in COMPARISON_OPS:
+        exp = exp.astype(np.bool_)
+    w = got.dtype.itemsize
+    bits = {1: "<u1", 2: "<u2", 4: "<u4", 8: "<u8"}[w]
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(got).view(bits)[keep],
+        np.ascontiguousarray(exp).view(bits)[keep],
+    )
