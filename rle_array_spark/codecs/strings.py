@@ -181,6 +181,12 @@ def encode_sfsst(arr: pa.Array) -> bytes:
 def encode_sraw(arr: pa.Array) -> bytes:
     """Buffer-level raw layout: the Arrow string offsets/data buffers are
     re-based and written directly — no per-value Python."""
+    if pa.types.is_large_string(arr.type):
+        # large_utf8 carries int64 offsets — cast before touching buffers so
+        # the <i4 view below can never silently misparse them.
+        arr = arr.cast(pa.string())
+    elif not pa.types.is_string(arr.type):
+        raise TypeError(f"encode_sraw expects utf8, got {arr.type}")
     n = len(arr)
     valid = None
     if arr.null_count:

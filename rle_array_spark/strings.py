@@ -67,7 +67,16 @@ def encode_string_rows(child: pa.Array, offsets: np.ndarray, codec: str) -> dict
             first_valid = int(np.argmax(valid)) if valid.any() else 0
             rc = np.where(pos < 0, rc[first_valid] if valid.any() else 0, rc)
         if nv:
-            uniq, inv = np.unique(rc, return_inverse=True)
+            # Localize in ROW-APPEARANCE order (first-occurrence rank), not
+            # sorted global-code order, so the payload bytes are identical to
+            # the per-row _dict_parts path — byte-determinism across encode
+            # paths is what fingerprint/dedup comparisons rely on.
+            uniq, first_pos, inv = np.unique(rc, return_index=True, return_inverse=True)
+            order = np.argsort(first_pos, kind="stable")
+            rank = np.empty(order.size, dtype=np.int64)
+            rank[order] = np.arange(order.size)
+            uniq = uniq[order]
+            inv = rank[inv]
         else:
             uniq = np.zeros(0, dtype=np.int64)
             inv = np.zeros(0, dtype=np.int64)

@@ -326,8 +326,17 @@ def _stats_from_data_file(data_path: str, part_id: int, fp: str) -> dict | None:
         return None
     try:
         t = pq.read_table(data_path, columns=_STATS_COLUMNS)
+    except pa.lib.ArrowInvalid:
+        # Genuinely corrupt parquet (torn mid-write on a filesystem without
+        # atomic rename): quarantine under .corrupt rather than delete, so
+        # a file earlier snapshots reference is never destroyed outright;
+        # the caller's re-encode rewrites via the tmp+replace path.
+        os.replace(data_path, data_path + ".corrupt")
+        return None
     except Exception:
-        os.remove(data_path)
+        # Transient read error (EMFILE, interrupted read, permissions):
+        # the file may be perfectly valid — leave it in place; re-encode
+        # overwrites it atomically.
         return None
     hist: dict[str, int] = {}
     for c in t.column("codec").to_pylist():
@@ -488,7 +497,11 @@ def encode_table_to_dir(
                 col = b.column(nc).to_numpy(zero_copy_only=False)
                 totals = col.astype("int64") if totals is None else totals + col
             n_vals.extend(int(x) for x in totals)
-        fp = _fingerprint(doc_ids, n_vals, [0] * len(doc_ids), params_key)
+        # Row ordinals (not a constant) in the chunk slot: with a constant,
+        # two rows with identical (doc_id, n_values) XOR-cancel and adding/
+        # removing such a pair would leave the fingerprint unchanged,
+        # silently reusing a stale data file on resume.
+        fp = _fingerprint(doc_ids, n_vals, list(range(len(doc_ids))), params_key)
         data_path = _data_path(out_dir, part_id, fp)
         lineage_path = _lineage_path(out_dir, part_id, fp)
 
@@ -602,8 +615,13 @@ def _table_stats_from_file(
         return None
     try:
         t = pq.read_table(data_path, columns=n_value_cols + enc_cols + codec_cols)
+    except pa.lib.ArrowInvalid:
+        # Corrupt file: quarantine, never os.remove (see _stats_from_data_file).
+        os.replace(data_path, data_path + ".corrupt")
+        return None
     except Exception:
-        os.remove(data_path)
+        # Transient read error: leave the possibly-valid file; re-encode
+        # replaces it atomically.
         return None
     hist: dict[str, int] = {}
     for cc in codec_cols:

@@ -35,9 +35,18 @@ def _tokenize_kernel(batches):
         # pc.utf8_length (C), then ONE utf-8 decode + utf-32 encode over the
         # batch's concatenated value buffer. Rows are contiguous in the
         # buffer, so per-row codepoint slices follow from the char counts.
+        # utf8 carries int32 offsets, large_utf8 (e.g. with
+        # spark.sql.execution.arrow.useLargeVarTypes=true) int64 — reading
+        # the wrong width would silently misparse, so dispatch on the type.
+        if pa.types.is_large_string(col.type):
+            off_dt, off_w = np.int64, 8
+        elif pa.types.is_string(col.type):
+            off_dt, off_w = np.int32, 4
+        else:
+            raise TypeError(f"tokenize kernel expects utf8 text, got {col.type}")
         lengths = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         byte_offs = np.frombuffer(
-            col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=4 * col.offset
+            col.buffers()[1], dtype=off_dt, count=len(col) + 1, offset=off_w * col.offset
         )
         seg = memoryview(col.buffers()[2])[byte_offs[0] : byte_offs[-1]]
         flat = np.frombuffer(
