@@ -278,6 +278,58 @@ def typed_payload_stats(name: str, payload, n: int):
     return n_runs, null_count, vmin, vmax, vsum
 
 
+def cast_typed(name: str, payload, n: int, to_dtype) -> tuple[str, bytes]:
+    """Cross-dtype cast of one typed block WITHOUT decoding the array where
+    the codec allows it — the reference's ``astype`` runs values RLE→RLE
+    (/root/reference/rle_array/array.py:445-453,670-681; dtype preservation
+    asserted in tests/test_astype.py:15-30):
+
+    * trle: only the ``n_runs`` RUN VALUES are cast; adjacent runs that
+      collapse under the cast (e.g. two float64s rounding to one float32)
+      are canonically merged, so the result is byte-identical to encoding
+      the cast array from scratch.
+    * tdict / traw: decode → ``.astype`` → re-encode under the same codec
+      (np.unique canonicalizes a collapsed dict table).
+
+    Numpy cast semantics (float→int truncates toward zero); the validity
+    mask is carried unchanged — the body's forward-filled null slots stay
+    forward-filled because a cast is elementwise."""
+    to_dtype = np.dtype(to_dtype)
+    to_code = dtype_code(to_dtype)  # raises on unsupported targets
+    buf = memoryview(payload)
+    dtype, valid, off = _decode_header(buf, n)
+    if to_dtype == dtype:
+        return name, bytes(payload)
+    if name == "trle":
+        (n_runs,), off = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
+        off += 4 * n_runs
+        run_vals = np.frombuffer(
+            buf, dtype=_BIT_VIEWS[dtype.itemsize], count=n_runs, offset=off
+        ).view(dtype)
+        new_vals = np.ascontiguousarray(run_vals.astype(to_dtype))
+        nbv = _bit_view(new_vals)
+        if n_runs:
+            keep = np.concatenate(([True], nbv[1:] != nbv[:-1]))
+            starts = np.flatnonzero(keep)
+            merged_ends = np.append(ends[starts[1:] - 1], ends[-1]).astype("<u4")
+            merged_vals = nbv[keep]
+        else:
+            merged_ends = ends
+            merged_vals = nbv
+        return "trle", (
+            _encode_header(to_code, valid)
+            + struct.pack("<I", merged_ends.size)
+            + merged_ends.tobytes()
+            + merged_vals.tobytes()
+        )
+    vals, _ = decode_typed(name, buf, n)
+    out = vals.astype(to_dtype)
+    if name == "tdict":
+        return "tdict", encode_tdict(out, valid)
+    return "traw", encode_traw(out, valid)
+
+
 def choose_typed(values: np.ndarray, valid: np.ndarray | None = None) -> tuple[str, bytes]:
     """Cost-based auto-selection, mirroring chooser.py: analytic estimates
     from run count / cardinality rank candidates, the winner is actually

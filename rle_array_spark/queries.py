@@ -873,6 +873,47 @@ ORACLE_ROUNDTRIP_TIMESTAMP = """SELECT CAST(user_id AS VARCHAR) AS doc_id,
 FROM events GROUP BY doc_id"""
 
 
+def q_roundtrip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dtype cast chain float64 → float32 → int32 in the compressed
+    domain (codecs/typed.py cast_typed; reference astype
+    /root/reference/rle_array/array.py:445-453,670-681): trle casts run
+    values only, merging runs that collapse. Aggregates are exact integers
+    computed over the DECODED int arrays, so any cast defect (wrong
+    truncation, lost null, stale run merge) breaks the hash."""
+    from rle_array_spark.typed import cast_typed_df, decode_typed_df, encode_typed_df
+
+    blocks = encode_typed_df(_event_value_sequences(spark, sf_dir), "vals")
+    casted = cast_typed_df(cast_typed_df(blocks, "float32"), "int32")
+    dec = decode_typed_df(casted, "int")
+    nn = F.filter("vals", lambda x: x.isNotNull())
+    return dec.select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        (F.size("vals") - F.size(nn)).alias("nulls"),
+        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias(
+            "val_sum"
+        ),
+        F.array_min("vals").alias("val_min"),
+        F.array_max("vals").alias("val_max"),
+    )
+
+
+# numpy float->int casts truncate toward zero = SQL trunc; float64->float32
+# is IEEE round-to-nearest in both engines.
+ORACLE_ROUNDTRIP_CAST = """WITH v AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN value < 5 THEN NULL
+                ELSE CAST(trunc(CAST(value AS REAL)) AS INT) END AS v
+    FROM events)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       CAST(COUNT(*) - COUNT(v) AS INT) AS nulls,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS val_sum,
+       MIN(v) AS val_min,
+       MAX(v) AS val_max
+FROM v GROUP BY doc_id"""
+
+
 def q_strided_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain positional gather (reference _take_kernel,
     /root/reference/rle_array/_algorithms.py:370-481): sample every 7th
@@ -1148,6 +1189,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["roundtrip_float"] = q_roundtrip_float
     out["roundtrip_bool"] = q_roundtrip_bool
     out["roundtrip_timestamp"] = q_roundtrip_timestamp
+    out["roundtrip_cast"] = q_roundtrip_cast
     out["token_skew_kurt"] = q_token_skew_kurt
     out["transform_ufunc"] = q_transform_ufunc
     out["zip_compare"] = q_zip_compare
@@ -1192,6 +1234,7 @@ def build_oracles() -> dict[str, str]:
     out["roundtrip_float"] = ORACLE_ROUNDTRIP_FLOAT
     out["roundtrip_bool"] = ORACLE_ROUNDTRIP_BOOL
     out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
+    out["roundtrip_cast"] = ORACLE_ROUNDTRIP_CAST
     out["token_skew_kurt"] = ORACLE_TOKEN_SKEW_KURT
     out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
     out["zip_compare"] = ORACLE_ZIP_COMPARE

@@ -267,6 +267,71 @@ def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame
     return zip_blocks_pairwise_df(blocks_a, blocks_b, row_op)
 
 
+def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:
+    """Cross-dtype cast over typed encoded blocks — the reference's
+    ``astype`` (/root/reference/rle_array/array.py:445-453,670-681) as a
+    compressed-domain block transform: trle casts run values only (adjacent
+    runs merging canonically), tdict/traw re-encode the cast values under
+    the same codec. Shuffle-free mapInArrow; metadata (n_runs, null_count,
+    val_min/val_max, byte sizes) recomputed exactly from the new payload."""
+    import numpy as _np
+
+    from rle_array_spark.codecs.typed import cast_typed, typed_payload_stats
+
+    to_dtype = _np.dtype(to_dtype)
+    to_name = str(to_dtype)
+    itemsize = to_dtype.itemsize
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            payload_col = batch.column("payload")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            null_count = np.empty(n_rows, dtype=np.int32)
+            vmin = np.full(n_rows, np.nan)
+            vmax = np.full(n_rows, np.nan)
+            for i in range(n_rows):
+                nv = int(n_col[i])
+                c, p = cast_typed(
+                    codecs_col[i], memoryview(payload_col[i].as_buffer()), nv, to_dtype
+                )
+                new_codecs.append(c)
+                new_payloads.append(p)
+                r, nc, lo, hi, _ = typed_payload_stats(c, p, nv)
+                n_runs[i], null_count[i] = r, nc
+                if lo is not None:
+                    vmin[i], vmax[i] = lo, hi
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array([to_name] * n_rows, type=pa.string()),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    batch.column("n_values"),
+                    pa.array(n_runs),
+                    pa.array(null_count),
+                    pa.array(vmin),
+                    pa.array(vmax),
+                    pa.array(n_col * itemsize),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                ],
+                names=[
+                    "doc_id", "source", "vtype", "codec", "payload", "n_values",
+                    "n_runs", "null_count", "val_min", "val_max", "raw_bytes",
+                    "encoded_bytes",
+                ],
+            )
+
+    return blocks.mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+
+
 TYPED_REDUCTIONS_SCHEMA = (
     "doc_id string, source string, n_runs int, null_count int, "
     "val_min double, val_max double, val_sum double"
