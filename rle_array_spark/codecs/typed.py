@@ -278,6 +278,152 @@ def typed_payload_stats(name: str, payload, n: int):
     return n_runs, null_count, vmin, vmax, vsum
 
 
+def _header_mask_runs(buf: memoryview):
+    """Like _decode_header but WITHOUT expanding the mask: returns
+    (dtype, first_valid | None, mask_run_ends | None, body_offset)."""
+    (code, flags), off = _read_struct("<BB", buf, 0)
+    dtype = DTYPE_CODES[code]
+    if not flags & 1:
+        return dtype, None, None, off
+    (n_runs, first), off = _read_struct("<IB", buf, off)
+    ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off)
+    off += 4 * n_runs
+    return dtype, int(first), ends, off
+
+
+def _valid_prefix_from_runs(first: int, ends: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """#valid slots in [0, p) for each p, from the MASK RUNS alone —
+    O(r_mask + len(positions) log r_mask), never the expanded mask."""
+    ends64 = ends.astype(np.int64)
+    lens = np.diff(ends64, prepend=0)
+    bits = (np.arange(ends.size) % 2 == 0) == bool(first)
+    cum = np.concatenate(([0], np.cumsum(lens * bits)))
+    starts = np.concatenate(([0], ends64[:-1]))
+    j = np.searchsorted(ends64, positions, side="right")
+    j = np.minimum(j, ends.size - 1)
+    return cum[j] + (positions - starts[j]) * bits[j]
+
+
+def _encode_trle_body(bv_vals: np.ndarray, ends: np.ndarray) -> bytes:
+    return (
+        struct.pack("<I", ends.size)
+        + ends.astype("<u4").tobytes()
+        + bv_vals.tobytes()
+    )
+
+
+def _merge_adjacent_runs(bv_vals: np.ndarray, ends: np.ndarray):
+    if not bv_vals.size:
+        return bv_vals, ends.astype(np.int64)
+    keep = np.concatenate(([True], bv_vals[1:] != bv_vals[:-1]))
+    starts = np.flatnonzero(keep)
+    ends64 = ends.astype(np.int64)
+    return bv_vals[keep], np.append(ends64[starts[1:] - 1], ends64[-1])
+
+
+def fillna_typed(
+    name: str, payload, n: int, value=None, method: str | None = None
+) -> tuple[str, bytes]:
+    """Compressed-domain fillna (reference array.py:902-911):
+
+    * ``method='ffill'`` rewrites the HEADER only — the body already stores
+      nulls forward-filled, so the payload bytes after the null section are
+      untouched; only a leading null run (no value to fill from) stays null.
+    * ``value=`` on trle works the union grid of body runs × mask runs
+      (O(r_body + r_mask)), never the expanded array; tdict/traw re-encode
+      the filled values under the same codec.
+    * ``method='bfill'`` is a decode fallback (the body's fill direction is
+      forward, so backward values aren't present in the run domain).
+    """
+    if (value is None) == (method is None):
+        raise ValueError("fillna: exactly one of value / method required")
+    if method not in (None, "ffill", "bfill"):
+        raise ValueError(f"fillna: unknown method {method!r}")
+    buf = memoryview(payload)
+    dtype, first, mask_ends, off = _header_mask_runs(buf)
+    if mask_ends is None:
+        return name, bytes(payload)  # no nulls: identity
+    code = dtype_code(dtype)
+    body = bytes(buf[off:])
+    if method == "ffill":
+        if first == 0:
+            lead = int(mask_ends[0])
+            if lead >= n:  # all-null: nothing to fill from
+                return name, bytes(payload)
+            new_valid = np.zeros(n, dtype=bool)
+            new_valid[lead:] = True
+            return name, _encode_header(code, new_valid) + body
+        return name, struct.pack("<BB", code, 0) + body
+    if method == "bfill":
+        vals, valid = decode_typed(name, buf, n)
+        out = vals.copy()
+        idx = np.where(valid, np.arange(n, dtype=np.int64), n)
+        np.minimum.accumulate(idx[::-1], out=idx[::-1])
+        fillable = idx < n
+        out[fillable] = vals[idx[fillable]]
+        rem = valid | fillable  # trailing nulls stay null
+        rem_mask = None if rem.all() else rem
+        enc = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[name]
+        return name, enc(out, rem_mask)
+    fill = np.array([value], dtype=dtype)
+    fill_bit = _bit_view(np.ascontiguousarray(fill))[0]
+    if name == "trle":
+        (n_runs,), off2 = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off2)
+        off2 += 4 * n_runs
+        run_vals = np.frombuffer(buf, dtype=_BIT_VIEWS[dtype.itemsize], count=n_runs, offset=off2)
+        # union grid of body-run and mask-run boundaries
+        grid = np.union1d(ends.astype(np.int64), mask_ends.astype(np.int64))
+        bi = np.searchsorted(ends.astype(np.int64), grid, side="left")
+        mi = np.searchsorted(mask_ends.astype(np.int64), grid, side="left")
+        seg_vals = run_vals[np.minimum(bi, n_runs - 1)].copy()
+        seg_valid = ((mi % 2 == 0) == bool(first))
+        seg_vals[~seg_valid] = fill_bit
+        merged_vals, merged_ends = _merge_adjacent_runs(seg_vals, grid)
+        return "trle", struct.pack("<BB", code, 0) + _encode_trle_body(merged_vals, merged_ends)
+    vals, valid = decode_typed(name, buf, n)
+    out = vals.copy()
+    out[~valid] = fill[0]
+    enc = {"tdict": encode_tdict, "traw": encode_traw}[name]
+    return name, enc(out, None)
+
+
+def dropna_typed(name: str, payload, n: int) -> tuple[str, bytes, int]:
+    """Compressed-domain dropna (reference _algorithms.py:174-199: shift
+    positions by dropped lengths): for trle, each run's new length is its
+    count of valid slots — computed from the MASK RUNS via prefix counts,
+    O(r_body + r_mask); zero-length runs drop and newly-adjacent equal runs
+    merge, so the result is canonical. tdict/traw filter decoded values.
+    Returns (codec, payload, new_n)."""
+    buf = memoryview(payload)
+    dtype, first, mask_ends, off = _header_mask_runs(buf)
+    if mask_ends is None:
+        return name, bytes(payload), n
+    code = dtype_code(dtype)
+    if name == "trle":
+        (n_runs,), off2 = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off2)
+        off2 += 4 * n_runs
+        run_vals = np.frombuffer(buf, dtype=_BIT_VIEWS[dtype.itemsize], count=n_runs, offset=off2)
+        bounds = np.concatenate(([0], ends.astype(np.int64)))
+        prefix = _valid_prefix_from_runs(first, mask_ends, bounds)
+        new_lens = np.diff(prefix)
+        keep = new_lens > 0
+        kept_vals = run_vals[keep]
+        kept_ends = np.cumsum(new_lens[keep])
+        merged_vals, merged_ends = _merge_adjacent_runs(kept_vals, kept_ends)
+        new_n = int(prefix[-1])
+        return (
+            "trle",
+            struct.pack("<BB", code, 0) + _encode_trle_body(merged_vals, merged_ends),
+            new_n,
+        )
+    vals, valid = decode_typed(name, buf, n)
+    out = np.ascontiguousarray(vals[valid])
+    enc = {"tdict": encode_tdict, "traw": encode_traw}[name]
+    return name, enc(out, None), int(out.size)
+
+
 def cast_typed(name: str, payload, n: int, to_dtype) -> tuple[str, bytes]:
     """Cross-dtype cast of one typed block WITHOUT decoding the array where
     the codec allows it — the reference's ``astype`` runs values RLE→RLE

@@ -898,6 +898,84 @@ def q_roundtrip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_typed_fillna_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain dropna / fillna(value) / ffill on typed blocks
+    (reference _algorithms.py:174-199, array.py:902-911): dropna shrinks
+    run lengths via the in-payload validity RLE, fillna(-1) rewrites null
+    runs on the run grid, ffill is a header-only rewrite. drop_wsum is
+    position-weighted, so a dropna that returns the right multiset at
+    wrong positions still fails the hash."""
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        dropna_typed_df,
+        encode_typed_df,
+        fillna_typed_df,
+    )
+
+    blocks = encode_typed_df(_event_value_sequences(spark, sf_dir), "vals").persist()
+    filled = decode_typed_df(fillna_typed_df(blocks, value=-1.0), "double").select(
+        "doc_id",
+        F.size("vals").alias("n"),
+        F.round(F.aggregate("vals", F.lit(0.0), lambda a, x: a + x), 2).alias("fill_sum"),
+    )
+    dropped = decode_typed_df(dropna_typed_df(blocks), "double").select(
+        "doc_id",
+        F.size("vals").alias("drop_n"),
+        F.round(
+            F.aggregate(
+                F.expr("transform(vals, (x, i) -> x * cast(i as double))"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            2,
+        ).alias("drop_wsum"),
+    )
+    ffilled = decode_typed_df(fillna_typed_df(blocks, method="ffill"), "double").select(
+        "doc_id",
+        F.size(F.filter("vals", lambda x: x.isNull())).alias("ffill_nulls"),
+        F.round(
+            F.aggregate(
+                F.filter("vals", lambda x: x.isNotNull()), F.lit(0.0), lambda a, x: a + x
+            ),
+            2,
+        ).alias("ffill_sum"),
+    )
+    return filled.join(dropped, "doc_id").join(ffilled, "doc_id")
+
+
+ORACLE_TYPED_FILLNA_DROPNA = """WITH v AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id,
+           CASE WHEN value < 5 THEN NULL ELSE value END AS v
+    FROM events),
+w AS (
+    SELECT doc_id, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+    FROM v),
+seq AS (
+    SELECT doc_id, list(v ORDER BY event_id) AS vals FROM v GROUP BY doc_id),
+base AS (
+    SELECT doc_id,
+           CAST(length(vals) AS INT) AS n,
+           ROUND(list_sum(list_transform(vals, x -> COALESCE(x, -1.0))), 2) AS fill_sum,
+           list_filter(vals, x -> x IS NOT NULL) AS dvals
+    FROM seq),
+drops AS (
+    SELECT doc_id,
+           CAST(length(dvals) AS INT) AS drop_n,
+           ROUND(COALESCE(list_sum(list_transform(dvals, (x, i) -> x * (i - 1))), 0), 2)
+               AS drop_wsum
+    FROM base),
+ff AS (
+    SELECT doc_id,
+           CAST(COUNT(*) - COUNT(fv) AS INT) AS ffill_nulls,
+           ROUND(COALESCE(SUM(fv), 0), 2) AS ffill_sum
+    FROM w GROUP BY doc_id)
+SELECT base.doc_id, n, fill_sum, drop_n, drop_wsum, ffill_nulls, ffill_sum
+FROM base JOIN drops ON base.doc_id = drops.doc_id JOIN ff ON base.doc_id = ff.doc_id"""
+
+
 # numpy float->int casts truncate toward zero = SQL trunc; float64->float32
 # is IEEE round-to-nearest in both engines.
 ORACLE_ROUNDTRIP_CAST = """WITH v AS (
@@ -1190,6 +1268,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["roundtrip_bool"] = q_roundtrip_bool
     out["roundtrip_timestamp"] = q_roundtrip_timestamp
     out["roundtrip_cast"] = q_roundtrip_cast
+    out["typed_fillna_dropna"] = q_typed_fillna_dropna
     out["token_skew_kurt"] = q_token_skew_kurt
     out["transform_ufunc"] = q_transform_ufunc
     out["zip_compare"] = q_zip_compare
@@ -1235,6 +1314,7 @@ def build_oracles() -> dict[str, str]:
     out["roundtrip_bool"] = ORACLE_ROUNDTRIP_BOOL
     out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
     out["roundtrip_cast"] = ORACLE_ROUNDTRIP_CAST
+    out["typed_fillna_dropna"] = ORACLE_TYPED_FILLNA_DROPNA
     out["token_skew_kurt"] = ORACLE_TOKEN_SKEW_KURT
     out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
     out["zip_compare"] = ORACLE_ZIP_COMPARE

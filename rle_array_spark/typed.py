@@ -274,13 +274,22 @@ def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:
     runs merging canonically), tdict/traw re-encode the cast values under
     the same codec. Shuffle-free mapInArrow; metadata (n_runs, null_count,
     val_min/val_max, byte sizes) recomputed exactly from the new payload."""
-    import numpy as _np
+    from rle_array_spark.codecs.typed import cast_typed
 
-    from rle_array_spark.codecs.typed import cast_typed, typed_payload_stats
+    to_dtype = np.dtype(to_dtype)
 
-    to_dtype = _np.dtype(to_dtype)
-    to_name = str(to_dtype)
-    itemsize = to_dtype.itemsize
+    def row_fn(c, p, n):
+        nc, np_ = cast_typed(c, p, n, to_dtype)
+        return nc, np_, n
+
+    return _block_transform_df(blocks, row_fn)
+
+
+def _block_transform_df(blocks: DataFrame, row_fn) -> DataFrame:
+    """Shared scaffold for shuffle-free per-block transforms that may change
+    length: ``row_fn(codec, payload, n) -> (codec, payload, new_n)``;
+    vtype from the payload's dtype tag, metadata recomputed exactly."""
+    from rle_array_spark.codecs.typed import DTYPE_CODES, typed_payload_stats
 
     def kernel(batches):
         for batch in batches:
@@ -292,34 +301,41 @@ def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:
             n_rows = batch.num_rows
             new_codecs: list[str] = []
             new_payloads: list[bytes] = []
+            vtypes: list[str] = []
+            new_n = np.empty(n_rows, dtype=np.int32)
             n_runs = np.empty(n_rows, dtype=np.int32)
             null_count = np.empty(n_rows, dtype=np.int32)
             vmin = np.full(n_rows, np.nan)
             vmax = np.full(n_rows, np.nan)
+            raw_bytes = np.empty(n_rows, dtype=np.int64)
             for i in range(n_rows):
                 nv = int(n_col[i])
-                c, p = cast_typed(
-                    codecs_col[i], memoryview(payload_col[i].as_buffer()), nv, to_dtype
+                c, p, nn = row_fn(
+                    codecs_col[i], memoryview(payload_col[i].as_buffer()), nv
                 )
                 new_codecs.append(c)
                 new_payloads.append(p)
-                r, nc, lo, hi, _ = typed_payload_stats(c, p, nv)
+                new_n[i] = nn
+                r, nc, lo, hi, _ = typed_payload_stats(c, p, nn)
                 n_runs[i], null_count[i] = r, nc
                 if lo is not None:
                     vmin[i], vmax[i] = lo, hi
+                dt = DTYPE_CODES[p[0]]
+                vtypes.append(str(dt))
+                raw_bytes[i] = nn * dt.itemsize
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
                     batch.column("source"),
-                    pa.array([to_name] * n_rows, type=pa.string()),
+                    pa.array(vtypes, type=pa.string()),
                     pa.array(new_codecs, type=pa.string()),
                     pa.array(new_payloads, type=pa.binary()),
-                    batch.column("n_values"),
+                    pa.array(new_n),
                     pa.array(n_runs),
                     pa.array(null_count),
                     pa.array(vmin),
                     pa.array(vmax),
-                    pa.array(n_col * itemsize),
+                    pa.array(raw_bytes),
                     pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
                 ],
                 names=[
@@ -330,6 +346,30 @@ def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:
             )
 
     return blocks.mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+
+
+def fillna_typed_df(blocks: DataFrame, value=None, method: str | None = None) -> DataFrame:
+    """fillna over typed encoded blocks (reference array.py:902-911) —
+    compressed-domain: ffill is a header-only rewrite (the body already
+    forward-fills nulls), fillna(value) rewrites null runs on the run grid;
+    bfill decodes. Shuffle-free; length unchanged."""
+    from rle_array_spark.codecs.typed import fillna_typed
+
+    def row_fn(c, p, n):
+        nc, np_ = fillna_typed(c, p, n, value=value, method=method)
+        return nc, np_, n
+
+    return _block_transform_df(blocks, row_fn)
+
+
+def dropna_typed_df(blocks: DataFrame) -> DataFrame:
+    """dropna over typed encoded blocks (reference _algorithms.py:174-199):
+    run lengths shrink by their null counts, computed from the in-payload
+    validity RLE — O(runs) per block, no decode on the trle path.
+    n_values reflects the post-drop length."""
+    from rle_array_spark.codecs.typed import dropna_typed
+
+    return _block_transform_df(blocks, dropna_typed)
 
 
 TYPED_REDUCTIONS_SCHEMA = (
