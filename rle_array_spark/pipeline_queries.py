@@ -141,20 +141,64 @@ ORACLE_KNN_TOP1 = """WITH q AS (
 SELECT qid, cid AS nn_id, round(cos, 6) AS cos_sim FROM r WHERE rk = 1"""
 
 
-def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.cosine_threshold_pairs(_emb(spark, sf_dir), limit_ids=150, threshold=0.35)
+def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35, anchor_ids=150)
 
 
-ORACLE_COSINE_PAIRS = """WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 150
+def _duck_lsh_buckets(n_tables: int, n_planes: int, dim: int) -> str:
+    """DuckDB expression re-deriving the Spark squared-LCG sign-LSH buckets
+    bit-identically (shared by the signlsh and cosine-pairs oracles)."""
+    m = f"((1103515245 * ((t * {n_planes} + p) * 131 + j) + 12345) % 2147483648)"
+    plane = f"((({m} * {m}) % 2147483647)/1073741823.5 - 1.0)"
+    dot = f"list_sum(list_transform(range(0, {dim}), j -> emb[j+1] * {plane}))"
+    return (
+        f"list_transform(range(0, {n_tables}), t ->"
+        f" list_sum(list_transform(range(0, {n_planes}), p ->"
+        f" CASE WHEN {dot} > 0 THEN (1 << p) ELSE 0 END)))"
+    )
+
+
+def _cosine_pairs_lsh_oracle(
+    threshold: float = 0.35,
+    n_tables: int = P.PAIRS_LSH_TABLES,
+    n_planes: int = P.PAIRS_LSH_PLANES,
+    dim: int = 64,
+    anchor_ids: int = 150,
+) -> str:
+    cos_ab = (
+        "round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb))"
+        " * sqrt(list_dot_product(b.emb, b.emb))), 6)"
+    )
+    return f"""WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), b AS (
+    SELECT vec_id, {_duck_lsh_buckets(n_tables, n_planes, dim)} AS buckets FROM e
+), idx AS (
+    SELECT vec_id, unnest(buckets) AS bucket, generate_subscripts(buckets, 1) AS t
+    FROM b
+), cand AS (
+    SELECT DISTINCT q.vec_id AS ida, c.vec_id AS idb
+    FROM idx q JOIN idx c ON q.t = c.t AND q.bucket = c.bucket
+    WHERE q.vec_id < c.vec_id
+), verified AS (
+    SELECT cand.ida, cand.idb, {cos_ab} AS cos_sim
+    FROM cand JOIN e a ON cand.ida = a.vec_id JOIN e b ON cand.idb = b.vec_id
+    WHERE {cos_ab} >= {threshold}
+), exact AS (
+    SELECT a.vec_id AS ida, b.vec_id AS idb
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id AND a.vec_id < {anchor_ids} AND b.vec_id < {anchor_ids}
+      AND {cos_ab} >= {threshold}
+), rec AS (
+    SELECT COALESCE(round(avg(CASE WHEN v.ida IS NOT NULL THEN 1 ELSE 0 END), 3), 1.0)
+               AS recall_vs_bruteforce
+    FROM exact x LEFT JOIN verified v ON x.ida = v.ida AND x.idb = v.idb
 )
-SELECT a.vec_id AS ida, b.vec_id AS idb,
-       round(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
-FROM e a, e b
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(a.emb, b.emb)
-            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35"""
+SELECT verified.ida, verified.idb, verified.cos_sim, rec.recall_vs_bruteforce
+FROM verified, rec"""
+
+
+ORACLE_COSINE_PAIRS_LSH = _cosine_pairs_lsh_oracle()
 
 
 def q_signlsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,20 +207,11 @@ def q_signlsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signlsh_oracle(n_queries: int = 10, n_tables: int = P.LSH_TABLES,
                     n_planes: int = P.LSH_PLANES, dim: int = 64) -> str:
-    """DuckDB re-derivation of the multi-table sign-LSH path: identical LCG
-    hyperplanes (pure integer arithmetic), identical bucket join, identical
-    top-1 ordering — so the hash match verifies the approximate path
-    end-to-end, including its self-reported recall."""
-    plane = (
-        f"(((1103515245 * ((t * {n_planes} + p) * 131 + j) + 12345) % 2147483648)"
-        "/1073741824.0 - 1.0)"
-    )
-    dot = f"list_sum(list_transform(range(0, {dim}), j -> emb[j+1] * {plane}))"
-    buckets = (
-        f"list_transform(range(0, {n_tables}), t ->"
-        f" list_sum(list_transform(range(0, {n_planes}), p ->"
-        f" CASE WHEN {dot} > 0 THEN (1 << p) ELSE 0 END)))"
-    )
+    """DuckDB re-derivation of the multi-table sign-LSH path: identical
+    squared-LCG hyperplanes (pure integer arithmetic), identical bucket
+    join, identical top-1 ordering — so the hash match verifies the
+    approximate path end-to-end, including its self-reported recall."""
+    buckets = _duck_lsh_buckets(n_tables, n_planes, dim)
     cos = (
         "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe))"
         " * sqrt(list_dot_product(ce, ce))), 9)"
@@ -372,7 +407,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_verified": q_dedup_jaccard_verified,
         "dedup_simhash": q_dedup_simhash,
         "knn_top1_cosine": q_knn_top1,
-        "cosine_threshold_pairs": q_cosine_pairs,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "signlsh_knn_top1": q_signlsh_knn,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -392,7 +427,7 @@ def pipeline_oracles() -> dict[str, str]:
         "dedup_jaccard_verified": ORACLE_JACCARD,
         "dedup_simhash": ORACLE_SIMHASH,
         "knn_top1_cosine": ORACLE_KNN_TOP1,
-        "cosine_threshold_pairs": ORACLE_COSINE_PAIRS,
+        "cosine_pairs_lsh": ORACLE_COSINE_PAIRS_LSH,
         "signlsh_knn_top1": ORACLE_SIGNLSH,
         "lang_id": ORACLE_LANG_ID,
         "quality_scores": ORACLE_QUALITY,

@@ -109,6 +109,37 @@ def test_signlsh_recall_vs_bruteforce(embeddings):
     assert recall >= 0.65
 
 
+def test_cosine_pairs_lsh_finds_planted_pairs(embeddings):
+    """The planted near-copies (cos≈0.998) MUST all surface as pairs, every
+    reported pair must truly clear the threshold (verification is exact),
+    and the recall column must match a hand computation."""
+    th = 0.8
+    rows = P.cosine_pairs_lsh(embeddings, threshold=th, anchor_ids=100).collect()
+    got = {(r["ida"], r["idb"]) for r in rows}
+    for j in range(10):
+        assert (10 + j, 50 + j) in got
+    exact = {
+        (r["ida"], r["idb"])
+        for r in P.cosine_threshold_pairs(embeddings, limit_ids=100, threshold=th).collect()
+    }
+    assert got <= exact  # no false positives: candidates are exactly verified
+    recall = rows[0]["recall_vs_bruteforce"]
+    assert all(r["recall_vs_bruteforce"] == recall for r in rows)
+    assert recall == round(len(got & exact) / len(exact), 3)
+    # near-dup regime: OR-of-64-tables misses a cos>=0.8 pair with
+    # probability < 1e-4 — demand perfect recall here
+    assert recall == 1.0
+
+
+def test_cosine_pairs_lsh_production_plan_has_no_crossjoin(embeddings):
+    plan = (
+        P.cosine_pairs_lsh(embeddings, threshold=0.8, with_anchor=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_image_feature_plumbing(planted_docs):
     images = P.fake_image_table(planted_docs)
     feats = P.extract_image_features(images)
