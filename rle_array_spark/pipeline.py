@@ -136,6 +136,32 @@ def near_dup_pairs_jaccard(docs: DataFrame, threshold: float = 0.8) -> DataFrame
     )
 
 
+def dedup_survivors(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """End-to-end dedup pipeline — the corpus that SURVIVES, not just the
+    stage outputs: exact dedup first (md5 hash-groupBy; the lexicographic
+    min doc_id of each identical-text group survives), then near-dup
+    filtering among the exact survivors via MinHash → banded LSH → exact
+    Jaccard verify. A doc is dropped iff it has a verified near-dup with a
+    smaller doc_id (deterministic min-neighbor rule: every dropped doc
+    names a surviving near-copy, no iterative connected components — the
+    rule a single SQL pass can express, so the DuckDB oracle replays the
+    whole pipeline). Scale shape: two hash-aggs, the banded-LSH equi-join,
+    a candidates-only verify join and two semi/anti joins — no crossJoin."""
+    d = _docs_prepared(docs)
+    reps = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_survivors = d.join(reps, "doc_id", "left_semi")
+    near_pairs = near_dup_pairs_jaccard(exact_survivors, threshold=threshold)
+    dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        exact_survivors.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "source", F.length("text").alias("n_chars"))
+    )
+
+
 SIMHASH_BITS = 16
 
 

@@ -98,6 +98,33 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.8"""
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.dedup_survivors(_docs(spark, sf_dir), threshold=0.8)
+
+
+# The full pipeline replayed in SQL: `d` is rebound to the exact-dedup
+# representatives, so the shared shingle/signature/band/candidate CTEs run
+# over the post-exact-dedup corpus exactly like the Spark path.
+ORACLE_DEDUP_SURVIVORS = f"""WITH d0 AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, source
+    FROM documents WHERE length(text) >= {SHINGLE_K}
+), reps AS (
+    SELECT min(doc_id) AS doc_id FROM d0 GROUP BY md5(text)
+), d AS (
+    SELECT d0.* FROM d0 JOIN reps USING (doc_id)
+), {_SH_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+ver AS (
+    SELECT c.doc_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.8
+)
+SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+FROM d WHERE doc_id NOT IN (SELECT doc_b FROM ver)"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.simhash(_docs(spark, sf_dir))
 
@@ -406,6 +433,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_jaccard_verified": q_dedup_jaccard_verified,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_survivors": q_dedup_survivors,
         "knn_top1_cosine": q_knn_top1,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "signlsh_knn_top1": q_signlsh_knn,
@@ -426,6 +454,7 @@ def pipeline_oracles() -> dict[str, str]:
         "dedup_minhash_candidates": ORACLE_MINHASH_CAND,
         "dedup_jaccard_verified": ORACLE_JACCARD,
         "dedup_simhash": ORACLE_SIMHASH,
+        "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
         "knn_top1_cosine": ORACLE_KNN_TOP1,
         "cosine_pairs_lsh": ORACLE_COSINE_PAIRS_LSH,
         "signlsh_knn_top1": ORACLE_SIGNLSH,

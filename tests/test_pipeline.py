@@ -58,6 +58,19 @@ def test_jaccard_verification_filters_false_positives(planted_docs):
         assert r["jaccard"] >= 0.8
 
 
+def test_dedup_survivors_end_to_end(planted_docs):
+    """Exact dups AND near-dups are dropped; their lower-id representatives
+    survive; untouched docs all survive."""
+    surv = {r["doc_id"] for r in P.dedup_survivors(planted_docs, threshold=0.8).collect()}
+    for j in range(3):
+        # doc_ids are strings: the LEXICOGRAPHIC min of each group survives
+        exact_pair = {str(j), str(100 + j)}
+        assert min(exact_pair) in surv and max(exact_pair) not in surv
+        near_pair = {str(10 + j), str(200 + j)}
+        assert min(near_pair) in surv and max(near_pair) not in surv
+    assert len(surv) == 60
+
+
 def test_simhash_exact_dups_equal_near_dups_close(planted_docs):
     sh = {r["doc_id"]: r["simhash"] for r in P.simhash(planted_docs).collect()}
     for j in range(3):
