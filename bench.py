@@ -237,7 +237,7 @@ def main() -> None:
         for name in (
             "groupby_agg_lineitem",
             "filter_pushdown_revenue",
-            "window_shift_fill",
+            "window_shift_ffill",
             "roundtrip_auto",
         ):
             queries[name] = timed(lambda n=name: q[n](spark, SF_DIR).collect())

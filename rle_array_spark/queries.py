@@ -1232,101 +1232,298 @@ FROM seq"""
 
 
 # ---------------------------------------------------------------------------
+# consolidated queries (one driver slot each, multiple operators covered)
+# ---------------------------------------------------------------------------
+
+_FORCED_CODECS = ("rle", "dict", "bitpack", "for", "ngram", "raw")
+
+
+def q_roundtrip_forced_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every FORCED codec's encode→decode round trip in one differential
+    query: per-doc stats of each codec's decode, labeled by codec. The
+    oracle computes the stats once from raw text and crosses them with the
+    codec labels — so all six codecs must decode identically to the raw
+    tokens (the reference's per-codec round-trip suite, one driver slot)."""
+    seq = _sequences(spark, sf_dir)
+    out = None
+    for codec in _FORCED_CODECS:
+        stats = (
+            decode_stats_df(encode_df(seq, codec=codec))
+            .select(*_STATS_COLS)
+            .withColumn("codec", F.lit(codec))
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+_ORACLE_CODEC_LABELS = ", ".join(f"('{c}')" for c in _FORCED_CODECS)
+ORACLE_ROUNDTRIP_FORCED = f"""{_ORACLE_TOK_CTE}
+SELECT doc_id, source,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
+       codec
+FROM tok CROSS JOIN (VALUES {_ORACLE_CODEC_LABELS}) AS codecs(codec)"""
+
+
+def q_compression_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-choice histogram + compression accounting vs the reference's
+    analytic r×(4+8) formula in one audit, per (source, codec) — rows-only
+    by design (codec choice and the reference size are the engine's own
+    derived metrics)."""
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return blocks.groupBy("source", "codec").agg(
+        F.count("*").alias("blocks"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.sum("ref_rle_bytes").alias("ref_rle_bytes"),
+        F.round(F.sum("raw_bytes") / F.sum("encoded_bytes"), 3).alias("ratio"),
+    )
+
+
+def q_event_type_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts + unique + factorize in one catalog (reference
+    array.py:688-691, 918-923, 294-306): one row per distinct value with
+    its count and dense factorization code."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("code", (F.dense_rank().over(w) - 1).cast("long"))
+    )
+
+
+ORACLE_EVENT_TYPE_CATALOG = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+FROM events GROUP BY event_type"""
+
+
+def q_slice_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getitem[slice] + getitem[int] in one query: head-slice sum via the
+    compressed fast path (reference find_slice, _algorithms.py:230-297 —
+    O(log n_runs + 8) for RLE) joined with first/last element lookups
+    (reference _algorithms.py:202-227)."""
+    from rle_array_spark.engine import decode_slice_df
+
+    seq = _sequences(spark, sf_dir)
+    blocks = encode_df(seq, codec="auto")
+    head = decode_slice_df(blocks, 0, 8).select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, t: a + t).alias("head_sum"),
+    )
+    points = decode_df(blocks).select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", F.size("tokens")).alias("last_tok"),
+    )
+    return head.join(points, "doc_id")
+
+
+ORACLE_SLICE_POINT_LOOKUP = f"""{_ORACLE_TOK_CTE}
+SELECT doc_id,
+       CAST(list_sum(tokens[1:8]) AS BIGINT) AS head_sum,
+       CAST(tokens[1] AS INT) AS first_tok,
+       CAST(tokens[length(tokens)] AS INT) AS last_tok
+FROM tok"""
+
+
+def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x + x%7 through BOTH zip implementations in one slot: the block-pair
+    union-grid zip (zip_blocks_df, reference _algorithms.py:484-585) and
+    the join-free frame zip (zip_frame_df) — each labeled, both required
+    to match the same oracle."""
+    block = q_zip_add_mod(spark, sf_dir).withColumn("path", F.lit("block"))
+    frame = q_frame_zip_join_free(spark, sf_dir).withColumn("path", F.lit("frame"))
+    return block.unionByName(frame)
+
+
+ORACLE_ZIP_ADD_MOD_BOTH = """WITH tok AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ''), c -> unicode(c) + unicode(c) % 7) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
+       path
+FROM tok CROSS JOIN (VALUES ('block'), ('frame')) AS paths(path)"""
+
+
+def q_window_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift + fillna(value) + fillna(ffill) in one window pass (reference
+    array.py:875-911): lag with -1 fill AND last(ignorenulls) forward fill
+    over deterministically injected nulls."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wff = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nulled_v = F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 6).alias("prev_value_filled"),
+        F.round(
+            F.coalesce(F.last(nulled_v, ignorenulls=True).over(wff), F.lit(-1.0)), 6
+        ).alias("v_ffill"),
+    )
+
+
+ORACLE_WINDOW_SHIFT_FFILL = """SELECT user_id,
+       event_id,
+       round(coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0), 6)
+           AS prev_value_filled,
+       round(coalesce(last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 6) AS v_ffill
+FROM events"""
+
+
+def q_token_moments_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All decompress-fallback statistics in one slot (reference
+    median/std/var/skew/kurt, array.py:537-606): per-source mean, stddev,
+    median, skewness and excess kurtosis over decoded tokens."""
+    seq = _sequences(spark, sf_dir)
+    decoded = decode_df(encode_df(seq, codec="auto"))
+    exploded = decoded.select("source", F.explode("tokens").alias("tok"))
+    return exploded.groupBy("source").agg(
+        F.round(F.avg("tok"), 6).alias("mean_tok"),
+        F.round(F.stddev_samp("tok"), 6).alias("sd_tok"),
+        F.round(F.expr("percentile(tok, 0.5)"), 6).alias("median_tok"),
+        F.round(F.skewness("tok"), 5).alias("skew_tok"),
+        F.round(F.kurtosis("tok"), 5).alias("kurt_tok"),
+        F.count("*").alias("n_toks"),
+    )
+
+
+ORACLE_TOKEN_MOMENTS_FULL = f"""{_ORACLE_TOK_CTE}
+SELECT source,
+       round(avg(tok), 6) AS mean_tok,
+       round(stddev(tok), 6) AS sd_tok,
+       round(quantile_cont(tok, 0.5), 6) AS median_tok,
+       round((avg(tok*tok*tok) - 3*avg(tok)*var_pop(tok) - avg(tok)^3)
+             / var_pop(tok)^1.5, 5) AS skew_tok,
+       round((avg(tok*tok*tok*tok) - 4*avg(tok)*avg(tok*tok*tok)
+              + 6*avg(tok)^2*avg(tok*tok) - 3*avg(tok)^4)
+             / var_pop(tok)^2 - 3, 5) AS kurt_tok,
+       CAST(count(*) AS BIGINT) AS n_toks
+FROM (SELECT source, CAST(unnest(tokens) AS DOUBLE) AS tok FROM tok)
+GROUP BY source"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract registry. ORDER MATTERS: the driver gates the first
+    50 entries, so never-driver-checked and newest queries sit at the
+    FRONT; consolidated multi-operator slots keep the total at exactly 50
+    (each covers several reference operators differentially — see the
+    q_* docstrings)."""
+    from rle_array_spark.pipeline_queries import pipeline_queries
+
+    pq = pipeline_queries()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for codec in ("rle", "dict", "bitpack", "for", "ngram", "raw", "auto"):
-        out[f"roundtrip_{codec}"] = _roundtrip_stats(codec)
+    # -- 1. pipeline queries that sat past the r2 gate window (3 of them
+    #       never driver-checked), newest risk first
+    for k in (
+        "audio_features", "video_frame_sample", "image_resize", "image_features",
+        "signlsh_knn_top1", "lang_id", "quality_scores", "token_counts",
+        "doc_fingerprints",
+    ):
+        out[k] = pq[k]
+    # -- 2. new in round 3
+    out["roundtrip_cast"] = q_roundtrip_cast
+    out["typed_fillna_dropna"] = q_typed_fillna_dropna
+    out["cosine_pairs_lsh"] = pq["cosine_pairs_lsh"]
+    out["dedup_survivors"] = pq["dedup_survivors"]
+    # -- 3. remaining pipeline queries
+    for k in (
+        "dedup_exact", "dedup_minhash_candidates", "dedup_jaccard_verified",
+        "dedup_simhash", "knn_top1_cosine",
+    ):
+        out[k] = pq[k]
+    # -- 4. consolidated multi-operator slots
+    out["roundtrip_forced_codecs"] = q_roundtrip_forced_codecs
+    out["roundtrip_auto"] = _roundtrip_stats("auto")
+    out["compression_accounting"] = q_compression_accounting
+    out["event_type_catalog"] = q_event_type_catalog
+    out["slice_point_lookup"] = q_slice_point_lookup
+    out["zip_add_mod_paths"] = q_zip_add_mod_both_paths
+    out["window_shift_ffill"] = q_window_shift_ffill
+    out["token_moments"] = q_token_moments_full
+    # -- 5. single-operator queries
     out["meta_tokens_by_source"] = q_meta_tokens_by_source
     out["groupby_agg_lineitem"] = q_groupby_agg_lineitem
     out["filter_pushdown_revenue"] = q_filter_pushdown_revenue
-    out["value_counts_events"] = q_value_counts_events
-    out["unique_event_types"] = q_unique_event_types
-    out["factorize_event_types"] = q_factorize_event_types
-    out["window_shift_fill"] = q_window_shift_fill
-    out["slice_head_sum"] = q_slice_head_sum
-    out["point_lookup"] = q_point_lookup
     out["concat_union"] = q_concat_union
     out["runs_and_cardinality"] = q_runs_and_cardinality
     out["compressed_add_const"] = q_compressed_add_const
     out["metadata_minmax"] = q_metadata_minmax
     out["compressed_reductions"] = q_compressed_reductions
-    out["zip_add_mod"] = q_zip_add_mod
-    out["frame_zip_join_free"] = q_frame_zip_join_free
+    out["zip_compare"] = q_zip_compare
     out["rollup_events"] = q_rollup_events
     out["broadcast_join_segment_revenue"] = q_broadcast_join_segment_revenue
     out["rank_orders_per_customer"] = q_rank_orders_per_customer
-    out["token_moments"] = q_token_moments
-    out["ffill_window"] = q_ffill_window
     out["topk_longest_docs"] = q_topk_longest_docs
-    out["codec_histogram"] = q_codec_histogram
-    out["compression_vs_reference"] = q_compression_vs_reference
     out["chunked_roundtrip_selftest"] = q_chunked_roundtrip_selftest
     out["roundtrip_float"] = q_roundtrip_float
     out["roundtrip_bool"] = q_roundtrip_bool
     out["roundtrip_timestamp"] = q_roundtrip_timestamp
-    out["roundtrip_cast"] = q_roundtrip_cast
-    out["typed_fillna_dropna"] = q_typed_fillna_dropna
-    out["token_skew_kurt"] = q_token_skew_kurt
-    out["transform_ufunc"] = q_transform_ufunc
-    out["zip_compare"] = q_zip_compare
-    out["strided_take"] = q_strided_take
     out["roundtrip_string"] = q_roundtrip_string
+    out["transform_ufunc"] = q_transform_ufunc
+    out["strided_take"] = q_strided_take
     out["reverse_stats"] = q_reverse_stats
     out["table_mixed_roundtrip"] = q_table_mixed_roundtrip
     out["typed_zip_compare"] = q_typed_zip_compare
     out["string_eq_zip"] = q_string_eq_zip
-    from rle_array_spark.pipeline_queries import pipeline_queries
-
-    out.update(pipeline_queries())
+    assert len(out) <= 50, f"driver gates 50 queries; registry has {len(out)}"
     return out
 
 
 def build_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for codec in ("rle", "dict", "bitpack", "for", "ngram", "raw", "auto"):
-        out[f"roundtrip_{codec}"] = _ROUNDTRIP_ORACLE
+    from rle_array_spark.pipeline_queries import pipeline_oracles
+
+    out: dict[str, str] = dict(pipeline_oracles())
+    out["roundtrip_cast"] = ORACLE_ROUNDTRIP_CAST
+    out["typed_fillna_dropna"] = ORACLE_TYPED_FILLNA_DROPNA
+    out["roundtrip_forced_codecs"] = ORACLE_ROUNDTRIP_FORCED
+    out["roundtrip_auto"] = _ROUNDTRIP_ORACLE
+    # compression_accounting: intentionally no oracle (rows-only audit).
+    out["event_type_catalog"] = ORACLE_EVENT_TYPE_CATALOG
+    out["slice_point_lookup"] = ORACLE_SLICE_POINT_LOOKUP
+    out["zip_add_mod_paths"] = ORACLE_ZIP_ADD_MOD_BOTH
+    out["window_shift_ffill"] = ORACLE_WINDOW_SHIFT_FFILL
+    out["token_moments"] = ORACLE_TOKEN_MOMENTS_FULL
     out["meta_tokens_by_source"] = ORACLE_META_TOKENS
     out["groupby_agg_lineitem"] = ORACLE_GROUPBY_AGG
     out["filter_pushdown_revenue"] = ORACLE_FILTER_PUSHDOWN
-    out["value_counts_events"] = ORACLE_VALUE_COUNTS
-    out["unique_event_types"] = ORACLE_UNIQUE
-    out["factorize_event_types"] = ORACLE_FACTORIZE
-    out["window_shift_fill"] = ORACLE_WINDOW_SHIFT
-    out["slice_head_sum"] = ORACLE_SLICE_HEAD
-    out["point_lookup"] = ORACLE_POINT_LOOKUP
     out["concat_union"] = ORACLE_CONCAT_UNION
     out["runs_and_cardinality"] = ORACLE_RUNS_CARD
     out["compressed_add_const"] = ORACLE_COMPRESSED_ADD
     out["metadata_minmax"] = ORACLE_METADATA_MINMAX
     out["compressed_reductions"] = ORACLE_COMPRESSED_REDUCTIONS
-    out["zip_add_mod"] = ORACLE_ZIP_ADD_MOD
-    out["frame_zip_join_free"] = ORACLE_ZIP_ADD_MOD
+    out["zip_compare"] = ORACLE_ZIP_COMPARE
     out["rollup_events"] = ORACLE_ROLLUP_EVENTS
     out["broadcast_join_segment_revenue"] = ORACLE_BROADCAST_JOIN
     out["rank_orders_per_customer"] = ORACLE_RANK_ORDERS
-    out["token_moments"] = ORACLE_TOKEN_MOMENTS
-    out["ffill_window"] = ORACLE_FFILL
     out["topk_longest_docs"] = ORACLE_TOPK
+    out["chunked_roundtrip_selftest"] = ORACLE_CHUNKED_SELFTEST
     out["roundtrip_float"] = ORACLE_ROUNDTRIP_FLOAT
     out["roundtrip_bool"] = ORACLE_ROUNDTRIP_BOOL
     out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
-    out["roundtrip_cast"] = ORACLE_ROUNDTRIP_CAST
-    out["typed_fillna_dropna"] = ORACLE_TYPED_FILLNA_DROPNA
-    out["token_skew_kurt"] = ORACLE_TOKEN_SKEW_KURT
-    out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
-    out["zip_compare"] = ORACLE_ZIP_COMPARE
-    out["strided_take"] = ORACLE_STRIDED_TAKE
     out["roundtrip_string"] = ORACLE_ROUNDTRIP_STRING
+    out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
+    out["strided_take"] = ORACLE_STRIDED_TAKE
     out["reverse_stats"] = ORACLE_REVERSE_STATS
     out["table_mixed_roundtrip"] = ORACLE_TABLE_MIXED
     out["typed_zip_compare"] = ORACLE_TYPED_ZIP
     out["string_eq_zip"] = ORACLE_STRING_EQ_ZIP
-    out["chunked_roundtrip_selftest"] = ORACLE_CHUNKED_SELFTEST
-    # codec_histogram / compression_vs_reference: intentionally no oracle.
-    from rle_array_spark.pipeline_queries import pipeline_oracles
-
-    out.update(pipeline_oracles())
     return out
