@@ -148,96 +148,6 @@ FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
 
-def q_value_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """value_counts (reference array.py:688-691) → groupBy().count()."""
-    ev = _table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
-
-
-ORACLE_VALUE_COUNTS = """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
-FROM events GROUP BY event_type"""
-
-
-def q_unique_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unique (reference array.py:918-923) → distinct."""
-    return _table(spark, sf_dir, "events").select("event_type").distinct()
-
-
-ORACLE_UNIQUE = "SELECT DISTINCT event_type FROM events"
-
-
-def q_factorize_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """factorize/dictionary-encode (reference array.py:294-306) →
-    dense_rank over the sorted distinct values."""
-    ev = _table(spark, sf_dir, "events")
-    w = Window.orderBy("event_type")
-    return (
-        ev.select("event_type")
-        .distinct()
-        .withColumn("code", (F.dense_rank().over(w) - 1).cast("long"))
-    )
-
-
-ORACLE_FACTORIZE = """SELECT event_type,
-       CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
-FROM (SELECT DISTINCT event_type FROM events)"""
-
-
-def q_window_shift_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """shift + fillna (reference array.py:875-900, 902-911) → lag + coalesce."""
-    ev = _table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 6).alias("prev_value_filled"),
-    )
-
-
-ORACLE_WINDOW_SHIFT = """SELECT user_id,
-       event_id,
-       round(coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0), 6)
-           AS prev_value_filled
-FROM events"""
-
-
-def q_slice_head_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getitem[slice] via the compressed fast path (reference find_slice,
-    _algorithms.py:230-297): decode only tokens[0:8] of each block —
-    O(log n_runs + 8) for RLE — then sum the slice."""
-    from rle_array_spark.engine import decode_slice_df
-
-    seq = _sequences(spark, sf_dir)
-    sliced = decode_slice_df(encode_df(seq, codec="auto"), 0, 8)
-    return sliced.select(
-        "doc_id",
-        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, t: a + t).alias("head_sum"),
-    )
-
-
-ORACLE_SLICE_HEAD = f"""{_ORACLE_TOK_CTE}
-SELECT doc_id, CAST(list_sum(tokens[1:8]) AS BIGINT) AS head_sum FROM tok"""
-
-
-def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getitem[int] (reference _algorithms.py:202-227) → element_at on the
-    decoded column: first and last token per doc."""
-    seq = _sequences(spark, sf_dir)
-    decoded = decode_df(encode_df(seq, codec="auto"))
-    return decoded.select(
-        "doc_id",
-        F.element_at("tokens", 1).alias("first_tok"),
-        F.element_at("tokens", F.size("tokens")).alias("last_tok"),
-    )
-
-
-ORACLE_POINT_LOOKUP = f"""{_ORACLE_TOK_CTE}
-SELECT doc_id,
-       CAST(tokens[1] AS INT) AS first_tok,
-       CAST(tokens[length(tokens)] AS INT) AS last_tok
-FROM tok"""
-
-
 def q_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """concat (reference _algorithms.py:62-96) → DataFrame.union of two
     disjoint encoded halves, then metadata aggregate over the union."""
@@ -278,59 +188,6 @@ SELECT doc_id,
 FROM tok"""
 
 
-def q_token_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decompress-fallback statistics (reference median/std/var,
-    array.py:537-554,587-606 — PerformanceWarning there, Catalyst-native
-    here): per-source moments over all decoded tokens."""
-    seq = _sequences(spark, sf_dir)
-    decoded = decode_df(encode_df(seq, codec="auto"))
-    exploded = decoded.select("source", F.explode("tokens").alias("tok"))
-    return exploded.groupBy("source").agg(
-        F.round(F.avg("tok"), 6).alias("mean_tok"),
-        F.round(F.stddev_samp("tok"), 6).alias("sd_tok"),
-        F.round(F.expr("percentile(tok, 0.5)"), 6).alias("median_tok"),
-        F.count("*").alias("n_toks"),
-    )
-
-
-ORACLE_TOKEN_MOMENTS = f"""{_ORACLE_TOK_CTE}
-SELECT source,
-       round(avg(tok), 6) AS mean_tok,
-       round(stddev(tok), 6) AS sd_tok,
-       round(quantile_cont(tok, 0.5), 6) AS median_tok,
-       CAST(count(*) AS BIGINT) AS n_toks
-FROM (SELECT source, unnest(tokens) AS tok FROM tok)
-GROUP BY source"""
-
-
-def q_token_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """skew/kurt over decoded tokens (reference array.py:581-606,
-    decompress-fallback there; Catalyst-native population moments here).
-    The oracle derives the same population skewness / excess kurtosis from
-    raw power sums (DuckDB's skewness()/kurtosis() are the sample-corrected
-    variants, so the moment algebra is spelled out)."""
-    seq = _sequences(spark, sf_dir)
-    decoded = decode_df(encode_df(seq, codec="auto"))
-    exploded = decoded.select("source", F.explode("tokens").alias("tok"))
-    return exploded.groupBy("source").agg(
-        F.round(F.skewness("tok"), 5).alias("skew_tok"),
-        F.round(F.kurtosis("tok"), 5).alias("kurt_tok"),
-        F.count("*").alias("n_toks"),
-    )
-
-
-ORACLE_TOKEN_SKEW_KURT = f"""{_ORACLE_TOK_CTE}
-SELECT source,
-       round((avg(tok*tok*tok) - 3*avg(tok)*var_pop(tok) - avg(tok)^3)
-             / var_pop(tok)^1.5, 5) AS skew_tok,
-       round((avg(tok*tok*tok*tok) - 4*avg(tok)*avg(tok*tok*tok)
-              + 6*avg(tok)^2*avg(tok*tok) - 3*avg(tok)^4)
-             / var_pop(tok)^2 - 3, 5) AS kurt_tok,
-       CAST(count(*) AS BIGINT) AS n_toks
-FROM (SELECT source, CAST(unnest(tokens) AS DOUBLE) AS tok FROM tok)
-GROUP BY source"""
-
-
 def q_transform_ufunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic value-map escape hatch (reference __array_ufunc__,
     array.py:698-746): an arbitrary vectorized fn — x² mod 251, NOT in the
@@ -360,35 +217,6 @@ SELECT doc_id,
        CAST(list_max(tokens) AS INT) AS tok_max,
        CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
 FROM tok"""
-
-
-def q_ffill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fillna(ffill) (reference array.py:902-911) → last(ignorenulls) over an
-    ordered window; nulls injected deterministically via nullif."""
-    ev = _table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    nulled = ev.withColumn(
-        "v", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
-    )
-    return nulled.select(
-        "user_id",
-        "event_id",
-        F.round(F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0)), 6).alias(
-            "v_ffill"
-        ),
-    )
-
-
-ORACLE_FFILL = """SELECT user_id,
-       event_id,
-       round(coalesce(last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 6) AS v_ffill
-FROM events"""
 
 
 def q_topk_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,21 +493,6 @@ SELECT doc_id,
 FROM tok"""
 
 
-ORACLE_ZIP_ADD_MOD = """WITH tok AS (
-    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-           list_transform(string_split(text, ''), c -> unicode(c) + unicode(c) % 7) AS tokens
-    FROM documents
-    WHERE length(text) > 0
-)
-SELECT doc_id,
-       CAST(length(tokens) AS INT) AS n_tok,
-       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
-       CAST(list_min(tokens) AS INT) AS tok_min,
-       CAST(list_max(tokens) AS INT) AS tok_max,
-       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
-FROM tok"""
-
-
 def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying chunked-encode round trip on a deterministic synthetic
     corpus (giant sequences split across blocks, salted shuffle, relational
@@ -711,29 +524,6 @@ def q_chunked_roundtrip_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHUNKED_SELFTEST = """SELECT CAST(73 AS BIGINT) AS docs,
        CAST(17 AS BIGINT) AS chunked_blocks,
        CAST(0 AS BIGINT) AS mismatches"""
-
-
-def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Auto-selection distribution — no SQL oracle (codec choice is the
-    engine's own policy); driver records the weaker rows-only check."""
-    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
-    return blocks.groupBy("codec").agg(
-        F.count("*").alias("blocks"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
-        F.sum("raw_bytes").alias("raw_bytes"),
-    )
-
-
-def q_compression_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression accounting vs the reference's analytic r×(4+8) formula —
-    rows-only check (the reference size is our own derived metric)."""
-    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
-    return blocks.groupBy("source").agg(
-        F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
-        F.sum("ref_rle_bytes").alias("ref_rle_bytes"),
-        F.round(F.sum("raw_bytes") / F.sum("encoded_bytes"), 3).alias("ratio"),
-    )
 
 
 def _event_value_sequences(spark: SparkSession, sf_dir: str):
