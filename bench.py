@@ -92,13 +92,28 @@ def encode_job(spark, num_partitions: int | None) -> dict:
     return {"tokens": row["toks"], "raw": row["raw"], "enc": row["enc"], "ref": row["ref"]}
 
 
-def timed(fn, reps: int = 1) -> float:
-    best = float("inf")
+SPREAD: dict[str, dict] = {}
+
+
+def timed(fn, reps: int = 3, name: str | None = None) -> float:
+    """min-of-reps (the VM shows occasional 2-3x stalls; min is the
+    engine's cost, the spread is the weather). All samples are recorded in
+    SPREAD so BENCH carries per-cell min/median and regressions are
+    decidable across rounds."""
+    samples = []
     for _ in range(reps):
         t0 = time.monotonic()
         fn()
-        best = min(best, time.monotonic() - t0)
-    return round(best, 3)
+        samples.append(time.monotonic() - t0)
+    samples.sort()
+    if name is not None:
+        SPREAD[name] = {
+            "min": round(samples[0], 3),
+            "median": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+            "reps": reps,
+        }
+    return round(samples[0], 3)
 
 
 SCALING_PARTITIONS = 128  # identical job plan at every parallelism level
@@ -188,14 +203,15 @@ def main() -> None:
         # forced-RLE encode (the reference's one codec, like-for-like rate)
         queries["encode_rle_scanparallel"] = timed(
             lambda: encode_df(df, codec="rle").agg(F.sum("encoded_bytes")).collect(),
-            reps=2,
+            name="encode_rle_scanparallel",
         )
 
         # encode→decode→stats full pipeline (the flagship path)
         queries["encode_decode_stats"] = timed(
             lambda: decode_stats_df(encode_df(df, codec="auto"))
             .agg(F.sum("tok_sum"))
-            .collect()
+            .collect(),
+            name="encode_decode_stats",
         )
 
         # decode-free metadata audit on a cached blocks table
@@ -204,7 +220,8 @@ def main() -> None:
         queries["audit_metadata_agg"] = timed(
             lambda: blocks_cached.groupBy("source", "codec")
             .agg(F.sum("encoded_bytes"), F.sum("tok_sum"))
-            .collect()
+            .collect(),
+            name="audit_metadata_agg",
         )
 
         # compressed-domain gather A/B: take every 8th position via the
@@ -216,7 +233,7 @@ def main() -> None:
             lambda: take_blocks(blocks_cached, stride=8)
             .agg(F.sum("tok_sum"))
             .collect(),
-            reps=2,
+            name="take_stride8_compressed",
         )
         queries["take_stride8_decode_gather"] = timed(
             lambda: decode_df(blocks_cached)
@@ -228,9 +245,35 @@ def main() -> None:
             )
             .agg(F.sum("s"))
             .collect(),
-            reps=2,
+            name="take_stride8_decode_gather",
         )
         blocks_cached.unpersist()
+
+        # whole-table checkpointed writer over a mixed int/double/string
+        # frame (a deterministic 1/8 slice of the corpus: ~30 M tokens x 3
+        # encoded columns + immutable-file commit machinery)
+        from rle_array_spark.tableio import encode_table_to_dir
+
+        mixed = (
+            df.filter(F.crc32(F.col("doc_id")) % 8 == 0)
+            .select(
+                "doc_id",
+                "source",
+                "tokens",
+                F.expr("transform(tokens, x -> cast(x as double) / 7.0)").alias("vals"),
+                F.expr("transform(tokens, x -> concat('t', x % 5))").alias("tags"),
+            )
+        )
+
+        def table_write_job():
+            out_dir = "/tmp/rle_bench_tablewriter"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            encode_table_to_dir(
+                mixed, ["tokens", "vals", "tags"], out_dir,
+                num_partitions=CPUS * 2, commit_mode="manifest",
+            )
+
+        queries["table_writer_mixed"] = timed(table_write_job, name="table_writer_mixed")
 
         # relational queries on driver testdata
         q = build_queries()
@@ -240,7 +283,7 @@ def main() -> None:
             "window_shift_ffill",
             "roundtrip_auto",
         ):
-            queries[name] = timed(lambda n=name: q[n](spark, SF_DIR).collect())
+            queries[name] = timed(lambda n=name: q[n](spark, SF_DIR).collect(), name=name)
     finally:
         spark.stop()
 
@@ -260,6 +303,7 @@ def main() -> None:
         "scaling_efficiency_8_to_32": {"scan_parallel": eff_scan_8_32, "salted_shuffle": eff_salted_8_32},
         "compression_ratio_vs_raw": round(totals["raw"] / totals["enc"], 3),
         "compression_ratio_vs_reference_rle": round(totals["ref"] / totals["enc"], 3),
+        "queries_spread": SPREAD,
     }
     print(json.dumps(out))
 
