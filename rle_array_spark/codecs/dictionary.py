@@ -54,6 +54,35 @@ class DictCodec(Codec):
         codes = unpack_bits(buf[off + tbytes :], n, cwidth).astype(np.int64)
         return table[codes]
 
+    def parts(self, payload, n: int) -> tuple[np.ndarray, np.ndarray]:
+        """(table int64 ascending-unique, codes int64) without gathering
+        values — the code-domain view used by the dict⊕dict zip."""
+        buf = memoryview(payload)
+        card, dbase, dwidth, cwidth = struct.unpack_from(_HEADER, buf, 0)
+        if card == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        off = _HEADER_SIZE
+        tbytes = packed_nbytes(card, dwidth)
+        table = unpack_bits(buf[off : off + tbytes], card, dwidth).astype(np.int64) + dbase
+        codes = unpack_bits(buf[off + tbytes :], n, cwidth).astype(np.int64)
+        return table, codes
+
+    def encode_parts(self, table: np.ndarray, codes: np.ndarray) -> bytes:
+        """Build a payload from a SORTED-UNIQUE int32 table (every entry
+        referenced) + codes — byte-identical to ``encode(table[codes])``
+        without materializing the values."""
+        card = int(table.size)
+        if card == 0:
+            return struct.pack(_HEADER, 0, 0, 0, 0)
+        dbase = int(table[0])
+        dwidth = bit_width(int(table[-1]) - dbase)
+        cwidth = bit_width(card - 1)
+        return (
+            struct.pack(_HEADER, card, dbase, dwidth, cwidth)
+            + pack_bits(table.astype(np.int64) - dbase, dwidth)
+            + pack_bits(codes, cwidth)
+        )
+
     def estimate_size(self, stats: BlockStats) -> int:
         if stats.n == 0:
             return _HEADER_SIZE

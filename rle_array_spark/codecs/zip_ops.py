@@ -55,6 +55,24 @@ def zip_blocks(
         out_lens = np.diff(np.concatenate(([0], union_ends)))
         out_vals, out_lens = _merge_equal_runs(out_vals, out_lens)
         return "rle", _repack_rle(out_vals, out_lens)
+    if codec_a == "dict" and codec_b == "dict":
+        # CODE-domain zip: the op runs over the ≤ k_a×k_b PAIR TABLE that
+        # actually occurs; values are never gathered and the chooser's
+        # trial encodes (measured 80% of the old fallback time on the
+        # driver corpus, where auto picks dict for every doc) are skipped.
+        dc = CODECS["dict"]
+        ta, ca_codes = dc.parts(payload_a, n)
+        tb, cb_codes = dc.parts(payload_b, n)
+        kb = max(int(tb.size), 1)
+        uniq, inv = np.unique(ca_codes * kb + cb_codes, return_inverse=True)
+        pair_vals = _checked_int32(op(ta[uniq // kb], tb[uniq % kb]))
+        out_table, remap = np.unique(pair_vals, return_inverse=True)
+        payload = dc.encode_parts(out_table, remap[inv])
+        if len(payload) <= 4 * n + 1:  # never worse than raw
+            return "dict", payload
+        from rle_array_spark.chooser import choose_codec
+
+        return choose_codec(out_table[remap[inv]].astype(np.int32))
     # decode fallback for mixed codecs
     from rle_array_spark.chooser import choose_codec
     from rle_array_spark.codecs.core import PerformanceWarning

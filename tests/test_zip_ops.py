@@ -52,6 +52,43 @@ def test_zip_mixed_codecs_fallback(cb):
     np.testing.assert_array_equal(out, (a.astype(np.int64) + b).astype(np.int32))
 
 
+@pytest.mark.parametrize("op", [lambda x, y: x + y, lambda x, y: x * y, np.maximum])
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_zip_dict_dict_code_domain(case, op):
+    """dict⊕dict runs in the CODE domain (pair table, values never
+    gathered), emits the canonical dict payload byte-identically to
+    re-encoding the decoded result, and stays silent (it is a compressed
+    fast path, not a fallback)."""
+    import warnings
+
+    a, b = CASES[case]
+    pa_, pb = encode_block(a, "dict"), encode_block(b, "dict")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        codec, payload = zip_blocks("dict", pa_, "dict", pb, a.size, op)
+    expected = op(a.astype(np.int64), b.astype(np.int64)).astype(np.int32)
+    direct = CODECS["dict"].encode(expected)
+    if len(direct) <= 4 * a.size + 1:
+        assert codec == "dict"
+        assert payload == direct
+    # tiny blocks trip the never-worse-than-raw guard and re-choose
+    np.testing.assert_array_equal(decode_block(payload, codec, a.size), expected)
+
+
+def test_zip_dict_dict_size_guard_falls_back():
+    """When the pair table explodes (all-distinct result), dict would beat
+    raw by nothing — the guard re-chooses instead of shipping a bloated
+    dict block."""
+    rng = np.random.default_rng(3)
+    a = rng.permutation(5000).astype(np.int32)
+    b = (rng.permutation(5000) * 7919 % 100_000).astype(np.int32)
+    pa_, pb = encode_block(a, "dict"), encode_block(b, "dict")
+    codec, payload = zip_blocks("dict", pa_, "dict", pb, a.size, lambda x, y: x * 31 + y)
+    expected = (a.astype(np.int64) * 31 + b).astype(np.int32)
+    np.testing.assert_array_equal(decode_block(payload, codec, a.size), expected)
+    assert len(payload) <= 4 * a.size + 64
+
+
 def test_zip_empty():
     codec, payload = zip_blocks(
         "rle", encode_block(np.array([], np.int32), "rle"),
