@@ -352,6 +352,133 @@ def _emit_codes(table: np.ndarray, codes: np.ndarray, valid) -> tuple[str, bytes
     return ("srle", rle_p) if len(rle_p) <= len(dict_p) else ("sdict", dict_p)
 
 
+def string_payload_stats(name: str, payload, n: int):
+    """(n_runs, null_count, card, val_min, val_max) of one string block
+    straight from the PAYLOAD — code-domain for srle/sdict (table + code
+    stream, value bytes untouched), decode for sraw/sfsst. card counts
+    values actually REFERENCED (valid slots only); min/max likewise."""
+    buf = memoryview(payload)
+    valid, off = _decode_flags(buf, n)
+    null_count = 0 if valid is None else int(n - valid.sum())
+    if n == 0:
+        return 0, 0, 0, None, None
+    if name in ("srle", "sdict"):
+        table, codes, _ = _codes_form(name, payload, n)
+        n_runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1]))
+        ref = codes if valid is None else codes[valid]
+        if ref.size == 0:
+            return n_runs, null_count, 0, None, None
+        uniq = np.unique(ref)
+        vals = table[uniq]
+        return n_runs, null_count, int(uniq.size), str(min(vals)), str(max(vals))
+    vals, _ = decode_strings(name, buf, n)
+    if valid is None:
+        n_runs = 1 + int(np.count_nonzero(vals[1:] != vals[:-1]))
+        body = vals
+    else:
+        # null slots must extend runs (the encode-side n_runs contract):
+        # re-derive forward-filled codes exactly like encode_string_block_stats
+        arr = pa.array(list(np.where(valid, vals, None)), type=pa.string())
+        _, codes, _ = _dict_parts(arr)
+        n_runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if n else 0
+        body = vals[valid]
+    if body.size == 0:
+        return n_runs, null_count, 0, None, None
+    uniq_vals = np.unique(body.astype(object))
+    return n_runs, null_count, int(uniq_vals.size), str(uniq_vals[0]), str(uniq_vals[-1])
+
+
+def dropna_strings(name: str, payload, n: int) -> tuple[str, bytes, int]:
+    """Compressed-domain dropna for string blocks (the object-dtype analog
+    of codecs/typed.dropna_typed; reference _algorithms.py:174-199): for
+    the dictionary-backed codecs the null slots are dropped from the CODE
+    stream and unreferenced table entries pruned — string bytes never
+    gathered. sraw/sfsst decode and re-choose."""
+    buf = memoryview(payload)
+    valid, off = _decode_flags(buf, n)
+    if valid is None:
+        return name, bytes(payload), n
+    if name in ("srle", "sdict"):
+        table, codes, _ = _codes_form(name, payload, n)
+        kept = codes[valid]
+        if kept.size == 0:
+            nm, pl = encode_string_block(pa.array([], type=pa.string()), "sraw")
+            return nm, pl, 0
+        uniq, inv = np.unique(kept, return_inverse=True)
+        nm, pl = _emit_codes(table[uniq], inv, None)
+        return nm, pl, int(kept.size)
+    vals, _ = decode_strings(name, buf, n)
+    kept_vals = vals[valid]
+    nm, pl = encode_string_block(pa.array(list(kept_vals), type=pa.string()), "auto")
+    return nm, pl, int(kept_vals.size)
+
+
+def fillna_strings(
+    name: str, payload, n: int, value: str | None = None, method: str | None = None
+) -> tuple[str, bytes]:
+    """Compressed-domain fillna for string blocks (reference
+    array.py:902-911 on object dtype):
+
+    * ffill — HEADER-ONLY rewrite for every codec: the body already stores
+      null slots forward-filled (codes or values), so only the null section
+      changes; a leading null run (nothing to fill from) stays null.
+    * value — dict-backed codecs rewrite null CODES (appending the fill
+      value to the table if absent); sraw/sfsst decode and re-choose.
+    * bfill — decode fallback (the body's fill direction is forward)."""
+    if (value is None) == (method is None):
+        raise ValueError("fillna: exactly one of value / method required")
+    if method not in (None, "ffill", "bfill"):
+        raise ValueError(f"fillna: unknown method {method!r}")
+    buf = memoryview(payload)
+    valid, off = _decode_flags(buf, n)
+    if valid is None:
+        return name, bytes(payload)
+    body = bytes(buf[off:])
+    if method == "ffill":
+        if not valid.any():
+            return name, bytes(payload)
+        if name not in ("srle", "sdict"):
+            # sraw/sfsst bodies store null slots as "" (not forward-filled)
+            # — rewrite the values, keeping only a leading null run
+            vals, _ = decode_strings(name, buf, n)
+            pos = np.where(valid, np.arange(n, dtype=np.int64), -1)
+            np.maximum.accumulate(pos, out=pos)
+            out = [vals[p] if p >= 0 else None for p in pos]
+            return encode_string_block(pa.array(out, type=pa.string()), "auto")
+        if not valid[0]:
+            lead = int(np.argmax(valid))
+            new_valid = np.zeros(n, dtype=bool)
+            new_valid[lead:] = True
+            return name, _encode_flags(new_valid) + body
+        return name, struct.pack("<B", 0) + body
+    if method == "bfill":
+        vals, _ = decode_strings(name, buf, n)
+        out = vals.copy()
+        idx = np.where(valid, np.arange(n, dtype=np.int64), n)
+        np.minimum.accumulate(idx[::-1], out=idx[::-1])
+        fillable = idx < n
+        out[fillable] = vals[idx[fillable]]
+        pyvals = [
+            out[i] if (valid[i] or fillable[i]) else None for i in range(n)
+        ]
+        return encode_string_block(pa.array(pyvals, type=pa.string()), "auto")
+    if name in ("srle", "sdict"):
+        table, codes, _ = _codes_form(name, payload, n)
+        hit = np.flatnonzero(table == value)
+        if hit.size:
+            fill_code = int(hit[0])
+        else:
+            fill_code = table.size
+            table = np.append(table, np.array([value], dtype=object))
+        codes = codes.copy()
+        codes[~valid] = fill_code
+        return _emit_codes(table, codes, None)
+    vals, _ = decode_strings(name, buf, n)
+    out = vals.copy()
+    out[~valid] = value
+    return encode_string_block(pa.array(list(out), type=pa.string()), "auto")
+
+
 def take_strings(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]:
     """values[idx] (sorted idx) as a string block. For the
     dictionary-backed codecs the gather happens in the CODE domain — string

@@ -200,6 +200,94 @@ def decode_strings_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+def _strings_rewrite_df(blocks: DataFrame, row_fn) -> DataFrame:
+    """Per-block payload rewrite for STRING block tables:
+    ``row_fn(codec, payload, n) -> (codec, payload, new_n)``; all metadata
+    (n_runs, null_count, card, val_min/val_max, byte sizes) recomputed
+    exactly from the new payload. Scan-parallel, shuffle-free."""
+    from rle_array_spark.codecs.strings import string_payload_stats
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
+            payload_col = batch.column("payload")
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            n_values = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            null_count = np.empty(n_rows, dtype=np.int32)
+            card = np.empty(n_rows, dtype=np.int32)
+            vmin: list[str | None] = []
+            vmax: list[str | None] = []
+            raw_bytes = np.empty(n_rows, dtype=np.int64)
+            for i in range(n_rows):
+                n = int(n_col[i])
+                c, p, nn = row_fn(
+                    codecs_col[i], memoryview(payload_col[i].as_buffer()), n
+                )
+                new_codecs.append(c)
+                new_payloads.append(p)
+                n_values[i] = nn
+                r, nc, k, lo, hi = string_payload_stats(c, p, nn)
+                n_runs[i], null_count[i], card[i] = r, nc, k
+                vmin.append(lo)
+                vmax.append(hi)
+                raw_bytes[i] = 4 * nn  # offsets-only floor; exact value bytes
+                # depend on the (dropped) originals, so keep the offset term
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    pa.array(n_values),
+                    pa.array(n_runs),
+                    pa.array(null_count),
+                    pa.array(card),
+                    pa.array(vmin, type=pa.string()),
+                    pa.array(vmax, type=pa.string()),
+                    pa.array(raw_bytes),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values",
+                    "n_runs", "null_count", "card", "val_min", "val_max",
+                    "raw_bytes", "encoded_bytes",
+                ],
+            )
+
+    return blocks.select(
+        "doc_id", "source", "codec", "payload", "n_values"
+    ).mapInArrow(kernel, STRING_BLOCKS_SCHEMA)
+
+
+def dropna_strings_df(blocks: DataFrame) -> DataFrame:
+    """dropna over string blocks — code-domain for dict-backed codecs
+    (codecs/strings.dropna_strings); n_values reflects the post-drop
+    length."""
+    from rle_array_spark.codecs.strings import dropna_strings
+
+    return _strings_rewrite_df(blocks, dropna_strings)
+
+
+def fillna_strings_df(
+    blocks: DataFrame, value: str | None = None, method: str | None = None
+) -> DataFrame:
+    """fillna over string blocks: ffill = header-only, value = code rewrite
+    for dict-backed codecs, bfill = decode (codecs/strings.fillna_strings)."""
+    from rle_array_spark.codecs.strings import fillna_strings
+
+    def row_fn(c, p, n):
+        nc, np_ = fillna_strings(c, p, n, value=value, method=method)
+        return nc, np_, n
+
+    return _strings_rewrite_df(blocks, row_fn)
+
+
 def zip_strings_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str = "eq") -> DataFrame:
     """Elementwise eq/ne over two string encoded columns aligned on
     (doc_id, source), producing TYPED bool blocks (decode with

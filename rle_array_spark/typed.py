@@ -345,7 +345,9 @@ def _block_transform_df(blocks: DataFrame, row_fn) -> DataFrame:
                 ],
             )
 
-    return blocks.mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+    return blocks.select(
+        "doc_id", "source", "codec", "payload", "n_values"
+    ).mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
 
 
 def fillna_typed_df(blocks: DataFrame, value=None, method: str | None = None) -> DataFrame:
@@ -478,73 +480,16 @@ def decode_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
 
 
 def _typed_rewrite_df(blocks: DataFrame, row_op, n_values_fn) -> DataFrame:
-    """Per-block payload rewrite for typed block tables: apply
-    ``row_op(codec, payload, n) -> (codec, payload)``, set n_values via
-    ``n_values_fn(n)``, and recompute all metadata from the new payload.
-    Scan-parallel, shuffle-free."""
-    from rle_array_spark.codecs.typed import DTYPE_CODES, typed_payload_stats
+    """Per-block payload rewrite with a length map that depends only on the
+    OLD length: ``row_op(codec, payload, n) -> (codec, payload)``,
+    ``n_values_fn(n) -> new_n``. Thin adapter over _block_transform_df
+    (which allows fully dynamic lengths, e.g. dropna)."""
 
-    def kernel(batches):
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            codecs_col = batch.column("codec").to_pylist()
-            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
-            payload_col = batch.column("payload")
-            n_rows = batch.num_rows
-            new_codecs: list[str] = []
-            new_payloads: list[bytes] = []
-            vtypes: list[str] = []
-            n_values = np.empty(n_rows, dtype=np.int32)
-            n_runs = np.empty(n_rows, dtype=np.int32)
-            null_count = np.empty(n_rows, dtype=np.int32)
-            vmin = np.full(n_rows, np.nan)
-            vmax = np.full(n_rows, np.nan)
-            for i in range(n_rows):
-                n = int(n_col[i])
-                c, p = row_op(
-                    codecs_col[i], memoryview(payload_col[i].as_buffer()), n
-                )
-                nv = n_values_fn(n)
-                new_codecs.append(c)
-                new_payloads.append(p)
-                n_values[i] = nv
-                r, nc, lo, hi, _ = typed_payload_stats(c, p, nv)
-                n_runs[i], null_count[i] = r, nc
-                if lo is not None:
-                    vmin[i], vmax[i] = lo, hi
-                vtypes.append(str(DTYPE_CODES[p[0]]))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("doc_id"),
-                    batch.column("source"),
-                    pa.array(vtypes, type=pa.string()),
-                    pa.array(new_codecs, type=pa.string()),
-                    pa.array(new_payloads, type=pa.binary()),
-                    pa.array(n_values),
-                    pa.array(n_runs),
-                    pa.array(null_count),
-                    pa.array(vmin),
-                    pa.array(vmax),
-                    pa.array(
-                        n_values.astype(np.int64)
-                        * np.array(
-                            [DTYPE_CODES[p[0]].itemsize for p in new_payloads],
-                            dtype=np.int64,
-                        )
-                    ),
-                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
-                ],
-                names=[
-                    "doc_id", "source", "vtype", "codec", "payload", "n_values",
-                    "n_runs", "null_count", "val_min", "val_max", "raw_bytes",
-                    "encoded_bytes",
-                ],
-            )
+    def fn(c, p, n):
+        nc, np_ = row_op(c, p, n)
+        return nc, np_, n_values_fn(n)
 
-    return blocks.select(
-        "doc_id", "source", "codec", "payload", "n_values"
-    ).mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
+    return _block_transform_df(blocks, fn)
 
 
 def take_typed_df(
