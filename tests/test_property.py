@@ -321,3 +321,113 @@ def test_zip_typed_property(data, op, codec_a, codec_b):
         np.ascontiguousarray(got).view(bits)[keep],
         np.ascontiguousarray(exp).view(bits)[keep],
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 ops: cast / dropna / fillna must match numpy for ANY payload
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=120, deadline=None)
+@given(vals=typed_payload_cases, data=st.data(),
+       codec=st.sampled_from(["trle", "tdict", "traw", "auto"]))
+def test_typed_dropna_fillna_property(vals, data, codec):
+    from rle_array_spark.codecs.typed import (
+        decode_typed, dropna_typed, encode_typed, fillna_typed,
+    )
+
+    mask = data.draw(st.one_of(st.none(), arrays(np.bool_, vals.size)), label="mask")
+    name, payload = encode_typed(vals, mask, codec)
+    eff = np.ones(vals.size, bool) if mask is None else np.asarray(mask, bool)
+    w = vals.dtype.itemsize
+    bits = {1: "<u1", 2: "<u2", 4: "<u4", 8: "<u8"}[w]
+
+    # dropna == vals[mask], null-free, bit-identical
+    dn, dp, dlen = dropna_typed(name, payload, vals.size)
+    assert dlen == int(eff.sum())
+    out, valid = decode_typed(dn, dp, dlen)
+    assert valid is None
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out).view(bits),
+        np.ascontiguousarray(vals[eff]).view(bits),
+    )
+
+    # fillna(value) == where(mask, vals, fill), null-free
+    fill = np.zeros(1, dtype=vals.dtype)[0]
+    fn, fp = fillna_typed(name, payload, vals.size, value=fill)
+    out, valid = decode_typed(fn, fp, vals.size)
+    assert valid is None or valid.all()
+    expected = vals.copy()
+    expected[~eff] = fill
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out).view(bits),
+        np.ascontiguousarray(expected).view(bits),
+    )
+
+    # ffill: pandas-style forward fill, leading nulls stay null
+    gn, gp = fillna_typed(name, payload, vals.size, method="ffill")
+    out, valid = decode_typed(gn, gp, vals.size)
+    pos = np.where(eff, np.arange(vals.size, dtype=np.int64), -1)
+    np.maximum.accumulate(pos, out=pos)
+    got_mask = np.ones(vals.size, bool) if valid is None else valid
+    np.testing.assert_array_equal(got_mask, pos >= 0)
+    filled = pos >= 0
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out).view(bits)[filled],
+        np.ascontiguousarray(vals).view(bits)[np.maximum(pos, 0)][filled],
+    )
+
+
+_CAST_TARGETS = ["int32", "int64", "float32", "float64", "int16"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(vals=typed_payload_cases, data=st.data(),
+       codec=st.sampled_from(["trle", "tdict", "traw"]),
+       target=st.sampled_from(_CAST_TARGETS))
+def test_typed_cast_property(vals, data, codec, target):
+    """cast == encode(decode(payload).astype(target)) BYTE-identically —
+    the canonical-merge contract for any input, mask, and dtype pair.
+    float→int of NaN/inf is undefined in numpy, so those inputs are
+    filtered out for integer targets."""
+    from rle_array_spark.codecs.typed import (
+        cast_typed, decode_typed, encode_tdict, encode_traw, encode_trle, encode_typed,
+    )
+
+    to = np.dtype(target)
+    if vals.dtype.kind == "f" and to.kind in "iu":
+        finite = np.isfinite(vals) & (np.abs(vals) < 2**30)
+        vals = np.where(finite, vals, 0.0).astype(vals.dtype)
+    mask = data.draw(st.one_of(st.none(), arrays(np.bool_, vals.size)), label="mask")
+    name, payload = encode_typed(vals, mask, codec)
+    body, valid = decode_typed(name, payload, vals.size)
+    expected = body.astype(to)
+    got_name, got = cast_typed(name, payload, vals.size, to)
+    direct = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[got_name]
+    assert got == direct(expected, valid)
+
+
+@settings(max_examples=80, deadline=None)
+@given(vals=st.lists(st.one_of(st.none(), st.text(max_size=6)),
+                     min_size=0, max_size=100),
+       codec=st.sampled_from(["srle", "sdict", "sraw", "auto"]))
+def test_string_dropna_fillna_property(vals, codec):
+    import pyarrow as pa
+
+    from rle_array_spark.codecs.strings import (
+        decode_strings, dropna_strings, encode_string_block, fillna_strings,
+    )
+
+    name, payload = encode_string_block(pa.array(vals, type=pa.string()), codec)
+    n = len(vals)
+
+    dn, dp, dlen = dropna_strings(name, payload, n)
+    expected = [v for v in vals if v is not None]
+    assert dlen == len(expected)
+    out, valid = decode_strings(dn, dp, dlen)
+    assert valid is None
+    assert list(out) == expected
+
+    fn, fp = fillna_strings(name, payload, n, value="␀fill")
+    out, valid = decode_strings(fn, fp, n)
+    assert valid is None or valid.all()
+    assert list(out) == [v if v is not None else "␀fill" for v in vals]
