@@ -282,6 +282,7 @@ def main() -> None:
             "filter_pushdown_revenue",
             "window_shift_ffill",
             "roundtrip_auto",
+            "cosine_pairs_lsh",
         ):
             queries[name] = timed(lambda n=name: q[n](spark, SF_DIR).collect(), name=name)
     finally:

@@ -153,3 +153,86 @@ def encode_table_stream(
         query.awaitTermination()
         return query
     return writer.trigger(processingTime="10 seconds").start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch streaming exact dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = "doc_id string, source string, n_chars int"
+_DEDUP_STATE_SCHEMA = "seen int"
+
+
+def _dedup_fn(key, pdf_iter, state):
+    """applyInPandasWithState update function, keyed by md5(text): the
+    FIRST time a text hash is ever seen (across all micro-batches — the
+    state store persists through restarts), emit one representative (the
+    lexicographic-min doc_id in the batch that introduced it); every later
+    occurrence, in this batch or any future one, is dropped."""
+    import pandas as pd
+
+    best = None
+    for pdf in pdf_iter:
+        cand = pdf.sort_values("doc_id").iloc[0]
+        if best is None or cand["doc_id"] < best["doc_id"]:
+            best = cand
+    if state.exists or best is None:
+        yield pd.DataFrame({"doc_id": [], "source": [], "n_chars": []})
+        return
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "doc_id": [best["doc_id"]],
+            "source": [best["source"]],
+            "n_chars": [int(best["n_chars"])],
+        }
+    )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous exact dedup of arriving documents: the streaming form of
+    pipeline.exact_dedup (one representative per distinct text EVER — the
+    batch operator dedups within its input; here the state store extends
+    the 'seen' set across micro-batches and job restarts, exactly-once).
+    At scale the state is hash-partitioned by the md5 group key across
+    executors — the same shuffle shape as the batch hash-groupBy, plus a
+    RocksDB-backed state store on a real cluster.
+
+    Drains with availableNow; appends surviving representatives to
+    ``out_dir``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = (
+        spark.readStream.schema("doc_id string, text string, source string")
+        .parquet(input_dir)
+        .filter(F.length("text") > 0)
+        .select(
+            F.md5("text").alias("text_hash"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "source",
+            F.length("text").alias("n_chars"),
+        )
+    )
+    survivors = docs.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        survivors.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

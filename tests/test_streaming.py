@@ -134,3 +134,42 @@ def test_streaming_table_encode_roundtrip(spark, tmp_path):
     got = {r["doc_id"]: r for r in dec.collect()}
     for doc_id, _, toks, tags in rows1 + rows2:
         assert got[doc_id]["toks"] == toks and got[doc_id]["tags"] == tags
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup: a text seen in shard 1 must NOT survive
+    again when shard 2 re-delivers it (state store remembers across
+    restarts); in-batch duplicates keep the lexicographic-min doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rle_array_spark.streaming import dedup_stream
+
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(input_dir)
+
+    def shard(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "source": ["s"] * len(rows),
+                }
+            ),
+            os.path.join(input_dir, name),
+        )
+
+    # shard 1: A twice (in-batch dup), B once, empty text (filtered)
+    shard("s1.parquet", [("d2", "AAAA"), ("d1", "AAAA"), ("d3", "BBBB"), ("d9", "")])
+    dedup_stream(spark, input_dir, out_dir, ckpt)
+    out1 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(out_dir).collect()}
+    assert out1 == {"d1": 4, "d3": 4}  # lexicographic-min rep of A, plus B
+
+    # shard 2 (restart, same checkpoint): A again (must be dropped), C new
+    shard("s2.parquet", [("d4", "AAAA"), ("d5", "CCCCC")])
+    dedup_stream(spark, input_dir, out_dir, ckpt)
+    out2 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(out_dir).collect()}
+    assert out2 == {"d1": 4, "d3": 4, "d5": 5}
