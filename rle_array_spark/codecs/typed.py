@@ -424,6 +424,75 @@ def dropna_typed(name: str, payload, n: int) -> tuple[str, bytes, int]:
     return name, enc(out, None), int(out.size)
 
 
+def shift_typed(name: str, payload, n: int, periods: int) -> tuple[str, bytes]:
+    """Compressed-domain shift (reference array.py:875-900): positions move
+    by ``periods``; vacated slots become null. trle works the run domain —
+    run ends shift and clip, the vacated stretch becomes a null run whose
+    body bits follow the payload's forward-fill convention — so the result
+    is byte-identical to encoding the shifted array from scratch.
+    tdict/traw decode, shift, re-encode under the same codec."""
+    if periods == 0 or n == 0:
+        return name, bytes(payload)
+    buf = memoryview(payload)
+    dtype, valid, off = _decode_header(buf, n)
+    p = periods
+    if abs(p) >= n:
+        all_null = np.zeros(n, dtype=bool)
+        enc = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[name]
+        return name, enc(np.zeros(n, dtype=dtype), all_null)
+    old_valid = np.ones(n, dtype=bool) if valid is None else valid
+    new_valid = np.zeros(n, dtype=bool)
+    if p > 0:
+        new_valid[p:] = old_valid[: n - p]
+    else:
+        new_valid[: n + p] = old_valid[-p:]
+    if name == "trle":
+        (n_runs,), off2 = _read_struct("<I", buf, off)
+        ends = np.frombuffer(buf, dtype="<u4", count=n_runs, offset=off2).astype(np.int64)
+        off2 += 4 * n_runs
+        run_vals = np.frombuffer(
+            buf, dtype=_BIT_VIEWS[dtype.itemsize], count=n_runs, offset=off2
+        ).copy()
+        if p > 0:
+            # leading null stretch forward-fills to 0-bits, then the old
+            # runs shifted right and clipped at n
+            new_ends = np.concatenate(([p], np.minimum(ends + p, n)))
+            new_vals = np.concatenate((run_vals[:1] * 0, run_vals))
+            keep = np.concatenate(([True], np.diff(new_ends) > 0))
+            new_vals, new_ends = new_vals[keep], new_ends[keep]
+        else:
+            # drop the first |p| positions; the trailing null stretch
+            # forward-fills with the LAST value, extending the final run
+            shifted = ends + p  # may start <= 0
+            keep = shifted > 0
+            new_ends = shifted[keep]
+            new_vals = run_vals[keep].copy()
+            new_ends[-1] = n  # trailing nulls extend the last run
+            # canonical leading-null convention: slots before the first
+            # valid position forward-fill to 0-bits, not the old value
+            lead = int(np.argmax(new_valid)) if new_valid.any() else n
+            if lead > 0:
+                tail_keep = new_ends > lead
+                new_ends = np.concatenate(([lead], new_ends[tail_keep]))
+                new_vals = np.concatenate((new_vals[:1] * 0, new_vals[tail_keep]))
+        new_vals, new_ends = _merge_adjacent_runs(new_vals, new_ends)
+        mask = None if new_valid.all() else new_valid
+        return "trle", (
+            _encode_header(dtype_code(dtype), mask)
+            + _encode_trle_body(new_vals, new_ends)
+        )
+    vals, _ = decode_typed(name, buf, n)
+    out = np.empty(n, dtype=vals.dtype)
+    if p > 0:
+        out[p:] = vals[: n - p]
+        out[:p] = vals[0]  # overwritten by the mask convention on encode
+    else:
+        out[: n + p] = vals[-p:]
+        out[n + p :] = vals[-1]
+    enc = {"tdict": encode_tdict, "traw": encode_traw}[name]
+    return name, enc(out, None if new_valid.all() else new_valid)
+
+
 def cast_typed(name: str, payload, n: int, to_dtype) -> tuple[str, bytes]:
     """Cross-dtype cast of one typed block WITHOUT decoding the array where
     the codec allows it — the reference's ``astype`` runs values RLE→RLE

@@ -364,6 +364,19 @@ def fillna_typed_df(blocks: DataFrame, value=None, method: str | None = None) ->
     return _block_transform_df(blocks, row_fn)
 
 
+def shift_typed_df(blocks: DataFrame, periods: int) -> DataFrame:
+    """Positional shift within each sequence (reference array.py:875-900):
+    vacated slots become null. Run-domain for trle (codecs/typed.shift_typed),
+    shuffle-free, length unchanged."""
+    from rle_array_spark.codecs.typed import shift_typed
+
+    def row_fn(c, p, n):
+        nc, np_ = shift_typed(c, p, n, periods)
+        return nc, np_, n
+
+    return _block_transform_df(blocks, row_fn)
+
+
 def dropna_typed_df(blocks: DataFrame) -> DataFrame:
     """dropna over typed encoded blocks (reference _algorithms.py:174-199):
     run lengths shrink by their null counts, computed from the in-payload

@@ -5,6 +5,8 @@ cast_typed_df round trip."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -61,7 +63,7 @@ def test_cast_byte_canonical(codec, src, dst, with_nulls):
     """cast_typed must emit EXACTLY the bytes of encoding the numpy-cast
     array from scratch under the same codec — proves the run-domain trle
     path merges collapsed runs canonically."""
-    rng = np.random.default_rng(hash((codec, src, dst)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((codec, src, dst)).encode()))
     vals, valid = _mk(src, rng, with_nulls=with_nulls)
     name, payload = encode_typed(vals, valid, codec)
     # numpy reference: cast with null slots forward-filled exactly like the

@@ -5,6 +5,8 @@ the DataFrame wrappers."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -47,7 +49,7 @@ def _cases(rng, dtype):
 @pytest.mark.parametrize("codec", ["trle", "tdict", "traw"])
 @pytest.mark.parametrize("dtype", ["int32", "float64", "bool", "int64"])
 def test_dropna_matches_numpy_and_is_canonical(codec, dtype):
-    rng = np.random.default_rng(hash((codec, dtype)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((codec, dtype)).encode()))
     for vals, valid, tag in _cases(rng, dtype):
         name, payload = encode_typed(vals, valid, codec)
         got_name, got, new_n = dropna_typed(name, payload, vals.size)
@@ -75,7 +77,7 @@ def test_dropna_trle_merges_bridged_runs():
 @pytest.mark.parametrize("codec", ["trle", "tdict", "traw"])
 @pytest.mark.parametrize("dtype", ["int32", "float64", "bool"])
 def test_fillna_value_matches_numpy(codec, dtype):
-    rng = np.random.default_rng(hash((codec, dtype, "fill")) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((codec, dtype, "fill")).encode()))
     fill = {"int32": -7, "float64": -7.5, "bool": True}[dtype]
     for vals, valid, tag in _cases(rng, dtype):
         name, payload = encode_typed(vals, valid, codec)
@@ -198,3 +200,74 @@ def test_fillna_dropna_df(spark):
     got = {r["doc_id"]: r["vals"] for r in decode_typed_df(ffilled, "double").collect()}
     assert got == exp_ffill
     blocks.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# compressed-domain shift (reference array.py:875-900)
+# ---------------------------------------------------------------------------
+
+def _np_shift(vals, valid, p):
+    n = vals.size
+    out = np.zeros(n, dtype=vals.dtype)
+    nv = np.zeros(n, dtype=bool)
+    ov = np.ones(n, dtype=bool) if valid is None else valid
+    if p > 0 and p < n:
+        out[p:] = vals[: n - p]
+        nv[p:] = ov[: n - p]
+    elif p < 0 and -p < n:
+        out[: n + p] = vals[-p:]
+        nv[: n + p] = ov[-p:]
+    elif p == 0:
+        return vals.copy(), (None if valid is None else valid.copy())
+    return out, nv
+
+
+@pytest.mark.parametrize("codec", ["trle", "tdict", "traw"])
+@pytest.mark.parametrize("dtype", ["int32", "float64", "bool", "int64"])
+@pytest.mark.parametrize("p", [0, 1, 3, -1, -4, 1000, -1000])
+def test_shift_matches_numpy_and_is_canonical(codec, dtype, p):
+    from rle_array_spark.codecs.typed import shift_typed
+
+    rng = np.random.default_rng(zlib.crc32(repr((codec, dtype, p)).encode()))
+    for vals, valid, tag in _cases(rng, dtype):
+        name, payload = encode_typed(vals, valid, codec)
+        got_name, got = shift_typed(name, payload, vals.size, p)
+        exp_vals, exp_valid = _np_shift(vals, valid, p)
+        out, out_valid = decode_typed(got_name, got, vals.size)
+        eff_exp = np.ones(vals.size, bool) if exp_valid is None else exp_valid
+        eff_got = np.ones(vals.size, bool) if out_valid is None else out_valid
+        np.testing.assert_array_equal(eff_got, eff_exp, err_msg=f"{tag} p={p}")
+        np.testing.assert_array_equal(out[eff_exp], exp_vals[eff_exp], err_msg=f"{tag} p={p}")
+        # byte canonicality vs a fresh encode of the shifted array
+        mask = None if eff_exp.all() else eff_exp
+        assert got == _DIRECT[got_name](exp_vals, mask), (tag, p)
+
+
+def test_shift_typed_df(spark):
+    from rle_array_spark.typed import decode_typed_df, encode_typed_df, shift_typed_df
+
+    rows = [
+        ("d0", "s", [1.5, 1.5, 2.5, None, 3.5]),
+        ("d1", "s", [7.0]),
+        ("d2", "s", []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, "vals")
+    got = {
+        r["doc_id"]: r["vals"]
+        for r in decode_typed_df(shift_typed_df(blocks, 2), "double").collect()
+    }
+    assert got == {
+        "d0": [None, None, 1.5, 1.5, 2.5],
+        "d1": [None],
+        "d2": [],
+    }
+    got = {
+        r["doc_id"]: r["vals"]
+        for r in decode_typed_df(shift_typed_df(blocks, -1), "double").collect()
+    }
+    assert got == {
+        "d0": [1.5, 2.5, None, 3.5, None],
+        "d1": [None],
+        "d2": [],
+    }

@@ -431,3 +431,33 @@ def test_string_dropna_fillna_property(vals, codec):
     out, valid = decode_strings(fn, fp, n)
     assert valid is None or valid.all()
     assert list(out) == [v if v is not None else "␀fill" for v in vals]
+
+
+@settings(max_examples=120, deadline=None)
+@given(vals=typed_payload_cases, data=st.data(),
+       codec=st.sampled_from(["trle", "tdict", "traw"]),
+       p=st.integers(-8, 8))
+def test_typed_shift_property(vals, data, codec, p):
+    """shift == byte-identical re-encode of the numpy-shifted array with
+    vacated slots null, for any payload/mask/period."""
+    from rle_array_spark.codecs.typed import (
+        encode_tdict, encode_traw, encode_trle, encode_typed, shift_typed,
+    )
+
+    mask = data.draw(st.one_of(st.none(), arrays(np.bool_, vals.size)), label="mask")
+    name, payload = encode_typed(vals, mask, codec)
+    got_name, got = shift_typed(name, payload, vals.size, p)
+    n = vals.size
+    ov = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
+    ex = np.zeros(n, dtype=vals.dtype)
+    nv = np.zeros(n, bool)
+    if p == 0:
+        ex, nv = vals, ov
+    elif p > 0 and p < n:
+        ex[p:] = vals[: n - p]
+        nv[p:] = ov[: n - p]
+    elif p < 0 and -p < n:
+        ex[: n + p] = vals[-p:]
+        nv[: n + p] = ov[-p:]
+    direct = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[got_name]
+    assert got == direct(ex, None if nv.all() else nv)
