@@ -147,14 +147,18 @@ def dedup_survivors(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     names a surviving near-copy, no iterative connected components — the
     rule a single SQL pass can express, so the DuckDB oracle replays the
     whole pipeline). Scale shape: two hash-aggs, the banded-LSH equi-join,
-    a candidates-only verify join and two semi/anti joins — no crossJoin."""
-    d = _docs_prepared(docs)
+    a candidates-only verify join and two semi/anti joins — no crossJoin.
+    The prepared docs and exact survivors are persisted: un-persisted, the
+    plan re-scans the source 10× — at 100 TB every stage would re-read the
+    corpus (the session analog of writing intermediate tables, like
+    near_dup_pairs_jaccard's shingle persist)."""
+    d = _docs_prepared(docs).persist()
     reps = (
         d.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_survivors = d.join(reps, "doc_id", "left_semi")
+    exact_survivors = d.join(reps, "doc_id", "left_semi").persist()
     near_pairs = near_dup_pairs_jaccard(exact_survivors, threshold=threshold)
     dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
@@ -318,6 +322,9 @@ def cosine_pairs_lsh(
     anywhere in the plan."""
     n_tables = PAIRS_LSH_TABLES if n_tables is None else n_tables
     n_planes = PAIRS_LSH_PLANES if n_planes is None else n_planes
+    # one materialization feeds the bucket index, both verify sides, and
+    # the anchor — un-persisted, the plan re-scans the source 10×
+    embeddings = embeddings.select("vec_id", "embedding").persist()
     b = lsh_buckets_df(embeddings, dim, n_tables, n_planes)
     idx = b.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
     ia = idx.select(F.col("vec_id").alias("ida"), "t", "bucket")
@@ -476,6 +483,7 @@ def signlsh_knn_top1(
     the same plan and every row carries ``hit`` plus the aggregate
     ``recall_vs_bruteforce``, so the DuckDB oracle — which re-derives the
     identical LCG hyperplanes — checks the approximate path end-to-end."""
+    embeddings = embeddings.select("vec_id", "embedding").persist()
     idx = lsh_buckets_df(embeddings, dim, n_tables, n_planes).select(
         "vec_id", F.posexplode("buckets").alias("t", "bucket")
     )
