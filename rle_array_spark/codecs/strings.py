@@ -388,6 +388,29 @@ def string_payload_stats(name: str, payload, n: int):
     return n_runs, null_count, int(uniq_vals.size), str(uniq_vals[0]), str(uniq_vals[-1])
 
 
+def string_value_bytes(name: str, payload, n: int) -> int:
+    """Sum of utf-8 byte lengths of the VALID slots of one string block —
+    the value term of the encode path's ``raw_bytes = value_bytes + 4*n``
+    accounting. Code-domain for srle/sdict (table entry lengths weighted by
+    code reference counts); decode for sraw/sfsst."""
+    if n == 0:
+        return 0
+    buf = memoryview(payload)
+    valid, _ = _decode_flags(buf, n)
+    if name in ("srle", "sdict"):
+        table, codes, _ = _codes_form(name, payload, n)
+        ref = codes if valid is None else codes[valid]
+        if ref.size == 0:
+            return 0
+        tlens = np.fromiter(
+            (len(t.encode("utf-8")) for t in table), dtype=np.int64, count=table.size
+        )
+        return int(tlens[ref].sum())
+    vals, _ = decode_strings(name, buf, n)
+    keep = vals if valid is None else vals[valid]
+    return int(sum(len(v.encode("utf-8")) for v in keep))
+
+
 def dropna_strings(name: str, payload, n: int) -> tuple[str, bytes, int]:
     """Compressed-domain dropna for string blocks (the object-dtype analog
     of codecs/typed.dropna_typed; reference _algorithms.py:174-199): for
@@ -472,7 +495,15 @@ def fillna_strings(
             table = np.append(table, np.array([value], dtype=object))
         codes = codes.copy()
         codes[~valid] = fill_code
-        return _emit_codes(table, codes, None)
+        # Re-canonicalize to first-occurrence order (and prune unreferenced
+        # entries) so the payload is byte-identical to encoding the filled
+        # values from scratch — the cross-path byte-determinism contract
+        # fingerprint/dedup comparisons rely on.
+        uniq, first_pos, inv = np.unique(codes, return_index=True, return_inverse=True)
+        order = np.argsort(first_pos, kind="stable")
+        rank = np.empty(order.size, dtype=np.int64)
+        rank[order] = np.arange(order.size)
+        return _emit_codes(table[uniq[order]], rank[inv], None)
     vals, _ = decode_strings(name, buf, n)
     out = vals.copy()
     out[~valid] = value

@@ -344,6 +344,10 @@ def cosine_pairs_lsh(
     )
     if not with_anchor:
         return verified
+    # verified feeds both the output branch and the recall aggregate below;
+    # persist it (tiny after the threshold filter) so the LSH join + exact
+    # verify kernel — the expensive subtree — executes once, not twice
+    verified = verified.persist()
     e = embeddings.filter(F.col("vec_id") < anchor_ids)
     aa = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
     ab = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))

@@ -1274,7 +1274,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["table_mixed_roundtrip"] = q_table_mixed_roundtrip
     out["typed_zip_compare"] = q_typed_zip_compare
     out["string_eq_zip"] = q_string_eq_zip
-    assert len(out) <= 50, f"driver gates 50 queries; registry has {len(out)}"
+    if len(out) > 50:  # unconditional (assert is compiled out under -O):
+        # the driver gates exactly the first 50 entries — a 51st would be
+        # silently never-checked, the r2 blind spot this ordering fixed
+        raise RuntimeError(f"driver gates 50 queries; registry has {len(out)}")
     return out
 
 

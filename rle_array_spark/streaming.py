@@ -208,10 +208,14 @@ def dedup_stream(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from rle_array_spark.pipeline import SHINGLE_K
+
     docs = (
         spark.readStream.schema("doc_id string, text string, source string")
         .parquet(input_dir)
-        .filter(F.length("text") > 0)
+        # same eligibility filter as the batch path (pipeline._docs_prepared)
+        # so stream-vs-batch parity holds on short documents too
+        .filter(F.length("text") >= SHINGLE_K)
         .select(
             F.md5("text").alias("text_hash"),
             F.col("doc_id").cast("string").alias("doc_id"),

@@ -205,7 +205,7 @@ def _strings_rewrite_df(blocks: DataFrame, row_fn) -> DataFrame:
     ``row_fn(codec, payload, n) -> (codec, payload, new_n)``; all metadata
     (n_runs, null_count, card, val_min/val_max, byte sizes) recomputed
     exactly from the new payload. Scan-parallel, shuffle-free."""
-    from rle_array_spark.codecs.strings import string_payload_stats
+    from rle_array_spark.codecs.strings import string_payload_stats, string_value_bytes
 
     def kernel(batches):
         for batch in batches:
@@ -236,8 +236,8 @@ def _strings_rewrite_df(blocks: DataFrame, row_fn) -> DataFrame:
                 n_runs[i], null_count[i], card[i] = r, nc, k
                 vmin.append(lo)
                 vmax.append(hi)
-                raw_bytes[i] = 4 * nn  # offsets-only floor; exact value bytes
-                # depend on the (dropped) originals, so keep the offset term
+                # same accounting as the encode path (value bytes + offsets)
+                raw_bytes[i] = string_value_bytes(c, p, nn) + 4 * nn
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),

@@ -162,14 +162,16 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
             os.path.join(input_dir, name),
         )
 
-    # shard 1: A twice (in-batch dup), B once, empty text (filtered)
-    shard("s1.parquet", [("d2", "AAAA"), ("d1", "AAAA"), ("d3", "BBBB"), ("d9", "")])
+    # shard 1: A twice (in-batch dup), B once, sub-SHINGLE_K text (filtered,
+    # matching the batch path's _docs_prepared eligibility), empty (filtered)
+    shard("s1.parquet", [("d2", "AAAAA"), ("d1", "AAAAA"), ("d3", "BBBBB"),
+                         ("d8", "DDDD"), ("d9", "")])
     dedup_stream(spark, input_dir, out_dir, ckpt)
     out1 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(out_dir).collect()}
-    assert out1 == {"d1": 4, "d3": 4}  # lexicographic-min rep of A, plus B
+    assert out1 == {"d1": 5, "d3": 5}  # lexicographic-min rep of A, plus B
 
     # shard 2 (restart, same checkpoint): A again (must be dropped), C new
-    shard("s2.parquet", [("d4", "AAAA"), ("d5", "CCCCC")])
+    shard("s2.parquet", [("d4", "AAAAA"), ("d5", "CCCCC")])
     dedup_stream(spark, input_dir, out_dir, ckpt)
     out2 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(out_dir).collect()}
-    assert out2 == {"d1": 4, "d3": 4, "d5": 5}
+    assert out2 == {"d1": 5, "d3": 5, "d5": 5}

@@ -147,3 +147,64 @@ def test_string_fillna_dropna_df(spark):
     got = {r["doc_id"]: r["vals"] for r in decode_strings_df(filled).collect()}
     assert got == exp_fill
     blocks.unpersist()
+
+
+@pytest.mark.parametrize("codec", ["srle", "sdict"])
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_fillna_value_byte_canonical(codec, case):
+    """fillna(value) on dict-backed codecs must emit the same bytes as
+    encoding the filled values from scratch (first-occurrence table order,
+    unreferenced entries pruned) — the cross-path byte-determinism contract
+    fingerprint/dedup comparisons rely on."""
+    vals = CASES[case]
+    if not any(v is None for v in vals):
+        pytest.skip("null-free block: fillna is an identity return by contract")
+    name, payload = _enc(vals, codec)
+    got_name, got = fillna_strings(name, payload, len(vals), value="FILL")
+    filled = [v if v is not None else "FILL" for v in vals]
+    if got_name in ("srle", "sdict"):
+        # fresh encode restricted to the same srle-vs-sdict chooser
+        from rle_array_spark.codecs.strings import encode_sdict, encode_srle
+
+        arr = pa.array(filled, type=pa.string())
+        rle_p, dict_p = encode_srle(arr), encode_sdict(arr)
+        want_name, want = (
+            ("srle", rle_p) if len(rle_p) <= len(dict_p) else ("sdict", dict_p)
+        )
+        assert (got_name, got) == (want_name, want)
+
+
+def test_fillna_value_byte_canonical_new_table_entry():
+    """The regression shape: fill value absent from the table and first
+    appearing BEFORE other values — appearance order must win over
+    append-at-end."""
+    from rle_array_spark.codecs.strings import encode_sdict, encode_srle
+
+    vals = [None, "b", None, "b"]
+    name, payload = _enc(vals, "sdict")
+    got_name, got = fillna_strings(name, payload, 4, value="a")
+    arr = pa.array(["a", "b", "a", "b"], type=pa.string())
+    rle_p, dict_p = encode_srle(arr), encode_sdict(arr)
+    want_name, want = ("srle", rle_p) if len(rle_p) <= len(dict_p) else ("sdict", dict_p)
+    assert (got_name, got) == (want_name, want)
+
+
+def test_rewrite_raw_bytes_exact(spark):
+    """_strings_rewrite_df must recompute raw_bytes with the encode path's
+    exact accounting (valid value bytes + 4*n), not an offsets-only floor —
+    an identity rewrite (fillna on a null-free block) keeps raw_bytes."""
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.strings import encode_strings_df, fillna_strings_df
+
+    rows = [("d1", "s", ["alpha", "beta", "alpha", None]),
+            ("d2", "s", ["xx", "yy", "zz"])]  # null-free: identity rewrite
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<string>")
+    blocks = encode_strings_df(df)
+    before = {r["doc_id"]: r["raw_bytes"] for r in blocks.collect()}
+    after_df = fillna_strings_df(blocks, value="beta")
+    after = {r["doc_id"]: r["raw_bytes"] for r in after_df.collect()}
+    # d2 has no nulls: raw_bytes must be unchanged (2+2+2 value bytes + 4*3)
+    assert after["d2"] == before["d2"] == 6 + 4 * 3
+    # d1's null becomes "beta": value bytes 5+4+5+4, offsets 4*4
+    assert after["d1"] == 18 + 16
