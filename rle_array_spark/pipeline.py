@@ -637,23 +637,63 @@ def fake_image_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _flat_binary(arr):
+    """Arrow binary array → (flat uint8 buffer, per-item int64 lengths,
+    int64 offsets incl. the trailing total), ZERO-COPY from the array's own
+    buffers — the multimodal kernels run on mapInArrow so the payload
+    column arrives exactly in this layout; no pandas conversion, no per-row
+    Python over lengths or bytes. Handles binary (int32 offsets) and
+    large_binary (int64 offsets, >2 GiB batches)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint8), z, np.zeros(1, dtype=np.int64)
+    if pa.types.is_large_binary(arr.type):
+        odt = np.int64
+    elif pa.types.is_binary(arr.type):
+        odt = np.int32
+    else:  # e.g. string payload column: normalize once
+        arr = arr.cast(pa.large_binary())
+        odt = np.int64
+    offs = (
+        np.frombuffer(arr.buffers()[1], dtype=odt)[arr.offset : arr.offset + n + 1]
+        .astype(np.int64, copy=False)
+    )
+    dbuf = arr.buffers()[2]
+    buf = (
+        np.frombuffer(dbuf, dtype=np.uint8)
+        if dbuf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    if offs[0]:  # sliced array: rebase so offs[0] == 0
+        buf = buf[int(offs[0]) :]
+        offs = offs - offs[0]
+    return buf, np.diff(offs), offs
+
+
 IMAGE_FEATURES_SCHEMA = "doc_id string, width int, height int, byte_sum long, n_bytes int"
 
 
 def _image_features_kernel(batches):
-    """mapInPandas kernel for :func:`extract_image_features` (module-level so
+    """mapInArrow kernel for :func:`extract_image_features` (module-level so
     tests can drive it directly with a monkeypatched PIL).
 
-    Header bytes + byte sums are computed vectorized over the concatenated
-    payload buffer (no per-row Python). If Pillow is importable, each payload
-    is additionally offered to the real decoder — inherently per-item work —
-    and decodable images override the header width/height; undecodable
-    payloads (e.g. the deterministic fake table) keep the header values, so
-    the operator works identically with or without Pillow installed."""
+    Header bytes + byte sums are computed vectorized straight off the Arrow
+    binary column's flat buffer (zero-copy — no pandas conversion, no
+    per-row Python). If Pillow is importable, each payload is additionally
+    offered to the real decoder — inherently per-item work — and decodable
+    images override the header width/height; undecodable payloads (e.g. the
+    deterministic fake table) keep the header values, so the operator works
+    identically with or without Pillow installed."""
     import io
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     try:  # pragma: no cover - Pillow not installed in this container
         from PIL import Image
@@ -663,12 +703,9 @@ def _image_features_kernel(batches):
         Image = None
         have_pil = False
 
-    for pdf in batches:
-        payloads = pdf["img"]
-        n = len(payloads)
-        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
-        buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+    for batch in batches:
+        n = batch.num_rows
+        buf, lens, offsets = _flat_binary(batch.column("img"))
         starts = offsets[:-1]
         width = np.zeros(n, dtype=np.int32)
         height = np.zeros(n, dtype=np.int32)
@@ -681,29 +718,31 @@ def _image_features_kernel(batches):
             cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
             byte_sum = cs[offsets[1:]] - cs[starts]
         if have_pil:
-            for i, b in enumerate(payloads):
+            for i in range(n):
+                lo, hi = int(offsets[i]), int(offsets[i + 1])
                 try:
-                    with Image.open(io.BytesIO(bytes(b))) as im:
+                    with Image.open(io.BytesIO(buf[lo:hi].tobytes())) as im:
                         width[i], height[i] = im.size
                 except Exception:
                     pass  # not a decodable image: keep header values
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": width,
-                "height": height,
-                "byte_sum": byte_sum,
-                "n_bytes": lens.astype(np.int32),
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(width),
+                pa.array(height),
+                pa.array(byte_sum),
+                pa.array(lens.astype(np.int32)),
+            ],
+            names=["doc_id", "width", "height", "byte_sum", "n_bytes"],
         )
 
 
 def extract_image_features(images: DataFrame) -> DataFrame:
-    """Pandas-UDF feature extraction over binary payloads (mapInPandas, Arrow
-    batches). Header features are vectorized; the real decoder (Pillow, when
-    present) plugs into the same batch loop per-item — see
-    :func:`_image_features_kernel`."""
-    return images.mapInPandas(_image_features_kernel, IMAGE_FEATURES_SCHEMA)
+    """Arrow-native feature extraction over binary payloads (mapInArrow).
+    Header features are vectorized off the flat payload buffer; the real
+    decoder (Pillow, when present) plugs into the same batch loop per-item
+    — see :func:`_image_features_kernel`."""
+    return images.mapInArrow(_image_features_kernel, IMAGE_FEATURES_SCHEMA)
 
 
 def fake_audio_table(docs: DataFrame) -> DataFrame:
@@ -724,20 +763,18 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def _audio_features_kernel(batches):
-    """mapInPandas kernel for :func:`extract_audio_features`. Header fields
+    """mapInArrow kernel for :func:`extract_audio_features`. Header fields
     and the energy (sum of squared payload bytes) are computed vectorized
-    over the concatenated buffer; a real decoder (soundfile/librosa — not in
-    this container) would plug into the same loop per-item behind an
-    import-try, exactly like the image kernel's Pillow branch."""
+    over the column's flat buffer (zero-copy); a real decoder
+    (soundfile/librosa — not in this container) would plug into the same
+    loop per-item behind an import-try, exactly like the image kernel's
+    Pillow branch."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    for pdf in batches:
-        payloads = pdf["audio"]
-        n = len(payloads)
-        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
-        buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+    for batch in batches:
+        n = batch.num_rows
+        buf, lens, offsets = _flat_binary(batch.column("audio"))
         starts = offsets[:-1]
         b0 = np.zeros(n, dtype=np.int64)
         b1 = np.zeros(n, dtype=np.int64)
@@ -753,21 +790,22 @@ def _audio_features_kernel(batches):
         sq = buf.astype(np.int64) ** 2
         cs = np.concatenate(([0], np.cumsum(sq)))
         energy = cs[offsets[1:]] - cs[starts]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "sample_rate": sample_rate,
-                "n_samples": n_samples,
-                "duration_ms": duration_ms,
-                "energy": energy,
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(sample_rate),
+                pa.array(n_samples),
+                pa.array(duration_ms),
+                pa.array(energy),
+            ],
+            names=["doc_id", "sample_rate", "n_samples", "duration_ms", "energy"],
         )
 
 
 def extract_audio_features(audio: DataFrame) -> DataFrame:
     """Audio analog of :func:`extract_image_features`: typed metadata from
-    an opaque binary column, vectorized per Arrow batch."""
-    return audio.mapInPandas(_audio_features_kernel, AUDIO_FEATURES_SCHEMA)
+    an opaque binary column, vectorized per Arrow batch (mapInArrow)."""
+    return audio.mapInArrow(_audio_features_kernel, AUDIO_FEATURES_SCHEMA)
 
 
 VIDEO_FRAME_BYTES = 16
@@ -798,16 +836,13 @@ def frame_sample(video: DataFrame, stride: int = 2) -> DataFrame:
 
     def kernel(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         fb = VIDEO_FRAME_BYTES
-        for pdf in batches:
-            payloads = pdf["video"]
-            n = len(payloads)
-            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+        for batch in batches:
+            n = batch.num_rows
+            buf, lens, offsets = _flat_binary(batch.column("video"))
             n_frames = lens // fb
-            buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
-            offsets = np.concatenate(([0], np.cumsum(lens)))
             # one output row per sampled frame, fully vectorized: repeat the
             # doc index by its sampled-frame count, then gather frame sums
             # from the byte-prefix cumsum
@@ -820,15 +855,16 @@ def frame_sample(video: DataFrame, stride: int = 2) -> DataFrame:
             fstart = offsets[doc_idx] + frame_idx * fb
             cs = np.concatenate(([0], np.cumsum(buf.astype(np.int64))))
             frame_sum = cs[fstart + fb] - cs[fstart]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
-                    "frame_idx": frame_idx.astype(np.int32),
-                    "frame_sum": frame_sum,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(pa.array(doc_idx)),
+                    pa.array(frame_idx.astype(np.int32)),
+                    pa.array(frame_sum),
+                ],
+                names=["doc_id", "frame_idx", "frame_sum"],
             )
 
-    return video.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+    return video.mapInArrow(kernel, FRAME_SAMPLE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id string, n_out int, out_sum long"
@@ -842,14 +878,11 @@ def resize_image(images: DataFrame) -> DataFrame:
 
     def kernel(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            payloads = pdf["img"]
-            n = len(payloads)
-            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
-            buf = np.frombuffer(b"".join(bytes(b) for b in payloads), dtype=np.uint8)
-            offsets = np.concatenate(([0], np.cumsum(lens)))
+        for batch in batches:
+            n = batch.num_rows
+            buf, lens, offsets = _flat_binary(batch.column("img"))
             pairs = lens // 2
             # resized value j of doc i = (buf[2j] + buf[2j+1]) // 2
             doc_idx = np.repeat(np.arange(n), pairs)
@@ -860,12 +893,13 @@ def resize_image(images: DataFrame) -> DataFrame:
             vals = (buf[base].astype(np.int64) + buf[base + 1]) // 2
             out_sum = np.zeros(n, dtype=np.int64)
             np.add.at(out_sum, doc_idx, vals)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_out": pairs.astype(np.int32),
-                    "out_sum": out_sum,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(pairs.astype(np.int32)),
+                    pa.array(out_sum),
+                ],
+                names=["doc_id", "n_out", "out_sum"],
             )
 
-    return images.mapInPandas(kernel, RESIZE_SCHEMA)
+    return images.mapInArrow(kernel, RESIZE_SCHEMA)

@@ -170,7 +170,7 @@ def test_image_kernel_with_pil_present(monkeypatch):
     import sys
     import types
 
-    import pandas as pd
+    import pyarrow as pa
 
     class FakeImage:
         size = (5, 7)
@@ -193,27 +193,31 @@ def test_image_kernel_with_pil_present(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", FakeImageModule)
 
-    pdf = pd.DataFrame(
-        {
-            "doc_id": ["a", "b", "c"],
-            "img": [b"IMG!rest", bytes([9, 4, 1]), b""],
-        }
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["a", "b", "c"]),
+            pa.array([b"IMG!rest", bytes([9, 4, 1]), b""], type=pa.binary()),
+        ],
+        names=["doc_id", "img"],
     )
-    (out,) = list(P._image_features_kernel([pdf]))
-    assert list(out["width"]) == [5, 9, 0]
-    assert list(out["height"]) == [7, 4, 0]
-    assert list(out["byte_sum"]) == [sum(b"IMG!rest"), 14, 0]
-    assert list(out["n_bytes"]) == [8, 3, 0]
+    (out,) = list(P._image_features_kernel([batch]))
+    assert out.column("width").to_pylist() == [5, 9, 0]
+    assert out.column("height").to_pylist() == [7, 4, 0]
+    assert out.column("byte_sum").to_pylist() == [sum(b"IMG!rest"), 14, 0]
+    assert out.column("n_bytes").to_pylist() == [8, 3, 0]
 
 
 def test_image_kernel_without_pil():
-    import pandas as pd
+    import pyarrow as pa
 
-    pdf = pd.DataFrame({"doc_id": ["x"], "img": [bytes([2, 3, 250])]})
-    (out,) = list(P._image_features_kernel([pdf]))
-    assert list(out["width"]) == [2]
-    assert list(out["height"]) == [3]
-    assert list(out["byte_sum"]) == [255]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["x"]), pa.array([bytes([2, 3, 250])], type=pa.binary())],
+        names=["doc_id", "img"],
+    )
+    (out,) = list(P._image_features_kernel([batch]))
+    assert out.column("width").to_pylist() == [2]
+    assert out.column("height").to_pylist() == [3]
+    assert out.column("byte_sum").to_pylist() == [255]
 
 
 def test_fingerprint_order_sensitivity(spark):
@@ -227,16 +231,18 @@ def test_fingerprint_order_sensitivity(spark):
 
 
 def test_audio_features_kernel():
-    import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     payload = bytes(range(32))
-    pdf = pd.DataFrame({"doc_id": ["a"], "audio": [payload]})
-    (out,) = list(P._audio_features_kernel([pdf]))
-    assert out["sample_rate"][0] == 8000  # b0 = 0
-    assert out["n_samples"][0] == 1 * 256 + 2
-    assert out["energy"][0] == sum(b * b for b in payload)
-    assert out["duration_ms"][0] == (258 * 1000.0 / 8000)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["a"]), pa.array([payload], type=pa.binary())],
+        names=["doc_id", "audio"],
+    )
+    (out,) = list(P._audio_features_kernel([batch]))
+    assert out.column("sample_rate")[0].as_py() == 8000  # b0 = 0
+    assert out.column("n_samples")[0].as_py() == 1 * 256 + 2
+    assert out.column("energy")[0].as_py() == sum(b * b for b in payload)
+    assert out.column("duration_ms")[0].as_py() == (258 * 1000.0 / 8000)
 
 
 def test_video_frame_sample(planted_docs, spark):
