@@ -287,3 +287,32 @@ def test_lsh_bucket_kernel_matches_sql(embeddings):
     a = {r["vec_id"]: r["buckets"] for r in sql_b.collect()}
     b = {r["vec_id"]: r["buckets"] for r in ker_b.collect()}
     assert a == b
+
+
+def test_flat_binary_differential():
+    """_flat_binary must agree with the per-row python loop for binary and
+    large_binary inputs, sliced arrays, empty and None payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(0, 256, size=int(k), dtype=np.uint8).tobytes()
+            for k in rng.integers(0, 50, size=200)]
+    rows[3] = b""
+    rows[5] = None
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(rows, type=typ)
+        for view in (arr, arr.slice(7, 150)):
+            buf, lens, offs = P._flat_binary(view)
+            pyrows = view.to_pylist()
+            want = [len(b) if b is not None else 0 for b in pyrows]
+            assert lens.tolist() == want
+            assert offs[0] == 0 and offs[-1] == sum(want)
+            flat = b"".join(b for b in pyrows if b)
+            got = b"".join(
+                buf[offs[i]:offs[i + 1]].tobytes() for i in range(len(pyrows))
+            )
+            assert got == flat
+    # empty array
+    buf, lens, offs = P._flat_binary(pa.array([], type=pa.binary()))
+    assert len(lens) == 0 and offs.tolist() == [0]
