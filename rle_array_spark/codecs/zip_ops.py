@@ -86,3 +86,80 @@ def zip_blocks(
     a = CODECS[codec_a].decode(payload_a, n)
     b = CODECS[codec_b].decode(payload_b, n)
     return choose_codec(_checked_int32(op(a.astype(np.int64), b.astype(np.int64))))
+
+
+def _empty_block() -> tuple[str, bytes, int]:
+    return "raw", CODECS["raw"].encode(np.zeros(0, np.int32)), 0
+
+
+def mask_blocks(
+    codec_v: str,
+    payload_v,
+    codec_m: str,
+    payload_m,
+    n: int,
+) -> tuple[str, bytes, int]:
+    """Boolean-mask gather ``values[mask != 0]`` over two equal-length
+    encoded blocks — the compressed-domain form of the reference's
+    boolean ``__getitem__`` (`/root/reference/rle_array/array.py:655-668`,
+    masks produced by comparison operators per tests/test_getitem.py).
+    Returns (codec, payload, new_n); new_n is the mask's popcount.
+
+    * RLE values ⊕ RLE mask: union-grid walk — keep the grid segments
+      whose mask value is nonzero, merge newly-adjacent equal runs, emit
+      RLE directly. O(runs_v + runs_m), independent of n.
+    * DICT values ⊕ RLE mask: CODE-domain gather — codes are indexed by
+      the expanded mask, unreferenced table entries pruned; values never
+      touched (same shape as the dict⊕dict zip above).
+    * anything else: decode fallback with PerformanceWarning (the
+      reference's "any other array-like → full decode" branch).
+    """
+    if n == 0:
+        return _empty_block()
+    if codec_m == "rle":
+        vals_m, lens_m = _rle_parts(payload_m)
+        if codec_v == "rle":
+            vals_v, lens_v = _rle_parts(payload_v)
+            ends_v = np.cumsum(lens_v)
+            ends_m = np.cumsum(lens_m)
+            union_ends = np.union1d(ends_v, ends_m)
+            v_exp = vals_v[np.searchsorted(ends_v, union_ends, side="left")]
+            m_exp = vals_m[np.searchsorted(ends_m, union_ends, side="left")]
+            seg_lens = np.diff(np.concatenate(([0], union_ends)))
+            keep = m_exp != 0
+            out_vals, out_lens = _merge_equal_runs(v_exp[keep], seg_lens[keep])
+            new_n = int(out_lens.sum())
+            if new_n == 0:
+                return _empty_block()
+            return "rle", _repack_rle(out_vals, out_lens), new_n
+        if codec_v == "dict":
+            dc = CODECS["dict"]
+            table, codes = dc.parts(payload_v, n)
+            mask_bool = np.repeat(vals_m != 0, lens_m)
+            kept = codes[mask_bool]
+            if kept.size == 0:
+                return _empty_block()
+            uniq, inv = np.unique(kept, return_inverse=True)
+            payload = dc.encode_parts(table[uniq], inv)
+            if len(payload) <= 4 * kept.size + 1:  # never worse than raw
+                return "dict", payload, int(kept.size)
+            from rle_array_spark.chooser import choose_codec
+
+            c, p = choose_codec(table[uniq][inv].astype(np.int32))
+            return c, p, int(kept.size)
+    from rle_array_spark.chooser import choose_codec
+    from rle_array_spark.codecs.core import PerformanceWarning
+
+    warnings.warn(
+        f"mask gather of ({codec_v!r}, {codec_m!r}) decodes both blocks "
+        "(compressed path needs an RLE mask and RLE/DICT values)",
+        PerformanceWarning,
+        stacklevel=2,
+    )
+    v = CODECS[codec_v].decode(payload_v, n)
+    m = CODECS[codec_m].decode(payload_m, n)
+    kept_v = v[m != 0]
+    if kept_v.size == 0:
+        return _empty_block()
+    c, p = choose_codec(_checked_int32(kept_v))
+    return c, p, int(kept_v.size)

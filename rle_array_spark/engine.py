@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rle_array_spark.chooser import DEFAULT_THRESHOLD, choose_codec
@@ -1140,6 +1140,110 @@ def zip_blocks_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFram
             )
 
     return joined.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
+def mask_blocks_df(value_blocks: DataFrame, mask_blocks_in: DataFrame) -> DataFrame:
+    """Boolean-mask gather ``values[mask != 0]`` over two encoded columns
+    aligned on (doc_id, chunk_idx) — the DataFrame form of the reference's
+    boolean ``__getitem__`` (`/root/reference/rle_array/array.py:655-668`),
+    composing with the comparison zips (which emit 0/1 RLE blocks) to give
+    ``arr[arr == x]`` entirely in the run domain. Per-row work is
+    O(runs_v + runs_m) on the RLE⊕RLE path (codecs/zip_ops.mask_blocks);
+    all metadata including the new n_values and per-doc chunk_offset is
+    recomputed exactly. Alignment is a shuffle join here (two separate
+    DataFrames); in a deployed wide blocks table both columns share a row
+    and the gather is join-free."""
+    v = value_blocks.select(
+        "doc_id", "source", "chunk_idx", "n_chunks",
+        F.col("codec").alias("codec_v"), F.col("payload").alias("payload_v"),
+        "n_values",
+    )
+    m = mask_blocks_in.select(
+        "doc_id", "chunk_idx",
+        F.col("codec").alias("codec_m"), F.col("payload").alias("payload_m"),
+        F.col("n_values").alias("n_values_m"),
+    )
+    joined = v.join(m, ["doc_id", "chunk_idx"], "inner")
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import payload_stats
+        from rle_array_spark.codecs.zip_ops import mask_blocks
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            cv = batch.column("codec_v").to_pylist()
+            cm = batch.column("codec_m").to_pylist()
+            pv_col = batch.column("payload_v")
+            pm_col = batch.column("payload_m")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            nm_col = batch.column("n_values_m").to_numpy(zero_copy_only=False)
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            new_n = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                nv = int(n_col[i])
+                if nv != int(nm_col[i]):
+                    raise ValueError(
+                        f"mask length mismatch for a row: {nv} != {int(nm_col[i])}"
+                    )
+                c, p, nn = mask_blocks(
+                    cv[i], memoryview(pv_col[i].as_buffer()),
+                    cm[i], memoryview(pm_col[i].as_buffer()),
+                    nv,
+                )
+                new_codecs.append(c)
+                new_payloads.append(p)
+                new_n[i] = nn
+                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = payload_stats(c, p, nn)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    pa.array(new_n),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
+                    pa.array((new_n.astype(np.int64)) * 4),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                    pa.array(np.array(
+                        [reference_rle_nbytes(int(r)) for r in n_runs], dtype=np.int64
+                    )),
+                    batch.column("chunk_idx"),
+                    batch.column("n_chunks"),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+                    "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+                    "ref_rle_bytes", "chunk_idx", "n_chunks",
+                ],
+            )
+
+    schema = (
+        "doc_id string, source string, codec string, payload binary, "
+        "n_values int, n_runs int, tok_sum long, tok_min int, tok_max int, "
+        "raw_bytes long, encoded_bytes long, ref_rle_bytes long, "
+        "chunk_idx int, n_chunks int"
+    )
+    out = joined.mapInArrow(kernel, schema)
+    # chunk offsets shift when positions are dropped: recompute the per-doc
+    # running offset relationally (exact, window over the tiny blocks table)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return out.withColumn(
+        "chunk_offset", F.coalesce(F.sum("n_values").over(w), F.lit(0)).cast("long")
+    )
 
 
 BLOCK_REDUCTIONS_SCHEMA = (

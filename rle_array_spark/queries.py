@@ -1121,19 +1121,44 @@ SELECT doc_id,
 FROM tok"""
 
 
+def q_mask_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-mask getitem entirely in the run domain (reference boolean
+    ``__getitem__``, array.py:655-668): keep tokens where x % 7 >= 3. The
+    mask block is (x mod 7) floordiv 3 — nonzero exactly on the kept
+    positions, RLE-structured — and mask_blocks_df gathers on the union
+    grid without decoding either side; stats decode only at the end."""
+    from rle_array_spark.engine import mask_blocks_df
+
+    seq = _sequences(spark, sf_dir)
+    blocks_v = encode_df(seq, codec="auto")
+    mask = transform_blocks(transform_blocks(blocks_v, "mod", 7), "floordiv", 3)
+    gathered = mask_blocks_df(blocks_v, mask)
+    return decode_stats_df(gathered).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
 def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x + x%7 through BOTH zip implementations in one slot: the block-pair
-    union-grid zip (zip_blocks_df, reference _algorithms.py:484-585) and
-    the join-free frame zip (zip_frame_df) — each labeled, both required
-    to match the same oracle."""
+    """x + x%7 through BOTH zip implementations plus the boolean-mask
+    gather in one slot: the block-pair union-grid zip (zip_blocks_df,
+    reference _algorithms.py:484-585), the join-free frame zip
+    (zip_frame_df), and mask_blocks_df's run-domain ``x[x % 7 >= 3]`` —
+    each labeled, each required to match its oracle arm."""
     block = q_zip_add_mod(spark, sf_dir).withColumn("path", F.lit("block"))
     frame = q_frame_zip_join_free(spark, sf_dir).withColumn("path", F.lit("frame"))
-    return block.unionByName(frame)
+    mask = q_mask_gather(spark, sf_dir).withColumn("path", F.lit("mask"))
+    return block.unionByName(frame).unionByName(mask)
 
 
 ORACLE_ZIP_ADD_MOD_BOTH = """WITH tok AS (
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            list_transform(string_split(text, ''), c -> unicode(c) + unicode(c) % 7) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+), kept AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_filter(list_transform(string_split(text, ''), c -> unicode(c)),
+                       x -> x % 7 >= 3) AS tokens
     FROM documents
     WHERE length(text) > 0
 )
@@ -1144,7 +1169,17 @@ SELECT doc_id,
        CAST(list_max(tokens) AS INT) AS tok_max,
        CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
        path
-FROM tok CROSS JOIN (VALUES ('block'), ('frame')) AS paths(path)"""
+FROM tok CROSS JOIN (VALUES ('block'), ('frame')) AS paths(path)
+UNION ALL
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(coalesce(list_sum(tokens), 0) AS BIGINT) AS tok_sum,
+       CAST(coalesce(list_min(tokens), 0) AS INT) AS tok_min,
+       CAST(coalesce(list_max(tokens), 0) AS INT) AS tok_max,
+       CAST(coalesce(list_sum(list_transform(tokens, (x, i) -> x * i)), 0) AS BIGINT)
+           AS tok_wsum,
+       'mask' AS path
+FROM kept"""
 
 
 def q_window_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:

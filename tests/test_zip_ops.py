@@ -212,3 +212,122 @@ def test_zip_compare_mask_compresses():
     )
     vals, lens = _rle_parts(payload)
     assert vals.size == 3 and vals.tolist() == [0, 1, 0]
+
+
+# ---- boolean-mask gather (values[mask != 0], reference array.py:655-668) ----
+
+
+def _mask_case(seed: int, n: int):
+    rng = np.random.default_rng(seed)
+    vals = np.repeat(
+        rng.integers(0, 50, 12).astype(np.int32), rng.integers(1, n // 10 + 2, 12)
+    )[:n]
+    mask = np.repeat(
+        rng.integers(0, 2, 12).astype(np.int32), rng.integers(1, n // 10 + 2, 12)
+    )[: vals.size]
+    return vals[: mask.size], mask
+
+
+@pytest.mark.parametrize("cv", ["rle", "dict", "bitpack", "raw"])
+@pytest.mark.parametrize("cm", ["rle", "dict"])
+@pytest.mark.parametrize("seed", range(6))
+def test_mask_blocks_differential(cv, cm, seed):
+    from rle_array_spark.codecs.zip_ops import mask_blocks
+
+    import warnings
+
+    vals, mask = _mask_case(seed, 200)
+    pv, pm = encode_block(vals, cv), encode_block(mask, cm)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # slow-path pairs warn; tested separately
+        codec, payload, new_n = mask_blocks(cv, pv, cm, pm, vals.size)
+    want = vals[mask != 0]
+    assert new_n == want.size
+    np.testing.assert_array_equal(decode_block(payload, codec, new_n), want)
+
+
+def test_mask_blocks_rle_byte_canonical():
+    """RLE⊕RLE fast path must emit the same bytes as a fresh RLE encode of
+    the gathered values (run-merge across dropped segments)."""
+    from rle_array_spark.codecs.zip_ops import mask_blocks
+
+    vals = np.array([5, 5, 5, 9, 9, 5, 5, 3], np.int32)
+    mask = np.array([1, 1, 0, 0, 0, 1, 1, 1], np.int32)
+    codec, payload, new_n = mask_blocks(
+        "rle", encode_block(vals, "rle"), "rle", encode_block(mask, "rle"), vals.size
+    )
+    # kept = [5,5,5,5,3]: the 5-runs on both sides of the dropped segment merge
+    assert (codec, new_n) == ("rle", 5)
+    assert payload == encode_block(np.array([5, 5, 5, 5, 3], np.int32), "rle")
+
+
+def test_mask_blocks_empty_and_allkept():
+    from rle_array_spark.codecs.zip_ops import mask_blocks
+
+    vals = np.arange(50, dtype=np.int32)
+    pv = encode_block(vals, "rle")
+    codec, payload, new_n = mask_blocks(
+        "rle", pv, "rle", encode_block(np.zeros(50, np.int32), "rle"), 50
+    )
+    assert new_n == 0 and decode_block(payload, codec, 0).size == 0
+    codec, payload, new_n = mask_blocks(
+        "rle", pv, "rle", encode_block(np.ones(50, np.int32), "rle"), 50
+    )
+    assert new_n == 50
+    np.testing.assert_array_equal(decode_block(payload, codec, 50), vals)
+    # n == 0 input
+    codec, payload, new_n = mask_blocks("raw", encode_block(vals[:0], "raw"),
+                                        "raw", encode_block(vals[:0], "raw"), 0)
+    assert new_n == 0
+
+
+def test_mask_blocks_mixed_codec_warns():
+    from rle_array_spark.codecs.core import PerformanceWarning
+    from rle_array_spark.codecs.zip_ops import mask_blocks
+
+    vals, mask = _mask_case(0, 100)
+    pv, pm = encode_block(vals, "for"), encode_block(mask, "rle")
+    with pytest.warns(PerformanceWarning):
+        codec, payload, new_n = mask_blocks("for", pv, "rle", pm, vals.size)
+    np.testing.assert_array_equal(decode_block(payload, codec, new_n), vals[mask != 0])
+
+
+def test_mask_blocks_df_spark(spark, sequences):
+    """DF-level mask gather: x[x % 7 >= 3] in the run domain equals numpy;
+    n_values, metadata, and per-doc chunk_offset recomputed exactly
+    (including docs whose mask keeps nothing)."""
+    from rle_array_spark.engine import (
+        decode_df,
+        encode_df,
+        mask_blocks_df,
+        transform_blocks,
+    )
+
+    v = encode_df(sequences, codec="auto")
+    mask = transform_blocks(transform_blocks(v, "mod", 7), "floordiv", 3)
+    gathered = mask_blocks_df(v, mask).cache()
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(gathered).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    assert decoded.keys() == raw.keys()
+    for doc_id, tokens in raw.items():
+        x = np.array(tokens, dtype=np.int64)
+        want = x[x % 7 >= 3]
+        np.testing.assert_array_equal(np.array(decoded[doc_id], dtype=np.int64), want)
+    # metadata + chunk offsets exact
+    rows = gathered.select(
+        "doc_id", "chunk_idx", "n_values", "tok_sum", "chunk_offset"
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        off = 0
+        for r in rs:
+            assert r["chunk_offset"] == off
+            off += r["n_values"]
+        x = np.array(raw[doc_id], dtype=np.int64)
+        want = x[x % 7 >= 3]
+        assert off == want.size
+        assert sum(r["tok_sum"] for r in rs) == int(want.sum())
+    gathered.unpersist()
