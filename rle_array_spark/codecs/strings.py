@@ -602,3 +602,42 @@ def zip_strings_compare(
     else:
         valid = valid_a & valid_b
     return encode_typed(np.ascontiguousarray(out), valid, "auto")
+
+
+def mask_strings(
+    name_v: str,
+    payload_v,
+    name_m: str,
+    payload_m,
+    n: int,
+) -> tuple[str, bytes, int]:
+    """Boolean-mask gather ``values[mask]`` over a string block; the mask
+    is a typed BOOL block (the output of zip_strings_compare / the typed
+    comparison zips), so ``s[s == "x"]`` composes in the encoded domain —
+    the reference's boolean ``__getitem__`` on object dtype
+    (/root/reference/rle_array/array.py:655-668). Returns
+    (codec, payload, new_n).
+
+    Null-mask slots DROP the row (SQL WHERE semantics — same convention as
+    codecs/typed_zip.mask_typed; see its docstring). The value gather runs
+    in the CODE domain for dictionary-backed codecs via take_strings —
+    string bytes are never touched; mask expansion is slot-level bool work
+    (1 B/slot), matching the family's slot-level validity layout.
+    """
+    from rle_array_spark.codecs.typed import _decode_header as _typed_header
+    from rle_array_spark.codecs.typed import decode_typed
+
+    buf_m = memoryview(payload_m)
+    dt_m, valid_m, _ = _typed_header(buf_m, n)
+    if dt_m != np.dtype(np.bool_):
+        raise ValueError(f"mask block must be bool-typed, got {dt_m}")
+    if n == 0:
+        codec, payload = encode_string_block(pa.array([], type=pa.string()), "sraw")
+        return codec, payload, 0
+    mvals, _ = decode_typed(name_m, buf_m, n)
+    slots = mvals.view(np.bool_).copy() if valid_m is None else (
+        mvals.view(np.bool_) & valid_m
+    )
+    idx = np.flatnonzero(slots)
+    codec, payload = take_strings(name_v, payload_v, n, idx)
+    return codec, payload, int(idx.size)

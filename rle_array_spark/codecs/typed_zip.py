@@ -213,3 +213,80 @@ def reverse_typed(name: str, payload, n: int) -> tuple[str, bytes]:
     out_lens = lens[::-1]
     new_valid = valid[::-1].copy() if valid is not None else None
     return _emit_runs(dtype_code(dtype), new_valid, out_vals, out_lens, n)
+
+
+def mask_typed(
+    name_v: str,
+    payload_v,
+    name_m: str,
+    payload_m,
+    n: int,
+) -> tuple[str, bytes, int]:
+    """Boolean-mask gather ``values[mask]`` over two equal-length typed
+    blocks; the mask is a typed BOOL block (the output type of the
+    comparison zips above and of strings.zip_strings_compare), so
+    ``arr[arr > x]`` composes entirely in the encoded domain — the
+    reference's boolean ``__getitem__`` generalized to every dtype
+    (/root/reference/rle_array/array.py:655-668). Returns
+    (codec, payload, new_n).
+
+    Null semantics are SQL WHERE, not pandas: a null mask slot DROPS the
+    row (pandas raises on NA-in-mask; in this engine masks are produced by
+    null-propagating comparisons, and "unknown" filters out — the same
+    convention every relational filter in the engine already uses).
+
+    * trle values ⊕ trle mask, no nulls on either side: pure run-domain
+      union-grid walk, O(runs_v + runs_m) — slot arrays never built.
+    * anything else: slot-level mask expansion (bool work, 1 B/slot; the
+      validity decode is already slot-level in this format) feeding
+      :func:`take_typed`, which keeps the VALUE gather in the run/code
+      domain for trle and warns on decode fallbacks.
+    """
+    buf_m = memoryview(payload_m)
+    dt_m, valid_m, _ = _decode_header(buf_m, n)
+    if dt_m != np.dtype(np.bool_):
+        raise ValueError(f"mask block must be bool-typed, got {dt_m}")
+    buf_v = memoryview(payload_v)
+    dt_v, valid_v, _ = _decode_header(buf_v, n)
+    if n == 0:
+        header = _encode_header(dtype_code(dt_v), None)
+        return "trle", header + struct.pack("<I", 0), 0
+    if (
+        name_v == "trle"
+        and name_m == "trle"
+        and valid_v is None
+        and valid_m is None
+    ):
+        ends_v, vals_v, _ = _typed_run_form(name_v, payload_v, n)
+        ends_m, vals_m, _ = _typed_run_form(name_m, payload_m, n)
+        union_ends = np.union1d(ends_v, ends_m)
+        v_exp = vals_v[np.searchsorted(ends_v, union_ends, side="left")]
+        m_exp = vals_m[np.searchsorted(ends_m, union_ends, side="left")]
+        seg_lens = np.diff(np.concatenate(([0], union_ends)))
+        keep = m_exp.view(np.bool_)
+        out_vals = np.ascontiguousarray(v_exp[keep])
+        out_lens = seg_lens[keep]
+        new_n = int(out_lens.sum())
+        if new_n == 0:
+            header = _encode_header(dtype_code(dt_v), None)
+            return "trle", header + struct.pack("<I", 0), 0
+        # merge newly-adjacent equal runs on the bit view
+        ob = out_vals.view(_BIT_VIEWS[dt_v.itemsize])
+        if ob.size > 1:
+            keep2 = np.concatenate(([True], ob[1:] != ob[:-1]))
+            if not keep2.all():
+                s2 = np.flatnonzero(keep2)
+                out_vals = out_vals[s2]
+                out_lens = np.add.reduceat(out_lens, s2)
+        codec, payload = _emit_runs(dtype_code(dt_v), None, out_vals, out_lens, new_n)
+        return codec, payload, new_n
+    # slot-level mask extraction is the contract here (bool, 1 B/slot) —
+    # decode_typed directly, silently; only the VALUE-side gather inside
+    # take_typed warns when it has to leave the run domain
+    mvals, _ = decode_typed(name_m, memoryview(payload_m), n)
+    slots = mvals.view(np.bool_).copy() if valid_m is None else (
+        mvals.view(np.bool_) & valid_m
+    )
+    idx = np.flatnonzero(slots)
+    codec, payload = take_typed(name_v, payload_v, n, idx)
+    return codec, payload, int(idx.size)

@@ -941,8 +941,15 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's any-dtype binary operators, tests/test_operators.py): two
     int64 columns derived from the same per-user event sequence are
     zipped with `add` (int64, exact) and `lt` (bool blocks), then reduced
-    per user."""
-    from rle_array_spark.typed import decode_typed_df, encode_typed_df, zip_typed_df
+    per user; the lt mask then drives the typed boolean-mask gather
+    (mask_typed_df — reference boolean ``__getitem__``, array.py:655-668)
+    so a[a < b] is verified in the same slot."""
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        mask_typed_df,
+        zip_typed_df,
+    )
 
     ev = _table(spark, sf_dir, "events")
     sorted_ = F.sort_array(F.collect_list(F.struct("ts", "event_id")))
@@ -955,13 +962,23 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ba = encode_typed_df(seq.select("doc_id", "source", F.col("a").alias("vals"))).persist()
     bb = encode_typed_df(seq.select("doc_id", "source", F.col("b").alias("vals"))).persist()
     added = decode_typed_df(zip_typed_df(ba, bb, "add"), "long")
-    less = decode_typed_df(zip_typed_df(ba, bb, "lt"), "boolean")
+    ltb = zip_typed_df(ba, bb, "lt").persist()
+    less = decode_typed_df(ltb, "boolean")
+    kept = decode_typed_df(mask_typed_df(ba, ltb), "long")
     return (
         added.select("doc_id", F.size("vals").alias("n"),
                      F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias("sum_ab"))
         .join(
             less.select("doc_id",
                         F.size(F.filter("vals", lambda x: x)).alias("lt_count")),
+            "doc_id",
+        )
+        .join(
+            kept.select(
+                "doc_id",
+                F.size("vals").alias("mask_n"),
+                F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias("mask_sum"),
+            ),
             "doc_id",
         )
     )
@@ -976,7 +993,9 @@ ORACLE_TYPED_ZIP = """WITH seq AS (
 SELECT doc_id,
        CAST(length(a) AS INT) AS n,
        CAST(list_sum(list_transform(range(1, length(a) + 1), i -> a[i] + b[i])) AS BIGINT) AS sum_ab,
-       CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS lt_count
+       CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS lt_count,
+       CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS mask_n,
+       CAST(COALESCE(list_sum(list_transform(list_filter(range(1, length(a) + 1), i -> a[i] < b[i]), i -> a[i])), 0) AS BIGINT) AS mask_sum
 FROM seq"""
 
 
@@ -984,8 +1003,16 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String comparison zip (reference eq/ne on object dtype): two string
     columns derived from each user's event sequence, zipped in the CODE
     domain (dictionary-backed fast path, value bytes untouched), reduced
-    to per-user equal counts."""
-    from rle_array_spark.strings import encode_strings_df, zip_strings_df
+    to per-user equal counts; the eq mask then drives the string
+    boolean-mask gather (mask_strings_df, code-domain — reference boolean
+    ``__getitem__`` on object dtype, array.py:655-668) so s[s == t] is
+    verified in the same slot."""
+    from rle_array_spark.strings import (
+        decode_strings_df,
+        encode_strings_df,
+        mask_strings_df,
+        zip_strings_df,
+    )
     from rle_array_spark.typed import decode_typed_df
 
     ev = _table(spark, sf_dir, "events")
@@ -999,11 +1026,21 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("source", F.lit("events"))
     ba = encode_strings_df(seq.select("doc_id", "source", F.col("a").alias("vals"))).persist()
     bb = encode_strings_df(seq.select("doc_id", "source", F.col("b").alias("vals"))).persist()
-    eq = decode_typed_df(zip_strings_df(ba, bb, "eq"), "boolean")
+    maskb = zip_strings_df(ba, bb, "eq").persist()
+    eq = decode_typed_df(maskb, "boolean")
+    kept = decode_strings_df(mask_strings_df(ba, maskb))
     return eq.select(
         "doc_id",
         F.size("vals").alias("n"),
         F.size(F.filter("vals", lambda x: x)).alias("eq_count"),
+    ).join(
+        kept.select(
+            "doc_id",
+            F.expr("aggregate(vals, 0L, (acc, x) -> acc + length(x))").alias(
+                "mask_len_sum"
+            ),
+        ),
+        "doc_id",
     )
 
 
@@ -1017,7 +1054,10 @@ ORACLE_STRING_EQ_ZIP = """WITH seq AS (
 SELECT doc_id,
        CAST(length(a) AS INT) AS n,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] = b[i])), 0) AS INT)
-           AS eq_count
+           AS eq_count,
+       CAST(COALESCE(list_sum(list_transform(
+                list_filter(range(1, length(a) + 1), i -> a[i] = b[i]),
+                i -> length(a[i]))), 0) AS BIGINT) AS mask_len_sum
 FROM seq"""
 
 

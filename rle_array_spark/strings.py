@@ -288,6 +288,99 @@ def fillna_strings_df(
     return _strings_rewrite_df(blocks, row_fn)
 
 
+def mask_strings_df(value_blocks: DataFrame, mask_blocks: DataFrame) -> DataFrame:
+    """Boolean-mask gather ``values[mask]`` over a STRING encoded column;
+    the mask side is a TYPED bool block table (the output of
+    zip_strings_df / typed comparison zips) aligned on (doc_id, source) —
+    the reference's boolean ``__getitem__`` on object dtype
+    (/root/reference/rle_array/array.py:655-668). Dictionary-backed value
+    codecs gather in the CODE domain (codecs/strings.mask_strings); null
+    mask slots DROP rows (SQL WHERE semantics). All string metadata is
+    recomputed from the post-gather payload."""
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.codecs.strings import (
+        mask_strings,
+        string_payload_stats,
+        string_value_bytes,
+    )
+
+    v = value_blocks.select(
+        "doc_id", "source",
+        F.col("codec").alias("codec_v"), F.col("payload").alias("payload_v"),
+        "n_values",
+    )
+    m = mask_blocks.select(
+        "doc_id", "source",
+        F.col("codec").alias("codec_m"), F.col("payload").alias("payload_m"),
+        F.col("n_values").alias("n_values_m"),
+    )
+    joined = v.join(m, ["doc_id", "source"], "inner")
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            cv = batch.column("codec_v").to_pylist()
+            cm = batch.column("codec_m").to_pylist()
+            pv_col = batch.column("payload_v")
+            pm_col = batch.column("payload_m")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            nm_col = batch.column("n_values_m").to_numpy(zero_copy_only=False)
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            n_values = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            null_count = np.empty(n_rows, dtype=np.int32)
+            card = np.empty(n_rows, dtype=np.int32)
+            vmin: list[str | None] = []
+            vmax: list[str | None] = []
+            raw_bytes = np.empty(n_rows, dtype=np.int64)
+            for i in range(n_rows):
+                n = int(n_col[i])
+                if n != int(nm_col[i]):
+                    raise ValueError(
+                        f"mask length mismatch: {n} != {int(nm_col[i])}"
+                    )
+                c, p, nn = mask_strings(
+                    cv[i], memoryview(pv_col[i].as_buffer()),
+                    cm[i], memoryview(pm_col[i].as_buffer()),
+                    n,
+                )
+                new_codecs.append(c)
+                new_payloads.append(p)
+                n_values[i] = nn
+                r, nc, k, lo, hi = string_payload_stats(c, p, nn)
+                n_runs[i], null_count[i], card[i] = r, nc, k
+                vmin.append(lo)
+                vmax.append(hi)
+                raw_bytes[i] = string_value_bytes(c, p, nn) + 4 * nn
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    pa.array(n_values),
+                    pa.array(n_runs),
+                    pa.array(null_count),
+                    pa.array(card),
+                    pa.array(vmin, type=pa.string()),
+                    pa.array(vmax, type=pa.string()),
+                    pa.array(raw_bytes),
+                    pa.array(np.array([len(p) for p in new_payloads], dtype=np.int64)),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values",
+                    "n_runs", "null_count", "card", "val_min", "val_max",
+                    "raw_bytes", "encoded_bytes",
+                ],
+            )
+
+    return joined.mapInArrow(kernel, STRING_BLOCKS_SCHEMA)
+
+
 def zip_strings_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str = "eq") -> DataFrame:
     """Elementwise eq/ne over two string encoded columns aligned on
     (doc_id, source), producing TYPED bool blocks (decode with

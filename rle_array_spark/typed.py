@@ -164,8 +164,10 @@ def zip_blocks_pairwise_df(blocks_a: DataFrame, blocks_b: DataFrame, row_op) -> 
     align two block tables on (doc_id, source) — one block per key is the
     contract of the typed/string encoders (no chunking) — check lengths,
     apply ``row_op(codec_a, payload_a, codec_b, payload_b, n) -> (codec,
-    payload)`` per pair, and recompute metadata exactly from the new
-    payloads. Used by :func:`zip_typed_df` and strings.zip_strings_df."""
+    payload)`` or ``(codec, payload, new_n)`` — the 3-tuple form for
+    length-changing ops like the boolean-mask gather — per pair, and
+    recompute metadata exactly from the new payloads. Used by
+    :func:`zip_typed_df`, :func:`mask_typed_df`, strings.zip_strings_df."""
     from pyspark.sql import functions as F
 
     from rle_array_spark.codecs.typed import DTYPE_CODES, typed_payload_stats
@@ -200,20 +202,24 @@ def zip_blocks_pairwise_df(blocks_a: DataFrame, blocks_b: DataFrame, row_op) -> 
             null_count = np.empty(n_rows, dtype=np.int32)
             vmin = np.full(n_rows, np.nan)
             vmax = np.full(n_rows, np.nan)
+            out_n = np.empty(n_rows, dtype=np.int32)
             for i in range(n_rows):
                 nv = int(n_col[i])
                 if nv != int(nb_col[i]):
                     raise ValueError(
                         f"zip length mismatch: {nv} != {int(nb_col[i])}"
                     )
-                c, p = row_op(
+                res = row_op(
                     ca[i], memoryview(pa_col[i].as_buffer()),
                     cb[i], memoryview(pb_col[i].as_buffer()),
                     nv,
                 )
+                c, p = res[0], res[1]
+                nn = int(res[2]) if len(res) == 3 else nv
                 new_codecs.append(c)
                 new_payloads.append(p)
-                r, nc, lo, hi, _ = typed_payload_stats(c, p, nv)
+                out_n[i] = nn
+                r, nc, lo, hi, _ = typed_payload_stats(c, p, nn)
                 n_runs[i], null_count[i] = r, nc
                 if lo is not None:
                     vmin[i], vmax[i] = lo, hi
@@ -225,13 +231,13 @@ def zip_blocks_pairwise_df(blocks_a: DataFrame, blocks_b: DataFrame, row_op) -> 
                     pa.array(vtypes, type=pa.string()),
                     pa.array(new_codecs, type=pa.string()),
                     pa.array(new_payloads, type=pa.binary()),
-                    batch.column("n_values"),
+                    pa.array(out_n),
                     pa.array(n_runs),
                     pa.array(null_count),
                     pa.array(vmin),
                     pa.array(vmax),
                     pa.array(
-                        n_col.astype(np.int64)
+                        out_n.astype(np.int64)
                         * np.array(
                             [DTYPE_CODES[p[0]].itemsize for p in new_payloads],
                             dtype=np.int64,
@@ -265,6 +271,19 @@ def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame
         return zip_typed_blocks(ca, pa_, cb, pb_, nv, op)
 
     return zip_blocks_pairwise_df(blocks_a, blocks_b, row_op)
+
+
+def mask_typed_df(value_blocks: DataFrame, mask_blocks: DataFrame) -> DataFrame:
+    """Boolean-mask gather ``values[mask]`` over two typed encoded columns
+    aligned on (doc_id, source); the mask column holds bool blocks (the
+    output of the comparison zips), so ``arr[arr > x]`` composes in the
+    encoded domain — the reference's boolean ``__getitem__``
+    (/root/reference/rle_array/array.py:655-668) for every dtype. Null
+    mask slots DROP rows (SQL WHERE semantics; codecs/typed_zip.mask_typed).
+    n_values and all metadata reflect the post-gather block exactly."""
+    from rle_array_spark.codecs.typed_zip import mask_typed
+
+    return zip_blocks_pairwise_df(value_blocks, mask_blocks, mask_typed)
 
 
 def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:

@@ -1,0 +1,258 @@
+"""Boolean-mask gather for the typed and string families: differential vs
+decode → numpy boolean indexing, with SQL WHERE null-mask semantics (null
+mask slot drops the row — see codecs/typed_zip.mask_typed docstring; the
+reference's boolean ``__getitem__``, array.py:655-668, generalized to every
+dtype)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rle_array_spark.codecs.strings import (
+    decode_strings,
+    encode_string_block,
+    mask_strings,
+)
+from rle_array_spark.codecs.typed import decode_typed, encode_typed
+from rle_array_spark.codecs.typed_zip import mask_typed, zip_typed_blocks
+
+
+def _cases():
+    rng = np.random.default_rng(17)
+    n = 240
+    runny = np.repeat(rng.normal(size=8), 30)
+    noisy = rng.normal(size=n)
+    ints = np.repeat(rng.integers(0, 9, 12), 20).astype(np.int64)
+    ts = np.repeat(
+        (np.arange(8) * 86_400_000_000).astype("datetime64[us]"), 30
+    )
+    vmask = rng.random(n) > 0.2
+    return [
+        ("float_runny", runny, None),
+        ("float_noisy", noisy, None),
+        ("float_masked", runny, vmask),
+        ("int_runny", ints, None),
+        ("int_masked", ints, vmask),
+        ("ts_runny", ts, None),
+    ]
+
+
+def _masks(n):
+    rng = np.random.default_rng(99)
+    return [
+        ("runny", np.repeat(rng.random(8) > 0.5, n // 8 + 1)[:n], None),
+        ("noisy", rng.random(n) > 0.5, None),
+        ("all_true", np.ones(n, bool), None),
+        ("all_false", np.zeros(n, bool), None),
+        ("null_mask", rng.random(n) > 0.5, rng.random(n) > 0.3),
+    ]
+
+
+@pytest.mark.parametrize("codec_v", ["trle", "tdict", "traw", "auto"])
+@pytest.mark.parametrize("codec_m", ["trle", "auto"])
+def test_mask_typed_differential(codec_v, codec_m):
+    for vlabel, vals, vvalid in _cases():
+        n = vals.size
+        name_v, pv = encode_typed(np.ascontiguousarray(vals), vvalid, codec_v)
+        for mlabel, mvals, mvalid in _masks(n):
+            mv = np.ascontiguousarray(mvals[:n])
+            name_m, pm = encode_typed(mv, mvalid, codec_m)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # non-trle inputs warn
+                codec, payload, new_n = mask_typed(name_v, pv, name_m, pm, n)
+            keep = mv & (mvalid if mvalid is not None else True)
+            exp = vals[keep]
+            exp_valid = vvalid[keep] if vvalid is not None else None
+            assert new_n == exp.size, (vlabel, mlabel)
+            got, gvalid = decode_typed(codec, payload, new_n)
+            assert got.dtype == vals.dtype, (vlabel, mlabel)
+            if exp_valid is not None and not exp_valid.all():
+                assert gvalid is not None
+                np.testing.assert_array_equal(gvalid, exp_valid)
+                np.testing.assert_array_equal(got[gvalid], exp[exp_valid])
+            else:
+                assert gvalid is None or gvalid.all()
+                np.testing.assert_array_equal(got, exp)
+
+
+def test_mask_typed_run_domain_fast_path_silent_and_canonical():
+    """trle ⊕ trle without nulls must not warn, and must emit the same
+    bytes as a fresh encode of the gathered values (run merge across
+    dropped segments)."""
+    from rle_array_spark.codecs.core import PerformanceWarning
+
+    vals = np.array([5.0, 5.0, 5.0, 9.0, 9.0, 5.0, 5.0, 3.0])
+    mask = np.array([True, True, False, False, False, True, True, True])
+    nv, pv = encode_typed(vals, None, "trle")
+    nm, pm = encode_typed(mask, None, "trle")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PerformanceWarning)
+        codec, payload, new_n = mask_typed(nv, pv, nm, pm, vals.size)
+    assert new_n == 5
+    exp_codec, exp_payload = encode_typed(vals[mask], None, "trle")
+    assert (codec, payload) == (exp_codec, exp_payload)
+
+
+def test_mask_typed_composes_with_comparison_zip():
+    """arr[arr > 0] entirely in the encoded domain: comparison zip emits
+    the bool mask block, mask_typed gathers with it."""
+    rng = np.random.default_rng(3)
+    vals = np.repeat(rng.normal(size=10), 24)
+    n = vals.size
+    name_v, pv = encode_typed(vals, None, "trle")
+    zero = np.zeros(n)
+    name_z, pz = encode_typed(zero, None, "trle")
+    name_m, pm = zip_typed_blocks(name_v, pv, name_z, pz, n, "gt")
+    codec, payload, new_n = mask_typed(name_v, pv, name_m, pm, n)
+    got, gvalid = decode_typed(codec, payload, new_n)
+    assert gvalid is None
+    np.testing.assert_array_equal(got, vals[vals > 0])
+
+
+def test_mask_typed_rejects_non_bool_mask_and_empty():
+    vals = np.arange(10, dtype=np.int64)
+    nv, pv = encode_typed(vals, None, "trle")
+    with pytest.raises(ValueError, match="bool"):
+        mask_typed(nv, pv, nv, pv, 10)
+    ne, pe = encode_typed(np.zeros(0, np.int64), None, "trle")
+    nm, pm = encode_typed(np.zeros(0, bool), None, "trle")
+    codec, payload, new_n = mask_typed(ne, pe, nm, pm, 0)
+    assert new_n == 0
+    got, _ = decode_typed(codec, payload, 0)
+    assert got.size == 0 and got.dtype == np.int64
+
+
+STRING_CASES = {
+    "runny": ["a"] * 30 + ["bb"] * 20 + ["a"] * 10,
+    "low_card": [f"k{i % 4}" for i in range(200)],
+    "distinct": [f"val-{i}" for i in range(50)],
+    "with_nulls": ["x", None, None, "y", "y", None, "x"] * 10,
+    "unicode": ["héllo", "wörld", "héllo", "日本語", ""] * 12,
+}
+
+
+@pytest.mark.parametrize("codec_v", ["srle", "sdict", "sraw", "sfsst", "auto"])
+@pytest.mark.parametrize("case", sorted(STRING_CASES))
+def test_mask_strings_differential(codec_v, case):
+    vals = STRING_CASES[case]
+    n = len(vals)
+    name_v, pv = encode_string_block(pa.array(vals, type=pa.string()), codec_v)
+    for mlabel, mvals, mvalid in _masks(n):
+        mv = np.ascontiguousarray(mvals[:n])
+        name_m, pm = encode_typed(mv, mvalid, "auto")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            codec, payload, new_n = mask_strings(name_v, pv, name_m, pm, n)
+        keep = mv & (mvalid if mvalid is not None else True)
+        exp = [v for v, k in zip(vals, keep) if k]
+        assert new_n == len(exp), (case, mlabel)
+        got, gvalid = decode_strings(codec, payload, new_n)
+        out = (
+            list(got)
+            if gvalid is None
+            else [v if ok else None for v, ok in zip(got, gvalid)]
+        )
+        assert out == exp, (case, mlabel)
+
+
+def test_mask_strings_code_domain_for_dict_backed():
+    """srle/sdict values gather codes — no string-bytes work — and the
+    result re-canonicalizes to the same bytes as a fresh encode."""
+    vals = ["a"] * 40 + ["bb"] * 40 + ["a"] * 20
+    n = len(vals)
+    name_v, pv = encode_string_block(pa.array(vals, type=pa.string()), "srle")
+    mask = np.array([i % 2 == 0 for i in range(n)])
+    name_m, pm = encode_typed(mask, None, "auto")
+    codec, payload, new_n = mask_strings(name_v, pv, name_m, pm, n)
+    assert new_n == n // 2
+    got, gvalid = decode_strings(codec, payload, new_n)
+    assert gvalid is None
+    assert list(got) == [v for v, k in zip(vals, mask) if k]
+
+
+def test_mask_strings_empty_and_non_bool():
+    name_v, pv = encode_string_block(pa.array([], type=pa.string()), "sraw")
+    nm, pm = encode_typed(np.zeros(0, bool), None, "trle")
+    codec, payload, new_n = mask_strings(name_v, pv, nm, pm, 0)
+    assert new_n == 0
+    ni, pi = encode_typed(np.arange(4, dtype=np.int64), None, "trle")
+    name_v4, pv4 = encode_string_block(pa.array(["a"] * 4, type=pa.string()), "srle")
+    with pytest.raises(ValueError, match="bool"):
+        mask_strings(name_v4, pv4, ni, pi, 4)
+
+
+def test_mask_typed_df_spark(spark):
+    """DF-level typed mask gather: x[x > 1.0] composed from the comparison
+    zip, nulls in values carried through, n_values/metadata exact."""
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        mask_typed_df,
+        zip_typed_df,
+    )
+
+    rows = [
+        ("a", "s", [0.5, 0.5, 2.0, 2.0, 2.0, 0.5, 3.0]),
+        ("b", "s", [None, 2.5, 0.1, None, 9.0]),
+        ("c", "s", []),
+        ("d", "s", [0.25] * 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    ones = df.select(
+        "doc_id", "source",
+        F.expr("transform(vals, x -> cast(1.0 as double))").alias("vals"),
+    )
+    blocks = encode_typed_df(df, "vals")
+    thresh = encode_typed_df(ones, "vals")
+    mask = zip_typed_df(blocks, thresh, "gt")  # x > 1.0 (null where x null)
+    gathered = mask_typed_df(blocks, mask)
+    got = {r["doc_id"]: r["vals"] for r in decode_typed_df(gathered, "double").collect()}
+    # null comparisons are null → dropped (SQL WHERE)
+    assert got["a"] == [2.0, 2.0, 2.0, 3.0]
+    assert got["b"] == [2.5, 9.0]
+    assert got["c"] == []
+    assert got["d"] == []
+    meta = {r["doc_id"]: r for r in gathered.collect()}
+    assert meta["a"]["n_values"] == 4 and meta["a"]["null_count"] == 0
+    assert meta["d"]["n_values"] == 0
+    assert meta["a"]["val_min"] == 2.0 and meta["a"]["val_max"] == 3.0
+
+
+def test_mask_strings_df_spark(spark):
+    """DF-level string mask gather driven by a string-equality zip:
+    s[s == t] in the code domain, nulls drop, metadata exact."""
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.strings import (
+        decode_strings_df,
+        encode_strings_df,
+        mask_strings_df,
+        zip_strings_df,
+    )
+
+    rows = [
+        ("a", "s", ["x", "x", "y", None, "x", "z"], ["x", "q", "y", "y", "x", "z"]),
+        ("b", "s", [], []),
+        ("c", "s", ["k0", "k1"] * 50, ["k0", "k0"] * 50),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, source string, vals array<string>, other array<string>",
+    )
+    bv = encode_strings_df(df, "vals")
+    bo = encode_strings_df(df.select("doc_id", "source", F.col("other").alias("vals")), "vals")
+    mask = zip_strings_df(bv, bo, "eq")
+    gathered = mask_strings_df(bv, mask)
+    got = {r["doc_id"]: r["vals"] for r in decode_strings_df(gathered).collect()}
+    assert got["a"] == ["x", "y", "x", "z"]  # null comparison → dropped
+    assert got["b"] == []
+    assert got["c"] == ["k0"] * 50
+    meta = {r["doc_id"]: r for r in gathered.collect()}
+    assert meta["a"]["n_values"] == 4 and meta["a"]["null_count"] == 0
+    assert meta["c"]["card"] == 1 and meta["c"]["codec"] in ("srle", "sdict")
