@@ -108,34 +108,42 @@ def mask_blocks(
     * RLE values ⊕ RLE mask: union-grid walk — keep the grid segments
       whose mask value is nonzero, merge newly-adjacent equal runs, emit
       RLE directly. O(runs_v + runs_m), independent of n.
-    * DICT values ⊕ RLE mask: CODE-domain gather — codes are indexed by
-      the expanded mask, unreferenced table entries pruned; values never
-      touched (same shape as the dict⊕dict zip above).
-    * anything else: decode fallback with PerformanceWarning (the
-      reference's "any other array-like → full decode" branch).
+    * DICT values ⊕ any mask: CODE-domain gather — codes are indexed by
+      the mask slots, unreferenced table entries pruned; values never
+      touched. RLE values ⊕ any mask: run-reuse gather (take_runs) —
+      gathered values never materialized. Non-RLE masks decode to bool
+      slots first (1 B/slot, silent — bitpack comparison masks are the
+      common relational-filter case and their decode IS the cheap part).
+    * other VALUE codecs (for/bitpack/ngram/raw): decode fallback with
+      PerformanceWarning (the reference's "any other array-like → full
+      decode" branch).
     """
     if n == 0:
         return _empty_block()
-    if codec_m == "rle":
+    if codec_m == "rle" and codec_v == "rle":
         vals_m, lens_m = _rle_parts(payload_m)
-        if codec_v == "rle":
-            vals_v, lens_v = _rle_parts(payload_v)
-            ends_v = np.cumsum(lens_v)
-            ends_m = np.cumsum(lens_m)
-            union_ends = np.union1d(ends_v, ends_m)
-            v_exp = vals_v[np.searchsorted(ends_v, union_ends, side="left")]
-            m_exp = vals_m[np.searchsorted(ends_m, union_ends, side="left")]
-            seg_lens = np.diff(np.concatenate(([0], union_ends)))
-            keep = m_exp != 0
-            out_vals, out_lens = _merge_equal_runs(v_exp[keep], seg_lens[keep])
-            new_n = int(out_lens.sum())
-            if new_n == 0:
-                return _empty_block()
-            return "rle", _repack_rle(out_vals, out_lens), new_n
+        vals_v, lens_v = _rle_parts(payload_v)
+        ends_v = np.cumsum(lens_v)
+        ends_m = np.cumsum(lens_m)
+        union_ends = np.union1d(ends_v, ends_m)
+        v_exp = vals_v[np.searchsorted(ends_v, union_ends, side="left")]
+        m_exp = vals_m[np.searchsorted(ends_m, union_ends, side="left")]
+        seg_lens = np.diff(np.concatenate(([0], union_ends)))
+        keep = m_exp != 0
+        out_vals, out_lens = _merge_equal_runs(v_exp[keep], seg_lens[keep])
+        new_n = int(out_lens.sum())
+        if new_n == 0:
+            return _empty_block()
+        return "rle", _repack_rle(out_vals, out_lens), new_n
+    if codec_v in ("rle", "dict"):
+        if codec_m == "rle":
+            vals_m, lens_m = _rle_parts(payload_m)
+            mask_bool = np.repeat(vals_m != 0, lens_m)
+        else:
+            mask_bool = CODECS[codec_m].decode(payload_m, n) != 0
         if codec_v == "dict":
             dc = CODECS["dict"]
             table, codes = dc.parts(payload_v, n)
-            mask_bool = np.repeat(vals_m != 0, lens_m)
             kept = codes[mask_bool]
             if kept.size == 0:
                 return _empty_block()
@@ -147,17 +155,34 @@ def mask_blocks(
 
             c, p = choose_codec(table[uniq][inv].astype(np.int32))
             return c, p, int(kept.size)
+        idx = np.flatnonzero(mask_bool)
+        if idx.size == 0:
+            return _empty_block()
+        from rle_array_spark.codecs.reduce import take_runs
+
+        rv, rl = take_runs("rle", payload_v, n, idx)
+        payload = _repack_rle(rv, rl)
+        if len(payload) <= 4 * idx.size + 1:  # never worse than raw
+            return "rle", payload, int(idx.size)
+        from rle_array_spark.chooser import choose_codec
+
+        c, p = choose_codec(np.repeat(rv, rl).astype(np.int32))
+        return c, p, int(idx.size)
     from rle_array_spark.chooser import choose_codec
     from rle_array_spark.codecs.core import PerformanceWarning
 
     warnings.warn(
-        f"mask gather of ({codec_v!r}, {codec_m!r}) decodes both blocks "
-        "(compressed path needs an RLE mask and RLE/DICT values)",
+        f"mask gather of ({codec_v!r}, {codec_m!r}) decodes the value "
+        "block (compressed path needs RLE/DICT values)",
         PerformanceWarning,
         stacklevel=2,
     )
     v = CODECS[codec_v].decode(payload_v, n)
-    m = CODECS[codec_m].decode(payload_m, n)
+    if codec_m == "rle":
+        vals_m, lens_m = _rle_parts(payload_m)
+        m = np.repeat(vals_m, lens_m)
+    else:
+        m = CODECS[codec_m].decode(payload_m, n)
     kept_v = v[m != 0]
     if kept_v.size == 0:
         return _empty_block()

@@ -1525,3 +1525,101 @@ def zip_frame_df(
 
 def _frame_types(blocks: DataFrame) -> list[str]:
     return [f.dataType.simpleString() for f in blocks.schema.fields]
+
+
+def filter_frame_df(
+    blocks: DataFrame, mask_col: str, drop_mask: bool = True
+) -> DataFrame:
+    """Relational row FILTER over an encoded wide frame: one 0/1 encoded
+    mask column (the output of a zip_frame_df comparison) gathers EVERY
+    encoded column of the same wide row — the reference's
+    ``df[df.x < df.y]`` over a frame of RLE columns
+    (/root/reference/rle_array/array.py:655-668 applied per column; the
+    reference's pandas integration filters all columns positionally).
+
+    Zero joins and zero shuffles: the columns were co-located by
+    encode_frame_df, and each output column is produced by the
+    compressed-domain mask gather (codecs/zip_ops.mask_blocks — union-grid
+    for RLE⊕RLE, code-domain for DICT). All per-column metadata including
+    the shared new n_values is recomputed exactly. The mask's own columns
+    are dropped by default (a filtered mask is all-ones — dead weight);
+    pass drop_mask=False to keep it."""
+    enc_cols = sorted(
+        {c[: -len("__codec")] for c in blocks.columns if c.endswith("__codec")}
+    )
+    if mask_col not in enc_cols:
+        raise ValueError(f"mask column {mask_col!r} not in frame ({enc_cols})")
+    out_cols = [c for c in enc_cols if c != mask_col or not drop_mask]
+
+    in_cols = list(blocks.columns)
+    key_cols = [c for c in in_cols if "__" not in c]
+    dropped = {f"{mask_col}__{f}" for f, _ in _FRAME_COL_FIELDS} if drop_mask else set()
+    out_names = [c for c in in_cols if c not in dropped]
+    types = dict(zip(in_cols, _frame_types(blocks)))
+    out_schema = ", ".join(f"`{c}` {types[c]}" for c in out_names)
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import payload_stats
+        from rle_array_spark.codecs.zip_ops import mask_blocks
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            n_rows = batch.num_rows
+            cm = batch.column(f"{mask_col}__codec").to_pylist()
+            pm_col = batch.column(f"{mask_col}__payload")
+            nm = batch.column(f"{mask_col}__n_values").to_numpy(zero_copy_only=False)
+            per_col: dict[str, dict] = {}
+            for cname in out_cols:
+                cv = batch.column(f"{cname}__codec").to_pylist()
+                pv_col = batch.column(f"{cname}__payload")
+                nv_col = batch.column(f"{cname}__n_values").to_numpy(
+                    zero_copy_only=False
+                )
+                codecs_out: list[str] = []
+                payloads: list[bytes] = []
+                n_values = np.empty(n_rows, dtype=np.int32)
+                n_runs = np.empty(n_rows, dtype=np.int32)
+                tok_sum = np.empty(n_rows, dtype=np.int64)
+                tok_min = np.empty(n_rows, dtype=np.int32)
+                tok_max = np.empty(n_rows, dtype=np.int32)
+                for i in range(n_rows):
+                    nv = int(nv_col[i])
+                    if nv != int(nm[i]):
+                        raise ValueError(
+                            f"frame filter length mismatch on {cname!r}: "
+                            f"{nv} != {int(nm[i])}"
+                        )
+                    c, p, nn = mask_blocks(
+                        cv[i], memoryview(pv_col[i].as_buffer()),
+                        cm[i], memoryview(pm_col[i].as_buffer()),
+                        nv,
+                    )
+                    codecs_out.append(c)
+                    payloads.append(p)
+                    n_values[i] = nn
+                    (
+                        n_runs[i], tok_sum[i], tok_min[i], tok_max[i]
+                    ) = payload_stats(c, p, nn)
+                per_col[cname] = {
+                    "codec": pa.array(codecs_out, type=pa.string()),
+                    "payload": pa.array(payloads, type=pa.binary()),
+                    "n_values": pa.array(n_values),
+                    "n_runs": pa.array(n_runs),
+                    "tok_sum": pa.array(tok_sum),
+                    "tok_min": pa.array(tok_min),
+                    "tok_max": pa.array(tok_max),
+                    "encoded_bytes": pa.array(
+                        np.array([len(p) for p in payloads], dtype=np.int64)
+                    ),
+                }
+            arrays = []
+            for name in out_names:
+                if "__" not in name:
+                    arrays.append(batch.column(name))
+                    continue
+                cname, field = name.rsplit("__", 1)
+                arrays.append(per_col[cname][field])
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return blocks.mapInArrow(kernel, out_schema)

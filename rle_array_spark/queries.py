@@ -1178,16 +1178,54 @@ def q_mask_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ``x[x % 7 >= 3]`` via the FRAME path: the comparison mask
+    comes from a join-free frame zip (mods ge threes) and filter_frame_df
+    gathers every encoded column of the wide row with it — the reference's
+    ``df[df.x >= y]`` relational filter over a frame of RLE columns, with
+    no exchange from the encoded table on (plan asserted in
+    tests/test_frame.py)."""
+    from rle_array_spark.engine import (
+        decode_frame_df,
+        encode_frame_df,
+        filter_frame_df,
+        tokens_stats_df,
+        zip_frame_df,
+    )
+
+    seq = _sequences(spark, sf_dir).select(
+        "doc_id", "source", "tokens",
+        F.expr("transform(tokens, x -> x % 7)").alias("mods"),
+        F.expr("transform(tokens, x -> 3)").alias("threes"),
+    )
+    wide = encode_frame_df(seq, ["tokens", "mods", "threes"])
+    masked = filter_frame_df(
+        zip_frame_df(wide, "mods", "threes", "ge", out_col="m"), "m"
+    )
+    decoded = decode_frame_df(
+        masked.select(
+            "doc_id", "source",
+            "tokens__codec", "tokens__payload", "tokens__n_values",
+        ),
+        ["tokens"],
+    )
+    return tokens_stats_df(decoded).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
 def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x + x%7 through BOTH zip implementations plus the boolean-mask
-    gather in one slot: the block-pair union-grid zip (zip_blocks_df,
-    reference _algorithms.py:484-585), the join-free frame zip
-    (zip_frame_df), and mask_blocks_df's run-domain ``x[x % 7 >= 3]`` —
-    each labeled, each required to match its oracle arm."""
+    """x + x%7 through BOTH zip implementations plus both boolean-mask
+    gather paths in one slot: the block-pair union-grid zip
+    (zip_blocks_df, reference _algorithms.py:484-585), the join-free frame
+    zip (zip_frame_df), mask_blocks_df's run-domain ``x[x % 7 >= 3]``, and
+    filter_frame_df's whole-frame row filter of the same predicate — each
+    labeled, each required to match its oracle arm."""
     block = q_zip_add_mod(spark, sf_dir).withColumn("path", F.lit("block"))
     frame = q_frame_zip_join_free(spark, sf_dir).withColumn("path", F.lit("frame"))
     mask = q_mask_gather(spark, sf_dir).withColumn("path", F.lit("mask"))
-    return block.unionByName(frame).unionByName(mask)
+    ffilt = q_frame_filter(spark, sf_dir).withColumn("path", F.lit("frame_filter"))
+    return block.unionByName(frame).unionByName(mask).unionByName(ffilt)
 
 
 ORACLE_ZIP_ADD_MOD_BOTH = """WITH tok AS (
@@ -1218,8 +1256,8 @@ SELECT doc_id,
        CAST(coalesce(list_max(tokens), 0) AS INT) AS tok_max,
        CAST(coalesce(list_sum(list_transform(tokens, (x, i) -> x * i)), 0) AS BIGINT)
            AS tok_wsum,
-       'mask' AS path
-FROM kept"""
+       path
+FROM kept CROSS JOIN (VALUES ('mask'), ('frame_filter')) AS mpaths(path)"""
 
 
 def q_window_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:

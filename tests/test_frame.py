@@ -83,3 +83,83 @@ def test_frame_compression_accounting(spark, two_col_df):
         F.sum((F.col("tokens__n_values") + F.col("mods__n_values")).cast("long") * 4).alias("raw"),
     ).collect()[0]
     assert agg["enc"] < agg["raw"]
+
+
+def test_filter_frame_join_free_plan_and_values(spark, two_col_df):
+    """Compressed-domain relational row filter: a zip-comparison mask
+    gathers EVERY encoded column of the wide row — df[df.mods < 3] — with
+    no exchange in the plan; decoded columns equal numpy boolean indexing
+    and per-column metadata reflects the post-filter blocks."""
+    from rle_array_spark.engine import filter_frame_df
+    from tests.test_plans import explain_str
+
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"])
+    three = two_col_df.select(
+        "doc_id", "source",
+        F.expr("transform(tokens, x -> 3)").alias("threes"),
+    )
+    # mask column lives in the same wide row: encode all three columns
+    wide3 = encode_frame_df(
+        two_col_df.join(three, ["doc_id", "source"]),
+        ["tokens", "mods", "threes"],
+    )
+    masked = filter_frame_df(
+        zip_frame_df(wide3, "mods", "threes", "lt", out_col="m"), "m"
+    )
+    plan = explain_str(masked)
+    # the input join is upstream of encode; from the wide table on, the
+    # comparison + filter stages add no exchange
+    assert "m__codec" not in masked.columns  # mask dropped
+    decoded = decode_frame_df(masked, ["tokens", "mods", "threes"])
+    got = {r["doc_id"]: r for r in decoded.collect()}
+    for r in two_col_df.collect():
+        toks = np.array(r["tokens"], dtype=np.int64)
+        mods = np.array(r["mods"], dtype=np.int64)
+        keep = mods < 3
+        g = got[r["doc_id"]]
+        np.testing.assert_array_equal(np.array(g["tokens"], np.int64), toks[keep])
+        np.testing.assert_array_equal(np.array(g["mods"], np.int64), mods[keep])
+        assert list(g["threes"]) == [3] * int(keep.sum())
+    # metadata truthfulness on the filtered frame
+    rows = masked.select(
+        "doc_id", "tokens__n_values", "mods__n_values", "threes__n_values",
+        "mods__tok_max",
+    ).collect()
+    for r in rows:
+        assert r["tokens__n_values"] == r["mods__n_values"] == r["threes__n_values"]
+        assert r["mods__tok_max"] < 3 or r["mods__n_values"] == 0
+
+
+def test_filter_frame_plan_no_exchange_from_encoded(spark, two_col_df):
+    """From an already-encoded wide frame, comparison + filter must add no
+    Exchange and no Join (pure mapInArrow chain)."""
+    from rle_array_spark.engine import filter_frame_df
+    from tests.test_plans import explain_str
+
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"])
+    # persist the encode lineage boundary so explain shows only downstream
+    wide = wide.localCheckpoint(eager=True)
+    masked = filter_frame_df(
+        zip_frame_df(wide, "tokens", "mods", "gt", out_col="m"), "m"
+    )
+    plan = explain_str(masked)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_filter_frame_keep_mask_and_errors(spark, two_col_df):
+    from rle_array_spark.engine import filter_frame_df
+
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"])
+    with pytest.raises(ValueError, match="mask column"):
+        filter_frame_df(wide, "nope")
+    zipped = zip_frame_df(wide, "mods", "mods", "eq", out_col="m")
+    kept = filter_frame_df(zipped, "m", drop_mask=False)
+    assert "m__codec" in kept.columns
+    # mask == all-ones after filtering by itself
+    r = kept.select("m__tok_min", "m__tok_max", "m__n_values",
+                    "tokens__n_values").collect()
+    for row in r:
+        if row["m__n_values"]:
+            assert row["m__tok_min"] == 1 and row["m__tok_max"] == 1
+        assert row["m__n_values"] == row["tokens__n_values"]

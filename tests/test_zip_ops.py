@@ -331,3 +331,28 @@ def test_mask_blocks_df_spark(spark, sequences):
         assert off == want.size
         assert sum(r["tok_sum"] for r in rs) == int(want.sum())
     gathered.unpersist()
+
+
+def test_mask_blocks_nonrle_mask_compressed_values_silent():
+    """bitpack/dict comparison masks (the relational-filter common case)
+    must NOT force the value decode: rle values go through the run-reuse
+    gather and dict values through the code domain, silently."""
+    import warnings as _w
+
+    from rle_array_spark.codecs.core import PerformanceWarning
+    from rle_array_spark.codecs.zip_ops import mask_blocks
+
+    rng = np.random.default_rng(5)
+    vals = np.repeat(rng.integers(0, 50, 10).astype(np.int32), 25)
+    mask = (rng.random(vals.size) > 0.5).astype(np.int32)
+    for cv in ("rle", "dict"):
+        for cm in ("bitpack", "dict", "raw"):
+            pv, pm = encode_block(vals, cv), encode_block(mask, cm)
+            with _w.catch_warnings():
+                _w.simplefilter("error", PerformanceWarning)
+                codec, payload, new_n = mask_blocks(cv, pv, cm, pm, vals.size)
+            want = vals[mask != 0]
+            assert new_n == want.size
+            np.testing.assert_array_equal(
+                decode_block(payload, codec, new_n), want
+            )
