@@ -510,30 +510,51 @@ def fillna_strings(
     return encode_string_block(pa.array(list(out), type=pa.string()), "auto")
 
 
-def take_strings(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]:
-    """values[idx] (sorted idx) as a string block. For the
-    dictionary-backed codecs the gather happens in the CODE domain — string
-    bytes are never touched, only the (shared) table is copied. sraw/sfsst
-    decode, gather, and re-choose."""
-    idx = np.asarray(idx, dtype=np.int64)
+def take_strings(
+    name: str,
+    payload,
+    n: int,
+    idx: np.ndarray,
+    allow_fill: bool = False,
+    fill_value: str | None = None,
+) -> tuple[str, bytes]:
+    """values[idx] as a string block — the reference's full ``take``
+    contract on object dtype (/root/reference/rle_array/_algorithms.py:
+    422-481): arbitrary index order, negative-index wrapping, and
+    ``allow_fill`` (-1 → ``fill_value``; None fills null). For the
+    dictionary-backed codecs the gather happens in the CODE domain —
+    string bytes are never touched, only the (shared) table is copied;
+    code gathers are order-agnostic, so unsorted takes stay in the code
+    domain too. sraw/sfsst decode, gather, and re-choose."""
+    from rle_array_spark.codecs.reduce import normalize_take_indices
+
+    idx, fill_mask = normalize_take_indices(idx, n, allow_fill)
     if idx.size == 0:
         return encode_string_block(pa.array([], type=pa.string()), "sraw")
-    if np.any(np.diff(idx) < 0):
-        raise ValueError("take indices must be sorted non-decreasing")
-    if idx[0] < 0 or idx[-1] >= n:  # sorted: first/last are min/max
-        raise IndexError(f"take index out of range [0, {n})")
-    if name in ("srle", "sdict"):
+    has_fill = bool(fill_mask.any())
+    if n == 0:  # only reachable as an all-fill take
+        return encode_string_block(
+            pa.array([fill_value] * idx.size, type=pa.string()), "auto"
+        )
+    gather_idx = np.where(fill_mask, 0, idx) if has_fill else idx
+    if name in ("srle", "sdict") and not (has_fill and fill_value is not None):
         table, codes, valid = _codes_form(name, payload, n)
-        new_valid = valid[idx] if valid is not None else None
-        if new_valid is not None and new_valid.all():
+        new_valid = (
+            valid[gather_idx].copy()
+            if valid is not None
+            else np.ones(idx.size, dtype=bool)
+        )
+        new_valid[fill_mask] = False  # fill_value None → null slots
+        if new_valid.all():
             new_valid = None
-        return _emit_codes(table, codes[idx], new_valid)
+        return _emit_codes(table, codes[gather_idx], new_valid)
     vals, valid = decode_strings(name, payload, n)
-    gathered = vals[idx] if idx.size else np.empty(0, dtype=object)
-    mask = None
+    gathered = vals[gather_idx]
     if valid is not None:
-        gv = valid[idx]
-        gathered = np.where(gv, gathered, None)
+        gathered = np.where(valid[gather_idx], gathered, None)
+    if has_fill:
+        gathered = gathered.copy()
+        gathered[fill_mask] = fill_value
     arr = pa.array(list(gathered), type=pa.string())
     return encode_string_block(arr, "auto")
 

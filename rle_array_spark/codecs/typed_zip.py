@@ -166,23 +166,58 @@ def zip_typed_blocks(
     return _emit_runs(dtype_code(out_vals.dtype), valid, out_vals, lens, n)
 
 
-def take_typed(name: str, payload, n: int, idx: np.ndarray) -> tuple[str, bytes]:
-    """values[idx] for sorted ``idx`` in [0, n) as a typed block — the
-    reference ``_take_kernel`` generalized to every dtype
-    (/root/reference/rle_array/_algorithms.py:370-481): source runs are
-    located with ONE searchsorted, consecutive indices in one run collapse
-    (run reuse), equal-valued neighbors merge on the bit view, and the
-    validity mask gathers positionally."""
-    idx = np.asarray(idx, dtype=np.int64)
+def take_typed(
+    name: str,
+    payload,
+    n: int,
+    idx: np.ndarray,
+    allow_fill: bool = False,
+    fill_value=None,
+) -> tuple[str, bytes]:
+    """values[idx] as a typed block — the reference's full ``take``
+    contract generalized to every dtype
+    (/root/reference/rle_array/_algorithms.py:370-481,
+    tests/test_algorithms.py test_take_no_fill_*/test_take_fill_*):
+    arbitrary index order, negative-index wrapping, and ``allow_fill``
+    (-1 → ``fill_value``; None fills null via the validity mask, a scalar
+    fills that value). Sorted no-fill indices take the run-reuse fast
+    path: source runs are located with ONE searchsorted, consecutive
+    indices in one run collapse, equal-valued neighbors merge on the bit
+    view, and the validity mask gathers positionally. Unsorted or filled
+    takes gather per index (one searchsorted on run ends) and re-encode."""
+    from rle_array_spark.codecs.reduce import normalize_take_indices
+
     buf = memoryview(payload)
     dtype, valid, _ = _decode_header(buf, n)
+    idx, fill_mask = normalize_take_indices(idx, n, allow_fill)
     if idx.size == 0:  # before the run form: empty take must be O(1)
         header = _encode_header(dtype_code(dtype), None)
         return "trle", header + struct.pack("<I", 0)
-    if np.any(np.diff(idx) < 0):
-        raise ValueError("take indices must be sorted non-decreasing")
-    if idx[0] < 0 or idx[-1] >= n:  # sorted: first/last are min/max
-        raise IndexError(f"take index out of range [0, {n})")
+    if fill_mask.any() or bool(np.any(np.diff(idx) < 0)):
+        from rle_array_spark.codecs.typed import encode_typed
+
+        if n == 0:  # only reachable as an all-fill take
+            vals = np.zeros(idx.size, dtype=dtype)
+            new_valid = np.zeros(idx.size, dtype=bool)
+        else:
+            ends, run_vals, _ = _typed_run_form(name, payload, n)
+            gather_idx = np.where(fill_mask, 0, idx)
+            vals = run_vals[
+                np.searchsorted(ends, gather_idx, side="right")
+            ].copy()
+            new_valid = (
+                valid[gather_idx].copy()
+                if valid is not None
+                else np.ones(idx.size, dtype=bool)
+            )
+        if fill_value is None:
+            new_valid[fill_mask] = False
+        else:
+            vals[fill_mask] = fill_value
+            new_valid[fill_mask] = True
+        if new_valid.all():
+            new_valid = None
+        return encode_typed(np.ascontiguousarray(vals), new_valid, "auto")
     ends, run_vals, _ = _typed_run_form(name, payload, n)
     bits = _BIT_VIEWS[dtype.itemsize]
     ridx = np.searchsorted(ends, idx, side="right")
