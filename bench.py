@@ -250,6 +250,41 @@ def main() -> None:
             .collect(),
             name="take_stride8_decode_gather",
         )
+
+        # predicate-filter A/B — both arms produce the same artifact, a
+        # FILTERED ENCODED corpus (x[x % 7 >= 3]) plus its token sum:
+        # fused arm = filter_blocks_df evaluates the predicate in each
+        # codec's value domain (no mask payload, no join, no chooser);
+        # decode arm = decode → JVM filter → full re-encode. (The
+        # join-based mask_blocks_df path measured 2.2 s here — the
+        # fused kernel replaced it as the single-column filter default;
+        # see BASELINE.md round-3 filter A/B.)
+        from rle_array_spark.engine import filter_blocks_df
+
+        queries["filter_fused_compressed"] = timed(
+            lambda: filter_blocks_df(
+                blocks_cached, [("mod", 7), ("floordiv", 3)]
+            )
+            .agg(F.sum("tok_sum"))
+            .collect(),
+            name="filter_fused_compressed",
+        )
+
+        def filter_decode_reencode_job():
+            filtered = decode_df(blocks_cached).select(
+                "doc_id",
+                "source",
+                F.expr("filter(tokens, x -> x % 7 >= 3)").alias("tokens"),
+            )
+            return (
+                encode_df(filtered, codec="auto")
+                .agg(F.sum("tok_sum"))
+                .collect()
+            )
+
+        queries["filter_decode_reencode"] = timed(
+            filter_decode_reencode_job, name="filter_decode_reencode"
+        )
         blocks_cached.unpersist()
 
         # whole-table checkpointed writer over a mixed int/double/string

@@ -39,6 +39,19 @@ TYPED_ZIP_OPS: dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
     "sub": lambda a, b: a - b,
     "mul": lambda a, b: a * b,
     "div": lambda a, b: np.divide(a, b),
+    # zero-safe integer division pair (reference divmod/floordiv/mod,
+    # tests/test_builtins.py test_divmod): int b == 0 → 0 (SQL-portable);
+    # float divisors use numpy semantics (inf/nan) like div
+    "floordiv": lambda a, b: (
+        np.floor_divide(a, b)
+        if a.dtype.kind == "f"
+        else np.floor_divide(a, b, out=np.zeros_like(a), where=b != 0)
+    ),
+    "mod": lambda a, b: (
+        np.mod(a, b)
+        if a.dtype.kind == "f"
+        else np.mod(a, b, out=np.zeros_like(a), where=b != 0)
+    ),
     "min": np.minimum,
     "max": np.maximum,
     "eq": lambda a, b: a == b,

@@ -188,3 +188,54 @@ def mask_blocks(
         return _empty_block()
     c, p = choose_codec(_checked_int32(kept_v))
     return c, p, int(kept_v.size)
+
+
+def filter_block(
+    codec: str, payload, n: int, pred
+) -> tuple[str, bytes, int]:
+    """Fused predicate filter ``values[pred(values) != 0]`` over ONE
+    encoded block — the self-mask special case of :func:`mask_blocks`
+    (`arr[f(arr)]`, reference array.py:655-668 fed by its own
+    compute-on-compressed ops :846-849) evaluated directly in each
+    codec's VALUE DOMAIN, so no mask payload is ever built:
+
+    * rle: ``pred`` on run values (O(runs)), kept runs merged and emitted.
+    * dict: ``pred`` on the TABLE (O(cardinality)); codes gather through
+      the per-code keep flags, table pruned via bincount remap — token
+      bytes never touched.
+    * bitpack/for/raw/ngram: decode, filter, re-encode under the SAME
+      codec (a value subset never widens bitpack width or breaks the FOR
+      offset) — no chooser trial encodes in the hot loop.
+
+    ``pred`` receives int64 values and must be vectorized. Returns
+    (codec, payload, new_n). Note: dict/fallback outputs preserve the
+    SOURCE block's structure (table order, codec choice) rather than
+    re-canonicalizing — byte-equality with a fresh encode is only
+    guaranteed on the rle path."""
+    if n == 0:
+        return _empty_block()
+    if codec == "rle":
+        vals, lens = _rle_parts(payload)
+        keep = pred(vals.astype(np.int64)) != 0
+        out_vals, out_lens = _merge_equal_runs(vals[keep], lens[keep])
+        new_n = int(out_lens.sum())
+        if new_n == 0:
+            return _empty_block()
+        return "rle", _repack_rle(out_vals, out_lens), new_n
+    if codec == "dict":
+        dc = CODECS["dict"]
+        table, codes = dc.parts(payload, n)
+        keep_code = pred(table.astype(np.int64)) != 0
+        kept = codes[keep_code[codes]]
+        if kept.size == 0:
+            return _empty_block()
+        used = np.zeros(table.size, dtype=bool)
+        used[kept] = True
+        remap = np.cumsum(used) - 1
+        return "dict", dc.encode_parts(table[used], remap[kept]), int(kept.size)
+    v = CODECS[codec].decode(payload, n)
+    kept_v = v[pred(v.astype(np.int64)) != 0]
+    if kept_v.size == 0:
+        return _empty_block()
+    kept_v = _checked_int32(kept_v)
+    return codec, CODECS[codec].encode(kept_v), int(kept_v.size)

@@ -1036,6 +1036,13 @@ ZIP_OPS = {
     "min": np.minimum,
     # clamped subtraction (tokens are non-negative, like the scalar op)
     "sub_floor": lambda a, b: np.maximum(a - b, 0),
+    # zero-safe integer division pair (reference divmod/floordiv/mod,
+    # tests/test_builtins.py test_divmod): b == 0 → 0, the SQL-portable
+    # convention (oracles replicate with an IF/COALESCE guard)
+    "floordiv": lambda a, b: np.floor_divide(
+        a, b, out=np.zeros_like(a), where=b != 0
+    ),
+    "mod": lambda a, b: np.mod(a, b, out=np.zeros_like(a), where=b != 0),
     # comparisons → 0/1 runs, the masking primitive (reference supports all
     # binary ops incl. comparisons on the union grid,
     # tests/test_operators.py:161-341); results are bool-as-int32 blocks
@@ -1236,6 +1243,116 @@ def mask_blocks_df(value_blocks: DataFrame, mask_blocks_in: DataFrame) -> DataFr
     out = joined.mapInArrow(kernel, schema)
     # chunk offsets shift when positions are dropped: recompute the per-doc
     # running offset relationally (exact, window over the tiny blocks table)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return out.withColumn(
+        "chunk_offset", F.coalesce(F.sum("n_values").over(w), F.lit(0)).cast("long")
+    )
+
+
+def filter_blocks_df(
+    blocks: DataFrame, predicate_ops: list[tuple[str, int]]
+) -> DataFrame:
+    """Fused compressed-domain FILTER: derive a 0/1 mask from each block's
+    OWN payload by chaining scalar transforms (e.g. ``[("mod", 7),
+    ("floordiv", 3)]`` → nonzero exactly where x % 7 >= 3) and gather with
+    it — `arr[f(arr)]` (reference boolean ``__getitem__`` fed by its own
+    compute-on-compressed operators, array.py:655-668 + 846-849) in ONE
+    mapInArrow pass. Unlike mask_blocks_df, there is no join, no shuffle,
+    and NO mask payload at all: the predicate chain is evaluated directly
+    in each codec's value domain (codecs/zip_ops.filter_block — run
+    values for RLE, the table for DICT, same-codec re-encode without
+    chooser trials elsewhere). The only exchange in the plan is the
+    per-doc chunk_offset window at the end, carrying already-filtered
+    encoded payloads."""
+    if not predicate_ops:
+        raise ValueError("predicate_ops must be a non-empty [(op, operand), ...]")
+    fns = []
+    for op, k in predicate_ops:
+        if op not in TRANSFORM_OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {sorted(TRANSFORM_OPS)}")
+        base_fn, valid = TRANSFORM_OPS[op]
+        if not valid(k):
+            raise ValueError(f"invalid operand {k} for op {op!r}")
+        fns.append(lambda v, _f=base_fn, _k=k: _f(v.astype(np.int64), _k))
+
+    def pred(v: np.ndarray) -> np.ndarray:
+        for fn in fns:
+            v = fn(v)
+        return v
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import payload_stats
+        from rle_array_spark.codecs.zip_ops import filter_block
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            payload_col = batch.column("payload")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            n_rows = batch.num_rows
+            new_codecs: list[str] = []
+            new_payloads: list[bytes] = []
+            new_n = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                nv = int(n_col[i])
+                cv = codecs_col[i]
+                pv = memoryview(payload_col[i].as_buffer())
+                c, p, nn = filter_block(cv, pv, nv, pred)
+                new_codecs.append(c)
+                new_payloads.append(p)
+                new_n[i] = nn
+                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = payload_stats(
+                    c, p, nn
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(new_codecs, type=pa.string()),
+                    pa.array(new_payloads, type=pa.binary()),
+                    pa.array(new_n),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
+                    pa.array(new_n.astype(np.int64) * 4),
+                    pa.array(
+                        np.array([len(p) for p in new_payloads], dtype=np.int64)
+                    ),
+                    pa.array(
+                        np.array(
+                            [reference_rle_nbytes(int(r)) for r in n_runs],
+                            dtype=np.int64,
+                        )
+                    ),
+                    batch.column("chunk_idx"),
+                    batch.column("n_chunks"),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+                    "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+                    "ref_rle_bytes", "chunk_idx", "n_chunks",
+                ],
+            )
+
+    schema = (
+        "doc_id string, source string, codec string, payload binary, "
+        "n_values int, n_runs int, tok_sum long, tok_min int, tok_max int, "
+        "raw_bytes long, encoded_bytes long, ref_rle_bytes long, "
+        "chunk_idx int, n_chunks int"
+    )
+    out = blocks.select(
+        "doc_id", "source", "codec", "payload", "n_values", "chunk_idx", "n_chunks"
+    ).mapInArrow(kernel, schema)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("chunk_idx")

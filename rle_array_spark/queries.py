@@ -1214,18 +1214,41 @@ def q_frame_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fused_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ``x[x % 7 >= 3]`` via the fused single-pass path
+    (filter_blocks_df): the predicate chain is evaluated in each codec's
+    own value domain — run values for RLE, the dictionary table for DICT —
+    with no mask payload, no join, and no chooser; the measured
+    single-column filter default (BASELINE.md round-3 filter A/B)."""
+    from rle_array_spark.engine import filter_blocks_df
+
+    seq = _sequences(spark, sf_dir)
+    blocks = encode_df(seq, codec="auto")
+    out = filter_blocks_df(blocks, [("mod", 7), ("floordiv", 3)])
+    return decode_stats_df(out).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
 def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x + x%7 through BOTH zip implementations plus both boolean-mask
-    gather paths in one slot: the block-pair union-grid zip
+    """x + x%7 through BOTH zip implementations plus all three
+    boolean-filter paths in one slot: the block-pair union-grid zip
     (zip_blocks_df, reference _algorithms.py:484-585), the join-free frame
-    zip (zip_frame_df), mask_blocks_df's run-domain ``x[x % 7 >= 3]``, and
-    filter_frame_df's whole-frame row filter of the same predicate — each
-    labeled, each required to match its oracle arm."""
+    zip (zip_frame_df), mask_blocks_df's run-domain ``x[x % 7 >= 3]``,
+    filter_frame_df's whole-frame row filter, and filter_blocks_df's fused
+    value-domain filter of the same predicate — each labeled, each
+    required to match its oracle arm."""
     block = q_zip_add_mod(spark, sf_dir).withColumn("path", F.lit("block"))
     frame = q_frame_zip_join_free(spark, sf_dir).withColumn("path", F.lit("frame"))
     mask = q_mask_gather(spark, sf_dir).withColumn("path", F.lit("mask"))
     ffilt = q_frame_filter(spark, sf_dir).withColumn("path", F.lit("frame_filter"))
-    return block.unionByName(frame).unionByName(mask).unionByName(ffilt)
+    fused = q_fused_filter(spark, sf_dir).withColumn("path", F.lit("fused_filter"))
+    return (
+        block.unionByName(frame)
+        .unionByName(mask)
+        .unionByName(ffilt)
+        .unionByName(fused)
+    )
 
 
 ORACLE_ZIP_ADD_MOD_BOTH = """WITH tok AS (
@@ -1257,7 +1280,8 @@ SELECT doc_id,
        CAST(coalesce(list_sum(list_transform(tokens, (x, i) -> x * i)), 0) AS BIGINT)
            AS tok_wsum,
        path
-FROM kept CROSS JOIN (VALUES ('mask'), ('frame_filter')) AS mpaths(path)"""
+FROM kept CROSS JOIN (VALUES ('mask'), ('frame_filter'), ('fused_filter'))
+    AS mpaths(path)"""
 
 
 def q_window_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:

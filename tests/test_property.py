@@ -461,3 +461,77 @@ def test_typed_shift_property(vals, data, codec, p):
         nv[: n + p] = ov[-p:]
     direct = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[got_name]
     assert got == direct(ex, None if nv.all() else nv)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    arr=any_tokens,
+    codec_v=st.sampled_from(sorted(CODECS)),
+    codec_m=st.sampled_from(sorted(CODECS)),
+    data=st.data(),
+)
+def test_mask_blocks_property(arr, codec_v, codec_m, data):
+    """For ANY payload pair, mask_blocks == numpy boolean indexing, with
+    exact new_n and a decodable payload."""
+    import warnings
+
+    from rle_array_spark.codecs.zip_ops import mask_blocks
+
+    mask = data.draw(
+        arrays(dtype=np.int32, shape=arr.size, elements=st.integers(0, 1))
+    )
+    pv = encode_block(arr, codec_v)
+    pm = encode_block(mask, codec_m)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        codec, payload, new_n = mask_blocks(codec_v, pv, codec_m, pm, arr.size)
+    want = arr[mask != 0]
+    assert new_n == want.size
+    np.testing.assert_array_equal(decode_block(payload, codec, new_n), want)
+
+
+@settings(max_examples=120, deadline=None)
+@given(arr=any_tokens, codec=st.sampled_from(sorted(CODECS)), data=st.data())
+def test_take_any_property(arr, codec, data):
+    """For ANY payload and ANY index list (arbitrary order, negatives,
+    optional -1 fills), take_any == numpy fancy indexing + fill."""
+    from rle_array_spark.codecs.reduce import take_any
+
+    payload = encode_block(arr, codec)
+    allow_fill = data.draw(st.booleans())
+    if arr.size == 0:
+        idx = np.full(data.draw(st.integers(0, 5)), -1, dtype=np.int64)
+        if not allow_fill and idx.size:
+            with pytest.raises(IndexError):
+                take_any(codec, payload, 0, idx)
+            return
+    elif allow_fill:
+        idx = np.asarray(
+            data.draw(
+                st.lists(st.integers(-1, arr.size - 1), min_size=0, max_size=60)
+            ),
+            dtype=np.int64,
+        )
+    else:
+        idx = np.asarray(
+            data.draw(
+                st.lists(
+                    st.integers(-arr.size, arr.size - 1), min_size=0, max_size=60
+                )
+            ),
+            dtype=np.int64,
+        )
+    rv, rl = take_any(codec, payload, arr.size, idx, allow_fill=allow_fill,
+                      fill_value=999)
+    got = np.repeat(rv, rl)
+    if allow_fill:
+        exp = np.full(idx.size, 999, dtype=np.int32)
+        real = idx != -1
+        exp[real] = arr[idx[real]]
+    else:
+        exp = arr[idx]
+    np.testing.assert_array_equal(got, exp)
+    # canonical runs: neighbors differ, lengths positive
+    if rv.size > 1:
+        assert np.all(rv[1:] != rv[:-1])
+    assert np.all(rl > 0)

@@ -356,3 +356,92 @@ def test_mask_blocks_nonrle_mask_compressed_values_silent():
             np.testing.assert_array_equal(
                 decode_block(payload, codec, new_n), want
             )
+
+
+def test_zip_ops_floordiv_mod_zero_safe():
+    """Engine ZIP_OPS division pair (reference divmod): b == 0 slots yield
+    0, everything else matches numpy floordiv/mod."""
+    from rle_array_spark.engine import ZIP_OPS
+
+    a = np.array([10, 7, 5, 0, 9], dtype=np.int64)
+    b = np.array([3, 0, 2, 0, 9], dtype=np.int64)
+    np.testing.assert_array_equal(ZIP_OPS["floordiv"](a, b), [3, 0, 2, 0, 1])
+    np.testing.assert_array_equal(ZIP_OPS["mod"](a, b), [1, 0, 1, 0, 0])
+    # and through the union-grid kernel
+    ar = np.repeat(a, 20).astype(np.int32)
+    br = np.repeat(b, 20).astype(np.int32)
+    pa_, pb = encode_block(ar, "rle"), encode_block(br, "rle")
+    codec, payload = zip_blocks("rle", pa_, "rle", pb, ar.size, ZIP_OPS["floordiv"])
+    np.testing.assert_array_equal(
+        decode_block(payload, codec, ar.size), np.repeat([3, 0, 2, 0, 1], 20)
+    )
+
+
+# ---- fused predicate filter (values[pred(values) != 0]) ----
+
+
+@pytest.mark.parametrize("codec", ["rle", "dict", "bitpack", "for", "raw", "ngram"])
+@pytest.mark.parametrize("seed", range(4))
+def test_filter_block_differential(codec, seed):
+    from rle_array_spark.codecs.zip_ops import filter_block
+
+    rng = np.random.default_rng(seed)
+    vals = np.repeat(
+        rng.integers(0, 60, 14).astype(np.int32), rng.integers(1, 25, 14)
+    )
+    payload = encode_block(vals, codec)
+    pred = lambda v: (v % 7) // 3  # nonzero where v % 7 >= 3
+    c, p, nn = filter_block(codec, payload, vals.size, pred)
+    want = vals[vals % 7 >= 3]
+    assert nn == want.size
+    np.testing.assert_array_equal(decode_block(p, c, nn), want)
+
+
+def test_filter_block_edges_and_canonical_rle():
+    from rle_array_spark.codecs.zip_ops import filter_block
+
+    vals = np.array([5, 5, 9, 9, 5, 5], np.int32)
+    c, p, nn = filter_block("rle", encode_block(vals, "rle"), 6, lambda v: v == 5)
+    # 5-runs merge across the dropped 9-run → byte-canonical single run
+    assert (c, nn) == ("rle", 4)
+    assert p == encode_block(np.full(4, 5, np.int32), "rle")
+    c, p, nn = filter_block("rle", encode_block(vals, "rle"), 6, lambda v: v * 0)
+    assert nn == 0
+    c, p, nn = filter_block("raw", encode_block(vals[:0], "raw"), 0, lambda v: v)
+    assert nn == 0
+    # dict: keeps source codec, prunes table
+    dv = np.array([3, 8, 3, 8, 3, 11] * 20, np.int32)
+    c, p, nn = filter_block("dict", encode_block(dv, "dict"), dv.size, lambda v: v == 8)
+    assert c == "dict" and nn == 40
+    np.testing.assert_array_equal(decode_block(p, c, nn), np.full(40, 8))
+
+
+def test_filter_blocks_df_matches_decode_and_offsets(spark, sequences):
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.engine import decode_df, encode_df, filter_blocks_df
+
+    blocks = encode_df(sequences, codec="auto")
+    out = filter_blocks_df(blocks, [("mod", 7), ("floordiv", 3)]).cache()
+    got = {r["doc_id"]: r["tokens"] for r in decode_df(out).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    assert got.keys() == raw.keys()
+    for d, toks in raw.items():
+        x = np.asarray(toks, dtype=np.int64)
+        np.testing.assert_array_equal(np.asarray(got[d], dtype=np.int64), x[x % 7 >= 3])
+    rows = out.select("doc_id", "chunk_idx", "n_values", "chunk_offset").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        off = 0
+        for r in rs:
+            assert r["chunk_offset"] == off
+            off += r["n_values"]
+    # bad predicates rejected
+    with pytest.raises(ValueError):
+        filter_blocks_df(blocks, [])
+    with pytest.raises(ValueError):
+        filter_blocks_df(blocks, [("nope", 1)])
+    out.unpersist()
