@@ -662,3 +662,52 @@ def mask_strings(
     idx = np.flatnonzero(slots)
     codec, payload = take_strings(name_v, payload_v, n, idx)
     return codec, payload, int(idx.size)
+
+
+def filter_strings(
+    name: str, payload, n: int, op: str, value: str
+) -> tuple[str, bytes, int]:
+    """Fused scalar eq/ne filter ``values[values op value]`` over one
+    string block — ``s[s == "x"]`` in the CODE domain for the
+    dictionary-backed codecs (the comparison touches only the table,
+    O(cardinality) string compares; kept codes gather and re-emit without
+    ever touching token bytes). sraw/sfsst decode, filter, re-choose.
+    Null slots DROP (SQL WHERE). Returns (codec, payload, new_n)."""
+    if op not in ("eq", "ne"):
+        raise ValueError(f"string filter supports eq/ne, got {op!r}")
+    if n == 0:
+        c, p = encode_string_block(pa.array([], type=pa.string()), "sraw")
+        return c, p, 0
+    buf = memoryview(payload)
+    valid, _ = _decode_flags(buf, n)
+    if name in ("srle", "sdict"):
+        table, codes, _ = _codes_form(name, payload, n)
+        keep_code = table == value
+        if op == "ne":
+            keep_code = ~keep_code
+        keep_slots = keep_code[codes]
+        if valid is not None:
+            keep_slots = keep_slots & valid
+        kept = codes[keep_slots]
+        if kept.size == 0:
+            c, p = encode_string_block(pa.array([], type=pa.string()), "sraw")
+            return c, p, 0
+        # prune + remap to first-kept-occurrence order so the payload is
+        # byte-identical to a fresh encode of the kept values
+        uniq, first_pos, inv = np.unique(kept, return_index=True, return_inverse=True)
+        order = np.argsort(first_pos, kind="stable")
+        rank = np.empty(order.size, dtype=np.int64)
+        rank[order] = np.arange(order.size)
+        c, p = _emit_codes(table[uniq[order]], rank[inv], None)
+        return c, p, int(kept.size)
+    vals, valid2 = decode_strings(name, payload, n)
+    eqm = vals == value
+    keep_slots = eqm if op == "eq" else ~eqm
+    if valid2 is not None:
+        keep_slots = keep_slots & valid2
+    kept_v = vals[keep_slots]
+    if kept_v.size == 0:
+        c, p = encode_string_block(pa.array([], type=pa.string()), "sraw")
+        return c, p, 0
+    c, p = encode_string_block(pa.array(list(kept_v), type=pa.string()), "auto")
+    return c, p, int(kept_v.size)

@@ -338,3 +338,103 @@ def mask_typed(
     idx = np.flatnonzero(slots)
     codec, payload = take_typed(name_v, payload_v, n, idx)
     return codec, payload, int(idx.size)
+
+
+def filter_typed(
+    name: str, payload, n: int, op: str, operand
+) -> tuple[str, bytes, int]:
+    """Fused scalar-comparison filter ``values[values op operand]`` over
+    one typed block — the self-mask special case of mask_typed
+    (``df[df.x < c]`` for any dtype, reference array.py:655-668 fed by its
+    comparison operators) evaluated in the codec's VALUE DOMAIN with no
+    mask payload:
+
+    * trle: comparison on RUN VALUES; without nulls the kept runs are
+      merged and emitted directly (O(runs)); with nulls the keep flags
+      expand to slots (bool, the family's slot-level validity layout) and
+      gather through take_typed's run-reuse path.
+    * tdict: comparison on the TABLE (O(cardinality)); kept values gather
+      in the code domain and re-encode under the same codec.
+    * traw: slot comparison + same-codec re-encode.
+
+    Null slots DROP (SQL WHERE — a comparison with null is null); NaN
+    obeys numpy comparison semantics (NaN op x → False → dropped, except
+    ne). Returns (codec, payload, new_n)."""
+    if op not in COMPARISON_OPS:
+        raise ValueError(f"filter op must be a comparison, got {op!r}")
+    fn = TYPED_ZIP_OPS[op]
+    buf = memoryview(payload)
+    dtype, valid, _ = _decode_header(buf, n)
+    if n == 0:
+        header = _encode_header(dtype_code(dtype), None)
+        return "trle", header + struct.pack("<I", 0), 0
+    from rle_array_spark.codecs.typed import encode_typed
+
+    scalar = np.asarray(operand, dtype=dtype)[()] if dtype.kind != "M" else operand
+    if name == "trle":
+        ends, run_vals, _ = _typed_run_form(name, payload, n)
+        keep_runs = np.asarray(fn(run_vals, scalar), dtype=bool)
+        lens = np.diff(np.concatenate(([0], ends)))
+        if valid is None:
+            out_vals = np.ascontiguousarray(run_vals[keep_runs])
+            out_lens = lens[keep_runs]
+            new_n = int(out_lens.sum())
+            if new_n == 0:
+                header = _encode_header(dtype_code(dtype), None)
+                return "trle", header + struct.pack("<I", 0), 0
+            ob = out_vals.view(_BIT_VIEWS[dtype.itemsize])
+            if ob.size > 1:
+                k2 = np.concatenate(([True], ob[1:] != ob[:-1]))
+                if not k2.all():
+                    s2 = np.flatnonzero(k2)
+                    out_vals = out_vals[s2]
+                    out_lens = np.add.reduceat(out_lens, s2)
+            codec, pl = _emit_runs(
+                dtype_code(dtype), None, out_vals, out_lens, new_n
+            )
+            return codec, pl, new_n
+        keep_slots = np.repeat(keep_runs, lens) & valid
+        idx = np.flatnonzero(keep_slots)
+        codec, pl = take_typed(name, payload, n, idx)
+        return codec, pl, int(idx.size)
+    if name == "tdict":
+        w = dtype.itemsize
+        bits = _BIT_VIEWS[w]
+        (k,), off = _read_struct("<I", buf, _decode_header(buf, n)[2])
+        table = np.frombuffer(buf, dtype=bits, count=k, offset=off).view(dtype)
+        off += k * w
+        (width,), off = _read_struct("<B", buf, off)
+        from rle_array_spark.codecs import bitpack as _bp
+
+        codes = (
+            _bp.unpack_bits(buf[off:], n, width)
+            if width
+            else np.zeros(n, dtype=np.int64)
+        )
+        keep_code = np.asarray(fn(table, scalar), dtype=bool)
+        keep_slots = keep_code[codes]
+        if valid is not None:
+            keep_slots = keep_slots & valid
+        kept_codes = codes[keep_slots]
+        if kept_codes.size == 0:
+            header = _encode_header(dtype_code(dtype), None)
+            return "trle", header + struct.pack("<I", 0), 0
+        vals = np.ascontiguousarray(table[kept_codes])
+        new_valid = valid[keep_slots] if valid is not None else None
+        if new_valid is not None and new_valid.all():
+            new_valid = None
+        codec, pl = encode_typed(vals, new_valid, "tdict")
+        return codec, pl, int(vals.size)
+    vals, _ = decode_typed(name, buf, n)
+    keep_slots = np.asarray(fn(vals, scalar), dtype=bool)
+    if valid is not None:
+        keep_slots = keep_slots & valid
+    kept = np.ascontiguousarray(vals[keep_slots])
+    if kept.size == 0:
+        header = _encode_header(dtype_code(dtype), None)
+        return "trle", header + struct.pack("<I", 0), 0
+    new_valid = valid[keep_slots] if valid is not None else None
+    if new_valid is not None and new_valid.all():
+        new_valid = None
+    codec, pl = encode_typed(kept, new_valid, name)
+    return codec, pl, int(kept.size)

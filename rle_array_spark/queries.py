@@ -943,10 +943,13 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped with `add` (int64, exact) and `lt` (bool blocks), then reduced
     per user; the lt mask then drives the typed boolean-mask gather
     (mask_typed_df — reference boolean ``__getitem__``, array.py:655-668)
-    so a[a < b] is verified in the same slot."""
+    so a[a < b] is verified in the same slot, and the fused scalar filter
+    (filter_typed_df, value-domain, no mask payload) verifies a[a < 500]
+    alongside."""
     from rle_array_spark.typed import (
         decode_typed_df,
         encode_typed_df,
+        filter_typed_df,
         mask_typed_df,
         zip_typed_df,
     )
@@ -981,6 +984,15 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        .join(
+            decode_typed_df(filter_typed_df(ba, "lt", 500), "long").select(
+                "doc_id",
+                F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias(
+                    "sfilt_sum"
+                ),
+            ),
+            "doc_id",
+        )
     )
 
 
@@ -995,7 +1007,8 @@ SELECT doc_id,
        CAST(list_sum(list_transform(range(1, length(a) + 1), i -> a[i] + b[i])) AS BIGINT) AS sum_ab,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS lt_count,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS mask_n,
-       CAST(COALESCE(list_sum(list_transform(list_filter(range(1, length(a) + 1), i -> a[i] < b[i]), i -> a[i])), 0) AS BIGINT) AS mask_sum
+       CAST(COALESCE(list_sum(list_transform(list_filter(range(1, length(a) + 1), i -> a[i] < b[i]), i -> a[i])), 0) AS BIGINT) AS mask_sum,
+       CAST(COALESCE(list_sum(list_filter(a, x -> x < 500)), 0) AS BIGINT) AS sfilt_sum
 FROM seq"""
 
 
@@ -1006,10 +1019,13 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to per-user equal counts; the eq mask then drives the string
     boolean-mask gather (mask_strings_df, code-domain — reference boolean
     ``__getitem__`` on object dtype, array.py:655-668) so s[s == t] is
-    verified in the same slot."""
+    verified in the same slot, and the fused scalar filter
+    (filter_strings_df, table-domain eq) verifies s[s == 'click']
+    alongside."""
     from rle_array_spark.strings import (
         decode_strings_df,
         encode_strings_df,
+        filter_strings_df,
         mask_strings_df,
         zip_strings_df,
     )
@@ -1041,6 +1057,11 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         "doc_id",
+    ).join(
+        decode_strings_df(filter_strings_df(ba, "eq", "click")).select(
+            "doc_id", F.size("vals").alias("sfilt_n")
+        ),
+        "doc_id",
     )
 
 
@@ -1057,7 +1078,9 @@ SELECT doc_id,
            AS eq_count,
        CAST(COALESCE(list_sum(list_transform(
                 list_filter(range(1, length(a) + 1), i -> a[i] = b[i]),
-                i -> length(a[i]))), 0) AS BIGINT) AS mask_len_sum
+                i -> length(a[i]))), 0) AS BIGINT) AS mask_len_sum,
+       CAST(COALESCE(length(list_filter(a, x -> x = 'click')), 0) AS INT)
+           AS sfilt_n
 FROM seq"""
 
 

@@ -381,6 +381,20 @@ def mask_strings_df(value_blocks: DataFrame, mask_blocks: DataFrame) -> DataFram
     return joined.mapInArrow(kernel, STRING_BLOCKS_SCHEMA)
 
 
+def filter_strings_df(blocks: DataFrame, op: str, value: str) -> DataFrame:
+    """Fused scalar eq/ne filter ``values[values op value]`` over a string
+    encoded column — ``df[df.s == "x"]`` — in ONE shuffle-free mapInArrow
+    pass, code-domain for dictionary-backed codecs
+    (codecs/strings.filter_strings; the comparison touches only the
+    table). Null slots drop (SQL WHERE); metadata recomputed exactly."""
+    from rle_array_spark.codecs.strings import filter_strings
+
+    def row_fn(c, p, n):
+        return filter_strings(c, p, n, op, value)
+
+    return _strings_rewrite_df(blocks, row_fn)
+
+
 def zip_strings_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str = "eq") -> DataFrame:
     """Elementwise eq/ne over two string encoded columns aligned on
     (doc_id, source), producing TYPED bool blocks (decode with

@@ -286,6 +286,21 @@ def mask_typed_df(value_blocks: DataFrame, mask_blocks: DataFrame) -> DataFrame:
     return zip_blocks_pairwise_df(value_blocks, mask_blocks, mask_typed)
 
 
+def filter_typed_df(blocks: DataFrame, op: str, operand) -> DataFrame:
+    """Fused scalar-comparison filter ``values[values op operand]`` over a
+    typed encoded column — ``df[df.x < c]`` for any dtype — in ONE
+    shuffle-free mapInArrow pass with no mask payload
+    (codecs/typed_zip.filter_typed: comparison on run values for trle /
+    the table for tdict; null slots drop, SQL WHERE). Metadata reflects
+    the post-filter blocks exactly."""
+    from rle_array_spark.codecs.typed_zip import filter_typed
+
+    def row_fn(c, p, n):
+        return filter_typed(c, p, n, op, operand)
+
+    return _block_transform_df(blocks, row_fn)
+
+
 def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:
     """Cross-dtype cast over typed encoded blocks — the reference's
     ``astype`` (/root/reference/rle_array/array.py:445-453,670-681) as a

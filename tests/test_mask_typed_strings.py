@@ -256,3 +256,131 @@ def test_mask_strings_df_spark(spark):
     meta = {r["doc_id"]: r for r in gathered.collect()}
     assert meta["a"]["n_values"] == 4 and meta["a"]["null_count"] == 0
     assert meta["c"]["card"] == 1 and meta["c"]["codec"] in ("srle", "sdict")
+
+
+# ---- fused scalar filters (values[values op c]) ----
+
+
+@pytest.mark.parametrize("codec", ["trle", "tdict", "traw", "auto"])
+@pytest.mark.parametrize("op", ["eq", "ne", "lt", "le", "gt", "ge"])
+def test_filter_typed_differential(codec, op):
+    import operator as _op
+
+    from rle_array_spark.codecs.typed_zip import filter_typed
+
+    py = {"eq": _op.eq, "ne": _op.ne, "lt": _op.lt,
+          "le": _op.le, "gt": _op.gt, "ge": _op.ge}[op]
+    for vlabel, vals, vvalid in _cases():
+        thresh = float(np.nanmedian(vals.astype(np.float64))) if vals.dtype.kind == "f" else int(np.median(vals.view(np.int64)))
+        if vals.dtype.kind == "M":
+            thresh = vals[vals.size // 2]
+        name, p = encode_typed(np.ascontiguousarray(vals), vvalid, codec)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            c, pl, nn = filter_typed(name, p, vals.size, op, thresh)
+        keep = py(vals, np.asarray(thresh, dtype=vals.dtype)[()])
+        if vvalid is not None:
+            keep = keep & vvalid
+        exp = vals[keep]
+        exp_valid = vvalid[keep] if vvalid is not None else None
+        assert nn == exp.size, (vlabel, op)
+        got, gv = decode_typed(c, pl, nn)
+        assert got.dtype == vals.dtype
+        if exp_valid is not None and not exp_valid.all():
+            np.testing.assert_array_equal(gv, exp_valid)
+            np.testing.assert_array_equal(got[gv], exp[exp_valid])
+        else:
+            assert gv is None or gv.all()
+            np.testing.assert_array_equal(got, exp)
+
+
+def test_filter_typed_trle_run_domain_canonical_and_empty():
+    from rle_array_spark.codecs.typed_zip import filter_typed
+
+    vals = np.array([5.0, 5.0, 9.0, 9.0, 5.0, 5.0])
+    name, p = encode_typed(vals, None, "trle")
+    c, pl, nn = filter_typed(name, p, 6, "eq", 5.0)
+    assert nn == 4
+    assert (c, pl) == encode_typed(np.full(4, 5.0), None, "trle")
+    c, pl, nn = filter_typed(name, p, 6, "gt", 100.0)
+    assert nn == 0
+    got, _ = decode_typed(c, pl, 0)
+    assert got.size == 0 and got.dtype == np.float64
+    with pytest.raises(ValueError, match="comparison"):
+        filter_typed(name, p, 6, "add", 1.0)
+
+
+@pytest.mark.parametrize("codec", ["srle", "sdict", "sraw", "sfsst", "auto"])
+@pytest.mark.parametrize("op", ["eq", "ne"])
+def test_filter_strings_differential(codec, op):
+    from rle_array_spark.codecs.strings import filter_strings
+
+    for case, vals in STRING_CASES.items():
+        n = len(vals)
+        present = next(v for v in vals if v is not None)
+        name, p = encode_string_block(pa.array(vals, type=pa.string()), codec)
+        c, pl, nn = filter_strings(name, p, n, op, present)
+        exp = [
+            v
+            for v in vals
+            if v is not None and ((v == present) if op == "eq" else (v != present))
+        ]
+        assert nn == len(exp), (case, op)
+        got, gv = decode_strings(c, pl, nn)
+        out = (
+            list(got)
+            if gv is None
+            else [v if ok else None for v, ok in zip(got, gv)]
+        )
+        assert out == exp, (case, op)
+
+
+def test_filter_strings_byte_canonical_dict():
+    """srle/sdict filter output must be byte-identical to a fresh encode of
+    the kept values (first-occurrence table order, pruned)."""
+    from rle_array_spark.codecs.strings import encode_string_block as enc
+    from rle_array_spark.codecs.strings import filter_strings
+
+    vals = ["b", "a", "b", "c", "a", "b"] * 15
+    name, p = enc(pa.array(vals, type=pa.string()), "sdict")
+    c, pl, nn = filter_strings(name, p, len(vals), "ne", "c")
+    kept = [v for v in vals if v != "c"]
+    assert nn == len(kept)
+    fresh_c, fresh_p = enc(pa.array(kept, type=pa.string()), c)
+    assert pl == fresh_p
+
+
+def test_filter_typed_df_and_filter_strings_df(spark):
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.strings import (
+        decode_strings_df,
+        encode_strings_df,
+        filter_strings_df,
+    )
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        filter_typed_df,
+    )
+
+    rows = [
+        ("a", "s", [0.5, 2.0, None, 3.5, 0.1]),
+        ("b", "s", []),
+        ("c", "s", [9.0] * 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    out = filter_typed_df(encode_typed_df(df, "vals"), "gt", 1.0)
+    got = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, "double").collect()}
+    assert got["a"] == [2.0, 3.5] and got["b"] == [] and got["c"] == [9.0] * 200
+    meta = {r["doc_id"]: r for r in out.collect()}
+    assert meta["a"]["n_values"] == 2 and meta["a"]["null_count"] == 0
+
+    srows = [
+        ("a", "s", ["x", "y", None, "x"]),
+        ("b", "s", ["y"] * 50),
+    ]
+    sdf = spark.createDataFrame(srows, "doc_id string, source string, vals array<string>")
+    sout = filter_strings_df(encode_strings_df(sdf, "vals"), "eq", "x")
+    sgot = {r["doc_id"]: r["vals"] for r in decode_strings_df(sout).collect()}
+    assert sgot["a"] == ["x", "x"] and sgot["b"] == []
