@@ -357,3 +357,38 @@ def take_any(
 
     v, lens = split_runs(np.ascontiguousarray(vals.astype(np.int32, copy=False)))
     return v.astype(np.int32, copy=False), lens
+
+
+def value_counts_block(
+    codec: str, payload, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block value histogram computed FROM THE PAYLOAD — the
+    compressed-domain form of the reference's ``value_counts``
+    (pandas fallback in the reference; here a payload kernel so the
+    relational combine only shuffles (value, partial_count) pairs):
+
+    * rle: unique over RUN VALUES weighted by run lengths — O(runs).
+    * dict: bincount over the CODE stream — values never touched, counts
+      keyed by the table.
+    * other codecs: decode + unique.
+
+    Returns (values int32 ascending, counts int64)."""
+    if n == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
+    if codec == "rle":
+        vals, lens = _rle_parts(payload)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        counts = np.bincount(inv, weights=lens.astype(np.float64)).astype(np.int64)
+        return uniq.astype(np.int32, copy=False), counts
+    if codec == "dict":
+        table, codes = _dict_parts(payload, n)
+        counts = np.bincount(codes, minlength=table.size).astype(np.int64)
+        used = counts > 0
+        order = np.argsort(table[used], kind="stable")
+        return (
+            table[used][order].astype(np.int32, copy=False),
+            counts[used][order],
+        )
+    vals = CODECS[codec].decode(payload, n)
+    uniq, counts = np.unique(vals, return_counts=True)
+    return uniq.astype(np.int32, copy=False), counts.astype(np.int64)

@@ -1363,6 +1363,59 @@ def filter_blocks_df(
     )
 
 
+def value_counts_blocks_df(blocks: DataFrame) -> DataFrame:
+    """Token histogram computed FROM PAYLOADS: each block emits its
+    (value, partial count) pairs in one shuffle-free mapInArrow pass
+    (codecs/reduce.value_counts_block — O(runs) for RLE, bincount over
+    codes for DICT, values never decoded for either), then a relational
+    groupBy completes the merge. The reference's ``value_counts`` as an
+    aggregation pushdown: the shuffle carries only distinct values ×
+    partitions, never token streams — the shape that survives a 100×
+    scale-up. Returns (doc_id, value, count) per-doc partials merged
+    across chunks; aggregate further (groupBy value) for a corpus
+    histogram."""
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import value_counts_block
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            payload_col = batch.column("payload")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column("doc_id").to_pylist()
+            out_docs: list[str] = []
+            out_vals: list[np.ndarray] = []
+            out_counts: list[np.ndarray] = []
+            for i in range(batch.num_rows):
+                vals, counts = value_counts_block(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                )
+                if vals.size:
+                    out_docs.extend([doc_ids[i]] * vals.size)
+                    out_vals.append(vals)
+                    out_counts.append(counts)
+            if out_docs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_docs, type=pa.string()),
+                        pa.array(np.concatenate(out_vals)),
+                        pa.array(np.concatenate(out_counts)),
+                    ],
+                    names=["doc_id", "value", "count"],
+                )
+
+    partials = blocks.select("doc_id", "codec", "payload", "n_values").mapInArrow(
+        kernel, "doc_id string, value int, count long"
+    )
+    return partials.groupBy("doc_id", "value").agg(
+        F.sum("count").alias("count")
+    )
+
+
 BLOCK_REDUCTIONS_SCHEMA = (
     "doc_id string, source string, n_tok int, tok_sum long, "
     "tok_min int, tok_max int, any_nz boolean, all_nz boolean, prod_mod long"

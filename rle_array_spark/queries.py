@@ -173,19 +173,47 @@ GROUP BY source"""
 
 
 def q_runs_and_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc run count + cardinality — the codec chooser's statistics,
-    cross-checked against a pure-SQL run/distinct computation."""
+    """Per-doc run count + cardinality — the codec chooser's statistics —
+    plus the per-doc MODE token and its count computed entirely from
+    payloads (value_counts_blocks_df: O(runs)/bincount partial histograms
+    per block, relational merge — the reference's value_counts as an
+    aggregation pushdown), cross-checked against a pure-SQL computation.
+    Mode ties break to the smallest token (deterministic on both sides)."""
+    from pyspark.sql import Window
+
+    from rle_array_spark.engine import value_counts_blocks_df
+
     seq = _sequences(spark, sf_dir)
-    stats = decode_stats_df(encode_df(seq, codec="rle"))
-    return stats.select("doc_id", "n_runs", "card")
+    blocks = encode_df(seq, codec="rle").persist()
+    stats = decode_stats_df(blocks)
+    vc = value_counts_blocks_df(blocks)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    mode = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("value").alias("mode_tok"),
+            F.col("count").alias("mode_count"),
+        )
+    )
+    return stats.select("doc_id", "n_runs", "card").join(mode, "doc_id")
 
 
 ORACLE_RUNS_CARD = f"""{_ORACLE_TOK_CTE}
 SELECT doc_id,
        CAST(1 + list_sum(list_transform(tokens, (x, i) ->
             CASE WHEN i > 1 AND x != tokens[i - 1] THEN 1 ELSE 0 END)) AS INT) AS n_runs,
-       CAST(length(list_distinct(tokens)) AS INT) AS card
-FROM tok"""
+       CAST(length(list_distinct(tokens)) AS INT) AS card,
+       CAST((SELECT u.tok FROM (SELECT unnest(t2.tokens) AS tok) u
+             GROUP BY u.tok ORDER BY count(*) DESC, u.tok ASC LIMIT 1) AS INT)
+           AS mode_tok,
+       CAST((SELECT count(*) FROM (SELECT unnest(t2.tokens) AS tok) u
+             GROUP BY u.tok ORDER BY count(*) DESC, u.tok ASC LIMIT 1) AS BIGINT)
+           AS mode_count
+FROM tok t2"""
 
 
 def q_transform_ufunc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,3 +99,45 @@ def test_dict_stats_ignore_unreferenced_table_entries():
     assert any_nz and all_nz  # the unreferenced 0 must not flip all_nz
     n_runs, s, lo, hi = payload_stats("dict", payload, 5)
     assert (lo, hi, s) == (5, 9, 37)
+
+
+# ---- compressed-domain value_counts (aggregation pushdown) ----
+
+
+@pytest.mark.parametrize("codec", ["rle", "dict", "bitpack", "for", "raw", "ngram"])
+@pytest.mark.parametrize("seed", range(4))
+def test_value_counts_block_differential(codec, seed):
+    from rle_array_spark.codecs import encode_block
+    from rle_array_spark.codecs.reduce import value_counts_block
+
+    rng = np.random.default_rng(seed)
+    vals = np.repeat(
+        rng.integers(0, 40, 16).astype(np.int32), rng.integers(1, 20, 16)
+    )
+    got_v, got_c = value_counts_block(codec, encode_block(vals, codec), vals.size)
+    exp_v, exp_c = np.unique(vals, return_counts=True)
+    np.testing.assert_array_equal(got_v, exp_v)
+    np.testing.assert_array_equal(got_c, exp_c)
+    assert int(got_c.sum()) == vals.size
+    # empty
+    got_v, got_c = value_counts_block(codec, encode_block(vals[:0], codec), 0)
+    assert got_v.size == 0 and got_c.size == 0
+
+
+def test_value_counts_blocks_df_merges_chunks(spark, sequences):
+    from pyspark.sql import functions as F
+
+    from rle_array_spark.engine import encode_df, value_counts_blocks_df
+
+    blocks = encode_df(sequences, codec="auto")
+    vc = {
+        (r["doc_id"], r["value"]): r["count"]
+        for r in value_counts_blocks_df(blocks).collect()
+    }
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    for d, toks in raw.items():
+        x = np.asarray(toks, dtype=np.int64)
+        uv, uc = np.unique(x, return_counts=True)
+        for v, c in zip(uv.tolist(), uc.tolist()):
+            assert vc[(d, v)] == c, (d, v)
+    assert sum(vc.values()) == sum(len(t) for t in raw.values())
