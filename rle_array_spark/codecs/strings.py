@@ -711,3 +711,32 @@ def filter_strings(
         return c, p, 0
     c, p = encode_string_block(pa.array(list(kept_v), type=pa.string()), "auto")
     return c, p, int(kept_v.size)
+
+
+def value_counts_strings(
+    name: str, payload, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block value histogram for a string block, computed from the
+    payload: dictionary-backed codecs bincount the CODE stream (string
+    bytes touched only once per distinct value via the table);
+    sraw/sfsst decode and unique. Null slots are EXCLUDED
+    (value_counts(dropna=True)). Returns (values object ndarray,
+    counts int64)."""
+    if n == 0:
+        return np.zeros(0, dtype=object), np.zeros(0, np.int64)
+    buf = memoryview(payload)
+    valid, _ = _decode_flags(buf, n)
+    if name in ("srle", "sdict"):
+        table, codes, _ = _codes_form(name, payload, n)
+        live = codes if valid is None else codes[valid]
+        if live.size == 0:
+            return np.zeros(0, dtype=object), np.zeros(0, np.int64)
+        counts = np.bincount(live, minlength=table.size).astype(np.int64)
+        used = counts > 0
+        return table[used], counts[used]
+    vals, valid2 = decode_strings(name, payload, n)
+    live = vals if valid2 is None else vals[valid2]
+    if live.size == 0:
+        return np.zeros(0, dtype=object), np.zeros(0, np.int64)
+    uniq, counts = np.unique(live.astype(str), return_counts=True)
+    return uniq.astype(object), counts.astype(np.int64)

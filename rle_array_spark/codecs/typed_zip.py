@@ -438,3 +438,37 @@ def filter_typed(
         new_valid = None
     codec, pl = encode_typed(kept, new_valid, name)
     return codec, pl, int(kept.size)
+
+
+def value_counts_typed(
+    name: str, payload, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block value histogram for a typed block, computed from the
+    payload (the compressed form of the reference's ``value_counts`` /
+    ``unique`` on any dtype, array.py:918-923): trle counts unique RUN
+    VALUES weighted by run lengths (slot-corrected when nulls are
+    present), tdict bincounts the code stream against the table, traw
+    falls back to a slot scan. Null slots are EXCLUDED (pandas
+    value_counts(dropna=True)); values group on the BIT VIEW, so all
+    NaNs count as one key (matching the codec's run semantics). Returns
+    (values ndarray of the block dtype, counts int64)."""
+    buf = memoryview(payload)
+    dtype, valid, _ = _decode_header(buf, n)
+    bits = _BIT_VIEWS[dtype.itemsize]
+    if n == 0:
+        return np.zeros(0, dtype=dtype), np.zeros(0, np.int64)
+    if name == "trle" and valid is None:
+        ends, run_vals, _ = _typed_run_form(name, payload, n)
+        lens = np.diff(np.concatenate(([0], ends)))
+        bv = np.ascontiguousarray(run_vals).view(bits)
+        uniq, inv = np.unique(bv, return_inverse=True)
+        counts = np.bincount(inv, weights=lens.astype(np.float64)).astype(np.int64)
+        return uniq.view(dtype), counts
+    vals, _ = decode_typed(name, buf, n)
+    bv = np.ascontiguousarray(vals).view(bits)
+    if valid is not None:
+        bv = bv[valid]
+    if bv.size == 0:
+        return np.zeros(0, dtype=dtype), np.zeros(0, np.int64)
+    uniq, counts = np.unique(bv, return_counts=True)
+    return uniq.view(dtype), counts.astype(np.int64)

@@ -846,8 +846,17 @@ def q_roundtrip_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/rle_array/dtype.py:11-27): per-user event_type sequences
     → srle/sdict/sraw auto-encode → decode → stats. The positional weighted
     sum makes the check order-sensitive: a decode returning the right
-    multiset at wrong positions fails."""
-    from rle_array_spark.strings import decode_strings_df, encode_strings_df
+    multiset at wrong positions fails. Also carries the per-user MODE
+    event_type from the compressed value_counts (value_counts_strings_df:
+    code-stream bincount, string bytes touched once per distinct value);
+    ties break to the lexically smallest value on both engines."""
+    from pyspark.sql import Window
+
+    from rle_array_spark.strings import (
+        decode_strings_df,
+        encode_strings_df,
+        value_counts_strings_df,
+    )
 
     ev = _table(spark, sf_dir, "events")
     seq = (
@@ -860,8 +869,17 @@ def q_roundtrip_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("source", F.lit("events"))
     )
-    blocks = encode_strings_df(seq, codec="auto")
+    blocks = encode_strings_df(seq, codec="auto").persist()
     out = decode_strings_df(blocks)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    mode = (
+        value_counts_strings_df(blocks)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("value").alias("mode_val"))
+    )
     return out.select(
         "doc_id",
         F.size("vals").alias("n"),
@@ -872,7 +890,7 @@ def q_roundtrip_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(transform(vals, (x, i) -> cast((i + 1) * length(x) as long)),"
             " 0L, (a, v) -> a + v)"
         ).alias("wlen"),
-    )
+    ).join(mode, "doc_id")
 
 
 ORACLE_ROUNDTRIP_STRING = """WITH seq AS (
@@ -885,8 +903,10 @@ SELECT doc_id,
        CAST(length(list_distinct(vals)) AS INT) AS card,
        list_min(vals) AS v_min,
        list_max(vals) AS v_max,
-       CAST(list_sum(list_transform(vals, (x, i) -> i * length(x))) AS BIGINT) AS wlen
-FROM seq"""
+       CAST(list_sum(list_transform(vals, (x, i) -> i * length(x))) AS BIGINT) AS wlen,
+       (SELECT u.v FROM (SELECT unnest(s2.vals) AS v) u
+        GROUP BY u.v ORDER BY count(*) DESC, u.v ASC LIMIT 1) AS mode_val
+FROM seq s2"""
 
 
 def q_reverse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -408,3 +408,49 @@ def zip_strings_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str = "eq") -> 
         return zip_strings_compare(ca, pa_, cb, pb_, nv, op)
 
     return zip_blocks_pairwise_df(blocks_a, blocks_b, row_op)
+
+
+def value_counts_strings_df(blocks: DataFrame) -> DataFrame:
+    """Value histogram from string payloads: dictionary-backed blocks
+    bincount their CODE stream (string bytes touched once per distinct
+    value), merged relationally — nulls excluded. Returns (doc_id,
+    value, count)."""
+    from pyspark.sql import functions as F
+
+    def kernel(batches):
+        from rle_array_spark.codecs.strings import value_counts_strings
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            payload_col = batch.column("payload")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column("doc_id").to_pylist()
+            out_docs: list[str] = []
+            out_vals: list[str] = []
+            out_counts: list[int] = []
+            for i in range(batch.num_rows):
+                vals, counts = value_counts_strings(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                )
+                if vals.size:
+                    out_docs.extend([doc_ids[i]] * vals.size)
+                    out_vals.extend(vals.tolist())
+                    out_counts.extend(counts.tolist())
+            if out_docs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_docs, type=pa.string()),
+                        pa.array(out_vals, type=pa.string()),
+                        pa.array(out_counts, type=pa.int64()),
+                    ],
+                    names=["doc_id", "value", "count"],
+                )
+
+    partials = blocks.select("doc_id", "codec", "payload", "n_values").mapInArrow(
+        kernel, "doc_id string, value string, count long"
+    )
+    return partials.groupBy("doc_id", "value").agg(F.sum("count").alias("count"))

@@ -584,3 +584,52 @@ def reverse_typed_df(blocks: DataFrame) -> DataFrame:
     from rle_array_spark.codecs.typed_zip import reverse_typed
 
     return _typed_rewrite_df(blocks, reverse_typed, lambda n: n)
+
+
+def value_counts_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
+    """Value histogram from typed payloads: per-block (value, partial
+    count) pairs in one shuffle-free pass (codecs/typed_zip.
+    value_counts_typed — run values weighted by lengths for trle, code
+    bincount for tdict; null slots excluded), merged with a relational
+    groupBy that shuffles only distinct values. Returns (doc_id, value,
+    count); NaNs group as one key (bit-view grouping)."""
+
+    def kernel(batches):
+        from rle_array_spark.codecs.typed_zip import value_counts_typed
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            payload_col = batch.column("payload")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column("doc_id").to_pylist()
+            out_docs: list[str] = []
+            parts: list[np.ndarray] = []
+            counts_parts: list[np.ndarray] = []
+            for i in range(batch.num_rows):
+                vals, counts = value_counts_typed(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                )
+                if vals.size:
+                    out_docs.extend([doc_ids[i]] * vals.size)
+                    parts.append(vals)
+                    counts_parts.append(counts)
+            if out_docs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_docs, type=pa.string()),
+                        pa.array(np.concatenate(parts)),
+                        pa.array(np.concatenate(counts_parts)),
+                    ],
+                    names=["doc_id", "value", "count"],
+                )
+
+    partials = blocks.select("doc_id", "codec", "payload", "n_values").mapInArrow(
+        kernel, f"doc_id string, value {elem_type}, count long"
+    )
+    from pyspark.sql import functions as F
+
+    return partials.groupBy("doc_id", "value").agg(F.sum("count").alias("count"))

@@ -384,3 +384,61 @@ def test_filter_typed_df_and_filter_strings_df(spark):
     sout = filter_strings_df(encode_strings_df(sdf, "vals"), "eq", "x")
     sgot = {r["doc_id"]: r["vals"] for r in decode_strings_df(sout).collect()}
     assert sgot["a"] == ["x", "x"] and sgot["b"] == []
+
+
+# ---- compressed-domain value_counts for typed/string families ----
+
+
+@pytest.mark.parametrize("codec", ["trle", "tdict", "traw", "auto"])
+def test_value_counts_typed_differential(codec):
+    from rle_array_spark.codecs.typed_zip import value_counts_typed
+
+    for vlabel, vals, vvalid in _cases():
+        name, p = encode_typed(np.ascontiguousarray(vals), vvalid, codec)
+        got_v, got_c = value_counts_typed(name, p, vals.size)
+        live = vals if vvalid is None else vals[vvalid]
+        bits = live.view(f"<u{vals.dtype.itemsize}" if vals.dtype.itemsize > 1 else "<u1")
+        exp_bits, exp_c = np.unique(np.ascontiguousarray(bits), return_counts=True)
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(got_v).view(exp_bits.dtype), exp_bits, err_msg=vlabel
+        )
+        np.testing.assert_array_equal(got_c, exp_c, err_msg=vlabel)
+        assert got_v.dtype == vals.dtype
+
+
+@pytest.mark.parametrize("codec", ["srle", "sdict", "sraw", "sfsst", "auto"])
+def test_value_counts_strings_differential(codec):
+    from rle_array_spark.codecs.strings import value_counts_strings
+
+    for case, vals in STRING_CASES.items():
+        name, p = encode_string_block(pa.array(vals, type=pa.string()), codec)
+        got_v, got_c = value_counts_strings(name, p, len(vals))
+        live = [v for v in vals if v is not None]
+        exp = {}
+        for v in live:
+            exp[v] = exp.get(v, 0) + 1
+        assert dict(zip(got_v.tolist(), got_c.tolist())) == exp, (case, codec)
+
+
+def test_value_counts_typed_strings_df(spark):
+    from rle_array_spark.strings import encode_strings_df, value_counts_strings_df
+    from rle_array_spark.typed import encode_typed_df, value_counts_typed_df
+
+    rows = [
+        ("a", "s", [1.5, 1.5, None, 2.0, 1.5]),
+        ("b", "s", [7.0] * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    vc = {
+        (r["doc_id"], r["value"]): r["count"]
+        for r in value_counts_typed_df(encode_typed_df(df, "vals"), "double").collect()
+    }
+    assert vc == {("a", 1.5): 3, ("a", 2.0): 1, ("b", 7.0): 100}
+
+    srows = [("a", "s", ["x", None, "x", "y"]), ("b", "s", ["k"] * 30)]
+    sdf = spark.createDataFrame(srows, "doc_id string, source string, vals array<string>")
+    svc = {
+        (r["doc_id"], r["value"]): r["count"]
+        for r in value_counts_strings_df(encode_strings_df(sdf, "vals")).collect()
+    }
+    assert svc == {("a", "x"): 2, ("a", "y"): 1, ("b", "k"): 30}
