@@ -392,3 +392,26 @@ def value_counts_block(
     vals = CODECS[codec].decode(payload, n)
     uniq, counts = np.unique(vals, return_counts=True)
     return uniq.astype(np.int32, copy=False), counts.astype(np.int64)
+
+
+def sort_block(
+    codec: str, payload, n: int, descending: bool = False
+) -> tuple[str, bytes]:
+    """Sorted copy of one encoded block, computed ENTIRELY from its
+    histogram: sorted RLE IS (values ascending, lengths = counts), so the
+    sort never materializes the sequence — O(runs log runs) for RLE,
+    bincount for DICT (the reference sorts via the pandas extension
+    machinery's decode path, conftest data_for_sorting fixtures; this is
+    the compressed-domain upgrade). Returns (codec, payload) with
+    new length == n."""
+    from rle_array_spark.codecs.rle import encode_runs
+
+    vals, counts = value_counts_block(codec, payload, n)
+    if descending:
+        vals, counts = vals[::-1].copy(), counts[::-1].copy()
+    payload_out = encode_runs(vals, counts)
+    if n and len(payload_out) > 4 * n + 1:  # never worse than raw
+        from rle_array_spark.chooser import choose_codec
+
+        return choose_codec(np.repeat(vals, counts))
+    return "rle", payload_out

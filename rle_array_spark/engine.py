@@ -1416,6 +1416,88 @@ def value_counts_blocks_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+def sort_blocks_df(blocks: DataFrame, descending: bool = False) -> DataFrame:
+    """Per-doc sorted copy computed from HISTOGRAMS, never from decoded
+    sequences: value_counts partials merge across a doc's chunks, and the
+    sorted sequence is emitted directly as RLE — values ascending, run
+    lengths = counts (sorted RLE IS the histogram). The shuffle carries
+    only (value, count) pairs; the output is one block per doc (chunking
+    collapses — a sorted doc is maximally runny, so single blocks stay
+    small). The reference sorts through the pandas extension machinery's
+    decode path; this is the compressed-domain form."""
+    vc = value_counts_blocks_df(blocks)
+    src = blocks.select("doc_id", "source").distinct()
+    per_doc = vc.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("value", "count")), asc=not descending
+        ).alias("hist")
+    ).join(src, "doc_id")
+
+    def kernel(batches):
+        from rle_array_spark.codecs.rle import encode_runs
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            hist = batch.column("hist")
+            if isinstance(hist, pa.ChunkedArray):
+                hist = hist.combine_chunks()
+            offsets = hist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offsets = offsets - offsets[0]
+            child = hist.flatten()
+            all_vals = child.field("value").to_numpy(zero_copy_only=False)
+            all_counts = child.field("count").to_numpy(zero_copy_only=False)
+            n_rows = batch.num_rows
+            payloads: list[bytes] = []
+            n_values = np.empty(n_rows, dtype=np.int32)
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                lo, hi = int(offsets[i]), int(offsets[i + 1])
+                vals = all_vals[lo:hi].astype(np.int32)
+                counts = all_counts[lo:hi].astype(np.int64)
+                payloads.append(encode_runs(vals, counts))
+                n_values[i] = int(counts.sum())
+                n_runs[i] = vals.size
+                tok_sum[i] = int(np.dot(vals.astype(np.int64), counts))
+                tok_min[i] = int(vals.min()) if vals.size else 0
+                tok_max[i] = int(vals.max()) if vals.size else 0
+            zeros = np.zeros(n_rows, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pa.array(["rle"] * n_rows, type=pa.string()),
+                    pa.array(payloads, type=pa.binary()),
+                    pa.array(n_values),
+                    pa.array(n_runs),
+                    pa.array(tok_sum),
+                    pa.array(tok_min),
+                    pa.array(tok_max),
+                    pa.array(n_values.astype(np.int64) * 4),
+                    pa.array(np.array([len(p) for p in payloads], dtype=np.int64)),
+                    pa.array(
+                        np.array(
+                            [reference_rle_nbytes(int(r)) for r in n_runs],
+                            dtype=np.int64,
+                        )
+                    ),
+                    pa.array(zeros),
+                    pa.array(np.ones(n_rows, dtype=np.int32)),
+                    pa.array(np.zeros(n_rows, dtype=np.int64)),
+                ],
+                names=[
+                    "doc_id", "source", "codec", "payload", "n_values", "n_runs",
+                    "tok_sum", "tok_min", "tok_max", "raw_bytes", "encoded_bytes",
+                    "ref_rle_bytes", "chunk_idx", "n_chunks", "chunk_offset",
+                ],
+            )
+
+    return per_doc.mapInArrow(kernel, BLOCK_SCHEMA)
+
+
 BLOCK_REDUCTIONS_SCHEMA = (
     "doc_id string, source string, n_tok int, tok_sum long, "
     "tok_min int, tok_max int, any_nz boolean, all_nz boolean, prod_mod long"

@@ -910,25 +910,42 @@ FROM seq s2"""
 
 
 def q_reverse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-domain reversal (reference negative-step slice,
-    /root/reference/rle_array/_slicing.py): encode → reverse run order →
-    decode → stats. tok_wsum flips with position, so a reversal that isn't
-    exact fails the hash."""
-    from rle_array_spark.engine import reverse_blocks
+    """Compressed-domain reorderings in one slot, each as a labeled arm:
+    reversal (reference negative-step slice, _slicing.py — run order
+    flips) and histogram-sort (sort_blocks_df — sorted RLE IS the value
+    histogram; the reference sorts via the pandas machinery's decode
+    path). tok_wsum is position-weighted, so an inexact reorder fails the
+    hash."""
+    from rle_array_spark.engine import reverse_blocks, sort_blocks_df
 
-    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
-    return decode_stats_df(reverse_blocks(blocks)).select(*_STATS_COLS)
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto").persist()
+    rev = (
+        decode_stats_df(reverse_blocks(blocks))
+        .select(*_STATS_COLS)
+        .withColumn("path", F.lit("reverse"))
+    )
+    srt = (
+        decode_stats_df(sort_blocks_df(blocks))
+        .select(*_STATS_COLS)
+        .withColumn("path", F.lit("sorted"))
+    )
+    return rev.unionByName(srt)
 
 
 ORACLE_REVERSE_STATS = f"""{_ORACLE_TOK_CTE},
-r AS (SELECT doc_id, source, list_reverse(tokens) AS tokens FROM tok)
+r AS (SELECT doc_id, source, list_reverse(tokens) AS tokens, 'reverse' AS path
+      FROM tok
+      UNION ALL
+      SELECT doc_id, source, list_sort(tokens) AS tokens, 'sorted' AS path
+      FROM tok)
 SELECT doc_id,
        source,
        CAST(length(tokens) AS INT) AS n_tok,
        CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
        CAST(list_min(tokens) AS INT) AS tok_min,
        CAST(list_max(tokens) AS INT) AS tok_max,
-       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
+       path
 FROM r"""
 
 

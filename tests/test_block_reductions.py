@@ -141,3 +141,48 @@ def test_value_counts_blocks_df_merges_chunks(spark, sequences):
         for v, c in zip(uv.tolist(), uc.tolist()):
             assert vc[(d, v)] == c, (d, v)
     assert sum(vc.values()) == sum(len(t) for t in raw.values())
+
+
+# ---- histogram sort (sorted RLE == value histogram) ----
+
+
+@pytest.mark.parametrize("codec", ["rle", "dict", "bitpack", "raw"])
+@pytest.mark.parametrize("descending", [False, True])
+def test_sort_block_differential(codec, descending):
+    from rle_array_spark.codecs import decode_block, encode_block
+    from rle_array_spark.codecs.reduce import sort_block
+
+    rng = np.random.default_rng(11)
+    vals = np.repeat(
+        rng.integers(0, 30, 16).astype(np.int32), rng.integers(1, 15, 16)
+    )
+    c, p = sort_block(codec, encode_block(vals, codec), vals.size,
+                      descending=descending)
+    exp = np.sort(vals)
+    if descending:
+        exp = exp[::-1]
+    np.testing.assert_array_equal(decode_block(p, c, vals.size), exp)
+    # empty block
+    c, p = sort_block(codec, encode_block(vals[:0], codec), 0)
+    assert decode_block(p, c, 0).size == 0
+
+
+def test_sort_blocks_df_merges_chunks(spark, sequences):
+    from rle_array_spark.engine import decode_df, encode_df, sort_blocks_df
+
+    blocks = encode_df(sequences, codec="auto")
+    out = sort_blocks_df(blocks).cache()
+    got = {r["doc_id"]: r["tokens"] for r in decode_df(out).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    nonempty = {d for d, t in raw.items() if len(t)}
+    assert set(got.keys()) == nonempty  # all-empty docs have no histogram rows
+    for d in nonempty:
+        np.testing.assert_array_equal(
+            np.asarray(got[d], dtype=np.int64),
+            np.sort(np.asarray(raw[d], dtype=np.int64)),
+        )
+    # output is single-block maximal-runny RLE
+    rows = out.select("codec", "n_chunks", "n_values", "n_runs").collect()
+    for r in rows:
+        assert r["codec"] == "rle" and r["n_chunks"] == 1
+    out.unpersist()
