@@ -449,9 +449,11 @@ def value_counts_typed(
     VALUES weighted by run lengths (slot-corrected when nulls are
     present), tdict bincounts the code stream against the table, traw
     falls back to a slot scan. Null slots are EXCLUDED (pandas
-    value_counts(dropna=True)); values group on the BIT VIEW, so all
-    NaNs count as one key (matching the codec's run semantics). Returns
-    (values ndarray of the block dtype, counts int64)."""
+    value_counts(dropna=True)); values group on the BIT VIEW — NaNs with
+    the same bit pattern count as one key (the codec's run semantics;
+    distinct NaN payloads, if an input carries them, stay distinct, same
+    as the round-trip's bit-identity contract). Returns (values ndarray
+    of the block dtype, counts int64)."""
     buf = memoryview(payload)
     dtype, valid, _ = _decode_header(buf, n)
     bits = _BIT_VIEWS[dtype.itemsize]
