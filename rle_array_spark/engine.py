@@ -1416,6 +1416,55 @@ def value_counts_blocks_df(blocks: DataFrame) -> DataFrame:
     )
 
 
+def source_quantiles_df(
+    blocks: DataFrame, probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Exact per-source discrete quantiles computed from the compressed
+    value-counts histogram — tokens are never decoded. Per-block partial
+    histograms (O(runs), value_counts_blocks_df) merge relationally, a
+    cumulative window over ascending values finds, for each probability p,
+    the smallest value whose cumulative count reaches ceil(p * n) — the
+    same 1-based discrete convention as DuckDB's ``quantile_disc`` and the
+    reference's pandas ``quantile(interpolation='lower')`` path on its
+    decode fallback (/root/reference/rle_array/array.py:537-560).
+
+    Scale shape: the shuffle carries only (source, value, count) pairs —
+    bounded by vocabulary × sources, not token count — then one tiny
+    window over at most |vocab| rows per source. Survives a 100× corpus
+    the same way value_counts does.
+
+    ``probs`` must be binary-exact fractions (k/2^m, e.g. 0.25/0.5/0.75)
+    so ceil(p*n) is the same number in every engine's float arithmetic;
+    asserted here rather than documented-and-hoped.
+    """
+    for p in probs:
+        if not (0 < p <= 1) or (p * 2**32) != int(p * 2**32):
+            raise ValueError(f"probability {p} is not a binary-exact fraction")
+    vc = value_counts_blocks_df(blocks)
+    src = blocks.select("doc_id", "source").distinct()
+    hist = (
+        vc.join(src, "doc_id")
+        .groupBy("source", "value")
+        .agg(F.sum("count").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n_toks", F.sum("cnt").over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_toks")), F.col("value"))
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return cum.groupBy("source", "n_toks").agg(*aggs)
+
+
 def sort_blocks_df(blocks: DataFrame, descending: bool = False) -> DataFrame:
     """Per-doc sorted copy computed from HISTOGRAMS, never from decoded
     sequences: value_counts partials merge across a doc's chunks, and the

@@ -691,6 +691,77 @@ ORACLE_ROUNDTRIP_TIMESTAMP = """SELECT CAST(user_id AS VARCHAR) AS doc_id,
 FROM events GROUP BY doc_id"""
 
 
+def q_roundtrip_typed_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full typed-dtype round-trip surface in ONE driver slot
+    (float64 + boolean + timestamp, each through its own typed codec
+    family — see q_roundtrip_float/bool/timestamp, kept as the per-dtype
+    building blocks): results union under a shared (dtype, doc_id, n,
+    nulls, m_a, m_b, m_c) schema, dtype-specific metrics in m_a..m_c and
+    NULL where a dtype has fewer. Consolidation per VERDICT r2 #1 so the
+    whole dtype surface stays inside the driver's 50-query window."""
+    f = q_roundtrip_float(spark, sf_dir).select(
+        F.lit("float64").alias("dtype"),
+        "doc_id",
+        "n",
+        "nulls",
+        F.col("val_sum").cast("double").alias("m_a"),
+        F.col("val_min").cast("double").alias("m_b"),
+        F.col("val_max").cast("double").alias("m_c"),
+    )
+    b = q_roundtrip_bool(spark, sf_dir).select(
+        F.lit("bool").alias("dtype"),
+        "doc_id",
+        "n",
+        "nulls",
+        F.col("n_true").cast("double").alias("m_a"),
+        F.lit(None).cast("double").alias("m_b"),
+        F.lit(None).cast("double").alias("m_c"),
+    )
+    t = q_roundtrip_timestamp(spark, sf_dir).select(
+        F.lit("timestamp").alias("dtype"),
+        "doc_id",
+        "n",
+        F.lit(0).alias("nulls"),
+        F.col("ts_min_us").cast("double").alias("m_a"),
+        F.col("ts_max_us").cast("double").alias("m_b"),
+        F.lit(None).cast("double").alias("m_c"),
+    )
+    return f.unionByName(b).unionByName(t)
+
+
+ORACLE_ROUNDTRIP_TYPED_ALL = """WITH fv AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN value < 5 THEN NULL ELSE value END AS v
+    FROM events),
+bv AS (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN value < 5 THEN NULL ELSE value > 50 END AS b
+    FROM events)
+SELECT 'float64' AS dtype, doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       CAST(COUNT(*) - COUNT(v) AS INT) AS nulls,
+       CAST(ROUND(SUM(v), 2) AS DOUBLE) AS m_a,
+       CAST(ROUND(MIN(v), 3) AS DOUBLE) AS m_b,
+       CAST(ROUND(MAX(v), 3) AS DOUBLE) AS m_c
+FROM fv GROUP BY doc_id
+UNION ALL
+SELECT 'bool' AS dtype, doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       CAST(COUNT(*) - COUNT(b) AS INT) AS nulls,
+       CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE) AS m_a,
+       CAST(NULL AS DOUBLE) AS m_b,
+       CAST(NULL AS DOUBLE) AS m_c
+FROM bv GROUP BY doc_id
+UNION ALL
+SELECT 'timestamp' AS dtype, CAST(user_id AS VARCHAR) AS doc_id,
+       CAST(COUNT(*) AS INT) AS n,
+       0 AS nulls,
+       CAST(epoch_us(MIN(ts)) AS DOUBLE) AS m_a,
+       CAST(epoch_us(MAX(ts)) AS DOUBLE) AS m_b,
+       CAST(NULL AS DOUBLE) AS m_c
+FROM events GROUP BY user_id"""
+
+
 def q_roundtrip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-dtype cast chain float64 → float32 → int32 in the compressed
     domain (codecs/typed.py cast_typed; reference astype
@@ -1417,6 +1488,29 @@ def q_token_moments_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quartiles in the COMPRESSED domain
+    (engine.source_quantiles_df): per-block O(runs) partial histograms →
+    relational merge → cumulative-window quantile pick; tokens are never
+    decoded. The compressed-domain twin of token_moments' decode-fallback
+    median (reference quantile path, array.py:537-560). Binary-exact
+    probabilities (0.25/0.5/0.75) keep ceil(p*n) engine-independent."""
+    from rle_array_spark.engine import source_quantiles_df
+
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    return source_quantiles_df(blocks, probs=(0.25, 0.5, 0.75))
+
+
+ORACLE_QUANTILES_HIST = f"""{_ORACLE_TOK_CTE}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(quantile_disc(tok, 0.25) AS INT) AS p25,
+       CAST(quantile_disc(tok, 0.5) AS INT) AS p50,
+       CAST(quantile_disc(tok, 0.75) AS INT) AS p75
+FROM (SELECT source, unnest(tokens) AS tok FROM tok)
+GROUP BY source"""
+
+
 ORACLE_TOKEN_MOMENTS_FULL = f"""{_ORACLE_TOK_CTE}
 SELECT source,
        round(avg(tok), 6) AS mean_tok,
@@ -1455,6 +1549,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         out[k] = pq[k]
     # -- 2. new in round 3
+    out["quantiles_hist"] = q_quantiles_hist
     out["roundtrip_cast"] = q_roundtrip_cast
     out["typed_fillna_dropna"] = q_typed_fillna_dropna
     out["cosine_pairs_lsh"] = pq["cosine_pairs_lsh"]
@@ -1489,9 +1584,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rank_orders_per_customer"] = q_rank_orders_per_customer
     out["topk_longest_docs"] = q_topk_longest_docs
     out["chunked_roundtrip_selftest"] = q_chunked_roundtrip_selftest
-    out["roundtrip_float"] = q_roundtrip_float
-    out["roundtrip_bool"] = q_roundtrip_bool
-    out["roundtrip_timestamp"] = q_roundtrip_timestamp
+    out["roundtrip_typed_all"] = q_roundtrip_typed_all
     out["roundtrip_string"] = q_roundtrip_string
     out["transform_ufunc"] = q_transform_ufunc
     out["strided_take"] = q_strided_take
@@ -1510,6 +1603,7 @@ def build_oracles() -> dict[str, str]:
     from rle_array_spark.pipeline_queries import pipeline_oracles
 
     out: dict[str, str] = dict(pipeline_oracles())
+    out["quantiles_hist"] = ORACLE_QUANTILES_HIST
     out["roundtrip_cast"] = ORACLE_ROUNDTRIP_CAST
     out["typed_fillna_dropna"] = ORACLE_TYPED_FILLNA_DROPNA
     out["roundtrip_forced_codecs"] = ORACLE_ROUNDTRIP_FORCED
@@ -1534,9 +1628,7 @@ def build_oracles() -> dict[str, str]:
     out["rank_orders_per_customer"] = ORACLE_RANK_ORDERS
     out["topk_longest_docs"] = ORACLE_TOPK
     out["chunked_roundtrip_selftest"] = ORACLE_CHUNKED_SELFTEST
-    out["roundtrip_float"] = ORACLE_ROUNDTRIP_FLOAT
-    out["roundtrip_bool"] = ORACLE_ROUNDTRIP_BOOL
-    out["roundtrip_timestamp"] = ORACLE_ROUNDTRIP_TIMESTAMP
+    out["roundtrip_typed_all"] = ORACLE_ROUNDTRIP_TYPED_ALL
     out["roundtrip_string"] = ORACLE_ROUNDTRIP_STRING
     out["transform_ufunc"] = ORACLE_TRANSFORM_UFUNC
     out["strided_take"] = ORACLE_STRIDED_TAKE

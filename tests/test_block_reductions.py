@@ -186,3 +186,36 @@ def test_sort_blocks_df_merges_chunks(spark, sequences):
     for r in rows:
         assert r["codec"] == "rle" and r["n_chunks"] == 1
     out.unpersist()
+
+
+# ---- compressed-domain quantiles (histogram -> cumulative pick) ----
+
+
+def test_source_quantiles_df_matches_numpy(spark, sequences):
+    from rle_array_spark.engine import encode_df, source_quantiles_df
+
+    probs = (0.25, 0.5, 0.75)
+    blocks = encode_df(sequences, codec="auto")
+    got = {r["source"]: r for r in source_quantiles_df(blocks, probs).collect()}
+    raw = sequences.select("source", "tokens").collect()
+    per_source: dict[str, list] = {}
+    for r in raw:
+        per_source.setdefault(r["source"], []).extend(r["tokens"])
+    for src, toks in per_source.items():
+        x = np.sort(np.asarray(toks, dtype=np.int64))
+        if x.size == 0:
+            assert src not in got  # empty sources have no histogram rows
+            continue
+        row = got[src]
+        assert row["n_toks"] == x.size
+        for p in probs:
+            k = int(np.ceil(p * x.size))  # 1-based quantile_disc convention
+            assert row[f"p{int(p * 100)}"] == x[k - 1], (src, p)
+
+
+def test_source_quantiles_df_rejects_inexact_prob(spark, sequences):
+    from rle_array_spark.engine import encode_df, source_quantiles_df
+
+    blocks = encode_df(sequences.limit(1), codec="auto")
+    with pytest.raises(ValueError, match="binary-exact"):
+        source_quantiles_df(blocks, probs=(0.3,))
