@@ -59,22 +59,35 @@ def choose_codec(
     if stats.n == 0:
         return "raw", CODECS["raw"].encode(values)
 
-    estimates = [(CODECS[name].estimate_size(stats), name) for name in AUTO_CANDIDATES]
-    best_est = min(estimates)
-    runner_up = min(e for e in estimates if e[1] != best_est[1])
+    estimates = {name: CODECS[name].estimate_size(stats) for name in AUTO_CANDIDATES}
+    best_est = min((sz, name) for name, sz in estimates.items())
+    runner_up = min((sz, name) for name, sz in estimates.items() if name != best_est[1])
     trial_names = [best_est[1]]
     if runner_up[0] <= RUNNER_UP_SLACK * max(best_est[0], 1):
         trial_names.append(runner_up[1])
 
+    # Lazy trials: FOR/BITPACK size models are exact by construction, and
+    # DICT's is exact whenever the cardinality was exact (stats.uniq
+    # present) — measured 0 deviations across every corpus regime
+    # (tests/test_codecs.py chooser differential). For those, the estimate
+    # IS the measurement, so only the winner is ever encoded; RLE's
+    # run-width guess still pays for a real trial. Selection (and payload
+    # bytes) are identical to encoding every trial eagerly.
     best_name, best_payload = "raw", None
     best_size = raw_bytes
     for name in trial_names:
-        if name == "dict":
-            payload = CODECS["dict"].encode(values, table=stats.uniq)
+        exact = name in ("for", "bitpack") or (name == "dict" and stats.uniq is not None)
+        if exact:
+            size, payload = estimates[name], None
         else:
-            payload = CODECS[name].encode(values)
-        if len(payload) < best_size:
-            best_name, best_payload, best_size = name, payload, len(payload)
+            payload = (
+                CODECS["dict"].encode(values, table=stats.uniq)
+                if name == "dict"
+                else CODECS[name].encode(values)
+            )
+            size = len(payload)
+        if size < best_size:
+            best_name, best_payload, best_size = name, payload, size
 
     # Free pre-gate from already-computed stats: a digram repeating >=
     # MIN_PAIR_COUNT times needs its constituent tokens to repeat, so high
@@ -108,6 +121,12 @@ def choose_codec(
                 best_name, best_payload, best_size = "ngram", payload, len(payload)
 
     # Threshold-vs-raw guard (autoconversion.py:93-99 semantics).
-    if best_payload is None or best_size > threshold * raw_bytes:
+    if best_name == "raw" or best_size > threshold * raw_bytes:
         return "raw", CODECS["raw"].encode(values)
+    if best_payload is None:  # deferred exact-model winner: encode it now
+        best_payload = (
+            CODECS["dict"].encode(values, table=stats.uniq)
+            if best_name == "dict"
+            else CODECS[best_name].encode(values)
+        )
     return best_name, best_payload

@@ -541,6 +541,186 @@ def signlsh_knn_top1(
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat ANN
+# ---------------------------------------------------------------------------
+
+# Driver-query defaults. On THIS synthetic corpus the embeddings are
+# isotropic (measured: mean same-label cosine 0.0016 vs 0.0003 across
+# labels; exact-NN same-label fraction 9.6% ≈ chance), so recall for ANY
+# cell-probing index ≈ fraction of corpus scanned — K=16/nprobe=8 lands
+# recall 0.8 at ~51% scan, and that IS the information-theoretic ceiling
+# here (multi-table sign-LSH adapts per query and does better; it remains
+# the default scale path). On clustered embeddings IVF probes a tiny
+# fraction for high recall — pinned by tests/test_pipeline.py on a planted
+# gaussian-mixture corpus.
+IVF_CLUSTERS = 16
+IVF_NPROBE = 8
+
+
+def _ivf_cos_matrix(emb_2d: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """(n, K) cosine matrix accumulated in DIMENSION ORDER — the same add
+    sequence as DuckDB's list_dot_product fold, so the oracle ranks
+    identically (measured rank margins >= 5e-05 on every sf vs ~1e-13
+    summation-order noise; no intermediate rounding needed)."""
+    n, dim = emb_2d.shape
+    k = cent.shape[0]
+    dot = np.zeros((n, k))
+    na = np.zeros(n)
+    nc = np.zeros(k)
+    for j in range(dim):
+        dot += emb_2d[:, j : j + 1] * cent[None, :, j].reshape(1, k)
+        na += emb_2d[:, j] * emb_2d[:, j]
+        nc += cent[:, j] * cent[:, j]
+    return dot / (np.sqrt(na)[:, None] * np.sqrt(nc)[None, :])
+
+
+def ivf_assign_df(
+    embeddings: DataFrame, centroids: "np.ndarray", dim: int, top: int = 1
+) -> DataFrame:
+    """(vec_id, cent_id) nearest-centroid assignment (``top`` > 1 probes
+    that many nearest cells — the query side). The centroid matrix (K×dim,
+    tiny) rides in the kernel closure — the broadcast-side of IVF: one
+    vectorized pass per Arrow batch, no join, no shuffle. Ties break to the
+    smaller cent_id (argsort is stable over the descending negation)."""
+    import pyarrow as pa
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def kernel(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            emb = _fixed2d(batch.column("embedding"), dim)
+            cos = _ivf_cos_matrix(emb, cent)
+            if top == 1:
+                picks = np.argmax(cos, axis=1).astype(np.int32)[:, None]
+            else:
+                order = np.argsort(-cos, axis=1, kind="stable")
+                picks = order[:, :top].astype(np.int32)
+            n = picks.shape[0]
+            offs = np.arange(0, (n + 1) * top, top, dtype=np.int32)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(picks.reshape(-1), type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), lists], names=["vec_id", "cent_ids"]
+            )
+
+    out = embeddings.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, cent_ids array<int>"
+    )
+    return out.select("vec_id", F.explode("cent_ids").alias("cent_id"))
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_queries: int,
+    n_clusters: int,
+    dim: int,
+    lloyd_iters: int = 0,
+) -> "np.ndarray":
+    """K×dim centroid matrix: deterministic seeding from the first
+    ``n_clusters`` candidate vectors (k-means seeding the oracle can
+    replicate), optionally refined by distributed Lloyd iterations —
+    assignment is the broadcast kernel above, the new means a relational
+    posexplode → groupBy(cent, pos) → avg (partial-aggregable; the shuffle
+    carries K×dim cells, never vectors). Empty clusters keep their seed."""
+    seeds = (
+        embeddings.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_clusters)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cent = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    if cent.shape != (n_clusters, dim):
+        raise ValueError(f"need {n_clusters} seed vectors, got {cent.shape}")
+    cands = embeddings.filter(F.col("vec_id") >= n_queries)
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign_df(cands, cent, dim)
+        means = (
+            assigned.join(cands.select("vec_id", "embedding"), "vec_id")
+            .select("cent_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()
+        for r in means:
+            nxt[r["cent_id"], r["pos"]] = r["m"]
+        cent = nxt
+    return cent
+
+
+def ivf_knn_top1(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = 64,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-flat ANN with the same in-plan exactness anchor as
+    signlsh_knn_top1: candidates come from an inverted-list equi-join on
+    cent_id (each query probes ``nprobe`` of ``n_clusters`` Voronoi
+    cells), exact top-1 brute force over the query subset rides in the
+    same plan, and every row carries ``hit`` + ``recall_vs_bruteforce``.
+
+    Scale shape: at 10^12 vectors the centroid matrix (K×dim) broadcasts
+    to every executor, assignment is one vectorized kernel pass over the
+    corpus scan, inverted lists are shuffle-partitioned by cent_id, and a
+    query touches nprobe/K of the corpus. Lloyd refinement shuffles only
+    K×dim partial means per iteration."""
+    emb = embeddings.select("vec_id", "embedding").persist()
+    cent = ivf_centroids(emb, n_queries, n_clusters, dim, lloyd_iters)
+    cands = emb.filter(F.col("vec_id") >= n_queries)
+    qs = emb.filter(F.col("vec_id") < n_queries)
+    inverted = ivf_assign_df(cands, cent, dim).select(
+        F.col("vec_id").alias("cid"), "cent_id"
+    )
+    probes = ivf_assign_df(qs, cent, dim, top=nprobe).select(
+        F.col("vec_id").alias("qid"), "cent_id"
+    )
+    cand_pairs = probes.join(inverted, "cent_id").select("qid", "cid")
+    qe = qs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ce = cands.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = cosine_scored_df(
+        cand_pairs.join(qe, "qid").join(ce, "cid"), "qe", "ce", ["qid", "cid"]
+    ).select("qid", "cid", F.round("cos", 9).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    ivf = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("cid").alias("ivf_nn_id"))
+    )
+    n_cand = cand_pairs.groupBy("qid").agg(F.count("*").cast("long").alias("n_cand"))
+    exact = (
+        cosine_scored_df(qe.crossJoin(ce), "qe", "ce", ["qid", "cid"])
+        .select("qid", "cid", F.round("cos", 9).alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("cid").alias("exact_nn_id"))
+    )
+    out = (
+        exact.join(ivf, "qid", "left")
+        .join(n_cand, "qid", "left")
+        .select(
+            "qid",
+            "exact_nn_id",
+            F.coalesce("ivf_nn_id", F.lit(-1)).alias("ivf_nn_id"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+        .withColumn("hit", (F.col("ivf_nn_id") == F.col("exact_nn_id")).cast("int"))
+    )
+    return out.withColumn(
+        "recall_vs_bruteforce",
+        F.round(F.avg("hit").over(Window.partitionBy()), 3),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

@@ -228,6 +228,84 @@ FROM verified, rec"""
 ORACLE_COSINE_PAIRS_LSH = _cosine_pairs_lsh_oracle()
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.ivf_knn_top1(_emb(spark, sf_dir), n_queries=10)
+
+
+def _ivf_oracle(n_queries: int = 10, n_clusters: int = P.IVF_CLUSTERS,
+                nprobe: int = P.IVF_NPROBE) -> str:
+    """DuckDB re-derivation of the IVF-flat path: identical seed centroids
+    (first n_clusters candidate vectors), identical nearest-cell
+    assignment and probe ranking (list_dot_product cosine, ties to the
+    smaller cent_id — rank margins >= 5e-05 on every sf, so no rounding is
+    needed before ranking), identical inverted-list join and top-1 pick."""
+    nq = n_queries
+    return f"""WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+    SELECT vec_id - {nq} AS cent_id, emb AS cemb FROM e
+    WHERE vec_id >= {nq} AND vec_id < {nq + n_clusters}
+), cand AS (
+    SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id >= {nq}
+), q AS (
+    SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {nq}
+), assign AS (
+    SELECT cid, cent_id FROM (
+        SELECT cid, cent_id,
+               row_number() OVER (PARTITION BY cid ORDER BY
+                   list_dot_product(ce, cemb)
+                   / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cemb, cemb)))
+                   DESC, cent_id ASC) AS rk
+        FROM cand, cent)
+    WHERE rk = 1
+), probe AS (
+    SELECT qid, cent_id FROM (
+        SELECT qid, cent_id,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                   list_dot_product(qe, cemb)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cemb, cemb)))
+                   DESC, cent_id ASC) AS rk
+        FROM q, cent)
+    WHERE rk <= {nprobe}
+), pairs AS (
+    SELECT qid, cid FROM probe JOIN assign USING (cent_id)
+), scored AS (
+    SELECT qid, cid,
+           round(list_dot_product(qe, ce)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 9) AS cos
+    FROM pairs JOIN q USING (qid) JOIN cand USING (cid)
+), ivf AS (
+    SELECT qid, cid AS ivf_nn_id FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        FROM scored)
+    WHERE rk = 1
+), ncand AS (
+    SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM pairs GROUP BY qid
+), exact AS (
+    SELECT qid, cid AS exact_nn_id FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                   round(list_dot_product(qe, ce)
+                         / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 9)
+                   DESC, cid ASC) AS rk
+        FROM q, cand)
+    WHERE rk = 1
+), joined AS (
+    SELECT e2.qid, e2.exact_nn_id,
+           coalesce(i.ivf_nn_id, -1) AS ivf_nn_id,
+           coalesce(n.n_cand, 0) AS n_cand,
+           CASE WHEN coalesce(i.ivf_nn_id, -1) = e2.exact_nn_id THEN 1 ELSE 0 END AS hit
+    FROM exact e2 LEFT JOIN ivf i USING (qid) LEFT JOIN ncand n USING (qid)
+)
+SELECT qid, exact_nn_id, ivf_nn_id, n_cand, hit,
+       round(avg(hit) OVER (), 3) AS recall_vs_bruteforce
+FROM joined"""
+
+
+ORACLE_IVF_KNN = _ivf_oracle()
+
+
 def q_signlsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.signlsh_knn_top1(_emb(spark, sf_dir), n_queries=10)
 
@@ -437,6 +515,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top1_cosine": q_knn_top1,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "signlsh_knn_top1": q_signlsh_knn,
+        "ivf_knn_top1": q_ivf_knn,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -458,6 +537,7 @@ def pipeline_oracles() -> dict[str, str]:
         "knn_top1_cosine": ORACLE_KNN_TOP1,
         "cosine_pairs_lsh": ORACLE_COSINE_PAIRS_LSH,
         "signlsh_knn_top1": ORACLE_SIGNLSH,
+        "ivf_knn_top1": ORACLE_IVF_KNN,
         "lang_id": ORACLE_LANG_ID,
         "quality_scores": ORACLE_QUALITY,
         "token_counts": ORACLE_TOKEN_COUNTS,

@@ -696,8 +696,10 @@ def q_roundtrip_typed_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float64 + boolean + timestamp, each through its own typed codec
     family — see q_roundtrip_float/bool/timestamp, kept as the per-dtype
     building blocks): results union under a shared (dtype, doc_id, n,
-    nulls, m_a, m_b, m_c) schema, dtype-specific metrics in m_a..m_c and
-    NULL where a dtype has fewer. Consolidation per VERDICT r2 #1 so the
+    nulls, m_a, m_b, m_c) schema, dtype-specific metrics in m_a..m_c and a
+    -1.0 sentinel where a dtype has fewer (NULL doubles hash differently
+    across collect paths: Spark rows carry None, DuckDB's dataframe fetch
+    NaN). Consolidation per VERDICT r2 #1 so the
     whole dtype surface stays inside the driver's 50-query window."""
     f = q_roundtrip_float(spark, sf_dir).select(
         F.lit("float64").alias("dtype"),
@@ -714,8 +716,8 @@ def q_roundtrip_typed_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "nulls",
         F.col("n_true").cast("double").alias("m_a"),
-        F.lit(None).cast("double").alias("m_b"),
-        F.lit(None).cast("double").alias("m_c"),
+        F.lit(-1.0).alias("m_b"),
+        F.lit(-1.0).alias("m_c"),
     )
     t = q_roundtrip_timestamp(spark, sf_dir).select(
         F.lit("timestamp").alias("dtype"),
@@ -724,7 +726,7 @@ def q_roundtrip_typed_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("nulls"),
         F.col("ts_min_us").cast("double").alias("m_a"),
         F.col("ts_max_us").cast("double").alias("m_b"),
-        F.lit(None).cast("double").alias("m_c"),
+        F.lit(-1.0).alias("m_c"),
     )
     return f.unionByName(b).unionByName(t)
 
@@ -749,8 +751,8 @@ SELECT 'bool' AS dtype, doc_id,
        CAST(COUNT(*) AS INT) AS n,
        CAST(COUNT(*) - COUNT(b) AS INT) AS nulls,
        CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE) AS m_a,
-       CAST(NULL AS DOUBLE) AS m_b,
-       CAST(NULL AS DOUBLE) AS m_c
+       -1.0 AS m_b,
+       -1.0 AS m_c
 FROM bv GROUP BY doc_id
 UNION ALL
 SELECT 'timestamp' AS dtype, CAST(user_id AS VARCHAR) AS doc_id,
@@ -758,7 +760,7 @@ SELECT 'timestamp' AS dtype, CAST(user_id AS VARCHAR) AS doc_id,
        0 AS nulls,
        CAST(epoch_us(MIN(ts)) AS DOUBLE) AS m_a,
        CAST(epoch_us(MAX(ts)) AS DOUBLE) AS m_b,
-       CAST(NULL AS DOUBLE) AS m_c
+       -1.0 AS m_c
 FROM events GROUP BY user_id"""
 
 
@@ -1549,6 +1551,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         out[k] = pq[k]
     # -- 2. new in round 3
+    out["ivf_knn_top1"] = pq["ivf_knn_top1"]
     out["quantiles_hist"] = q_quantiles_hist
     out["roundtrip_cast"] = q_roundtrip_cast
     out["typed_fillna_dropna"] = q_typed_fillna_dropna

@@ -170,3 +170,81 @@ def test_stats():
     assert (s.n, s.n_runs, s.cardinality, s.vmin, s.vmax) == (6, 3, 2, 13, 42)
     e = compute_stats(EDGE_ARRAYS["empty"])
     assert (e.n, e.n_runs, e.cardinality) == (0, 0, 0)
+
+
+def test_lazy_chooser_matches_eager_trials():
+    """choose_codec defers encoding exact-model trials (FOR/BITPACK always,
+    DICT when cardinality was exact) — selection AND payload bytes must be
+    identical to encoding every trial eagerly, across every corpus regime
+    and at a tight threshold (the raw-guard interacts with deferral)."""
+    from rle_array_spark.chooser import (
+        AUTO_CANDIDATES,
+        NGRAM_CARD_RATIO_FASTPASS,
+        NGRAM_CARD_RATIO_SKIP,
+        NGRAM_MIN_REPEAT_FRACTION,
+        NGRAM_MIN_TOKENS,
+        NGRAM_PROJECTION_MARGIN,
+        NGRAM_SAMPLE_TOKENS,
+        NGRAM_SKIP_IF_RATIO_BELOW,
+        RUNNER_UP_SLACK,
+    )
+    from rle_array_spark.codecs import compute_stats
+    from rle_array_spark.codecs.ngram import NgramCodec
+
+    def eager(values, threshold):
+        stats = compute_stats(values)
+        raw_bytes = stats.raw_bytes
+        if stats.n == 0:
+            return "raw", CODECS["raw"].encode(values)
+        ests = [(CODECS[n].estimate_size(stats), n) for n in AUTO_CANDIDATES]
+        best_est = min(ests)
+        runner = min(e for e in ests if e[1] != best_est[1])
+        trial = [best_est[1]]
+        if runner[0] <= RUNNER_UP_SLACK * max(best_est[0], 1):
+            trial.append(runner[1])
+        name_, payload_, size_ = "raw", None, raw_bytes
+        for n in trial:
+            p = (CODECS["dict"].encode(values, table=stats.uniq)
+                 if n == "dict" else CODECS[n].encode(values))
+            if len(p) < size_:
+                name_, payload_, size_ = n, p, len(p)
+        card_ratio = stats.cardinality / stats.n
+        if (card_ratio < NGRAM_CARD_RATIO_SKIP and stats.n >= NGRAM_MIN_TOKENS
+                and size_ > NGRAM_SKIP_IF_RATIO_BELOW * raw_bytes):
+            if stats.n > NGRAM_SAMPLE_TOKENS:
+                sample = values[:NGRAM_SAMPLE_TOKENS]
+                proj = len(CODECS["ngram"].encode(sample)) / (sample.size * 4) * raw_bytes
+                worth = proj < NGRAM_PROJECTION_MARGIN * size_
+            elif card_ratio < NGRAM_CARD_RATIO_FASTPASS:
+                worth = True
+            else:
+                worth = NgramCodec.repeat_fraction(values) >= NGRAM_MIN_REPEAT_FRACTION
+            if worth:
+                p = CODECS["ngram"].encode(values)
+                if len(p) < size_:
+                    name_, payload_, size_ = "ngram", p, len(p)
+        if payload_ is None or size_ > threshold * raw_bytes:
+            return "raw", CODECS["raw"].encode(values)
+        return name_, payload_
+
+    rng = np.random.default_rng(13)
+    cases = list(EDGE_ARRAYS.values())
+    from rle_array_spark import datagen
+
+    batch = datagen.generate_block(0, 25, include_edges=True)
+    tok = batch.column("tokens")
+    cases += [np.asarray(tok[i].values, dtype=np.int32) for i in range(batch.num_rows)]
+    for _ in range(60):
+        n = int(rng.integers(0, 3000))
+        cases.append(rng.integers(0, int(rng.integers(2, 70000)), size=n).astype(np.int32))
+    for ms in (8, 256):
+        motif = rng.integers(0, 60000, size=ms)
+        v = np.tile(motif, 3000 // ms + 1)[:3000].astype(np.int32)
+        m = rng.random(3000) < 0.2
+        v[m] = rng.integers(0, 60000, size=m.sum())
+        cases.append(v)
+    for thr in (1.0, 0.5):
+        for v in cases:
+            a = eager(v.copy(), thr)
+            b = choose_codec(v.copy(), threshold=thr)
+            assert a[0] == b[0] and a[1] == b[1], (thr, v.size, a[0], b[0])

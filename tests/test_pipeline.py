@@ -316,3 +316,79 @@ def test_flat_binary_differential():
     # empty array
     buf, lens, offs = P._flat_binary(pa.array([], type=pa.binary()))
     assert len(lens) == 0 and offs.tolist() == [0]
+
+
+# ---- IVF-flat ANN ----
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """Gaussian-mixture corpus with real cluster structure (8 tight
+    clusters on the 64-sphere): the regime IVF is FOR — unlike the
+    isotropic driver corpus where any cell-probe index degrades to
+    recall ≈ scan fraction (see pipeline.IVF_CLUSTERS notes)."""
+    rng = np.random.default_rng(21)
+    k, per, dim = 8, 40, 64
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(k):
+        for _ in range(per):
+            v = centers[c] + rng.normal(scale=0.12, size=dim)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist(), c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ivf_knn_high_recall_small_scan_on_clustered(clustered_embeddings):
+    n_cands = clustered_embeddings.count() - 10
+    rows = P.ivf_knn_top1(
+        clustered_embeddings, n_queries=10, n_clusters=16, nprobe=2,
+        lloyd_iters=2,
+    ).collect()
+    assert len(rows) == 10
+    recall = rows[0]["recall_vs_bruteforce"]
+    scan_frac = sum(r["n_cand"] for r in rows) / (10 * n_cands)
+    # clustered regime: high recall while probing a small corpus fraction
+    assert recall >= 0.9, recall
+    assert scan_frac <= 0.35, scan_frac
+    exact = {
+        r["qid"]: r["nn_id"]
+        for r in P.knn_top1(clustered_embeddings, n_queries=10).collect()
+    }
+    for r in rows:
+        assert r["exact_nn_id"] == exact[r["qid"]]
+        assert r["hit"] == int(r["ivf_nn_id"] == r["exact_nn_id"])
+
+
+def test_ivf_assign_matches_numpy(clustered_embeddings):
+    from rle_array_spark.pipeline import _ivf_cos_matrix, ivf_assign_df, ivf_centroids
+
+    cent = ivf_centroids(clustered_embeddings, 10, 16, 64, lloyd_iters=1)
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in ivf_assign_df(
+            clustered_embeddings.filter("vec_id >= 10"), cent, 64
+        ).collect()
+    }
+    rows = clustered_embeddings.filter("vec_id >= 10").collect()
+    for r in rows:
+        cos = _ivf_cos_matrix(
+            np.asarray(r["embedding"], dtype=np.float64)[None, :], cent
+        )[0]
+        assert got[r["vec_id"]] == int(np.argmax(cos))
+
+
+def test_ivf_probe_ties_break_to_smaller_cent(spark):
+    # two identical centroids: probes must pick the smaller cent_id first
+    from rle_array_spark.pipeline import ivf_assign_df
+
+    e = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    cent = np.ones((2, 64))
+    got = [r["cent_id"] for r in ivf_assign_df(e, cent, 64, top=1).collect()]
+    assert got == [0]
