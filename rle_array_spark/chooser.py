@@ -130,3 +130,122 @@ def choose_codec(
             else CODECS[best_name].encode(values)
         )
     return best_name, best_payload
+
+
+def choose_codec_batch(
+    rows: list[np.ndarray],
+    stats_list: list[BlockStats | None] | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+    enable_ngram: bool = True,
+) -> list[tuple[str, bytes]]:
+    """Batch form of :func:`choose_codec` — identical (name, payload) per
+    row (pinned by tests/test_codecs.py differential), with every NGRAM
+    trial in the batch fused into one grammar build
+    (NgramCodec.encode_batch): the per-row numpy call overhead that
+    dominated trial cost on small blocks is paid once per ROUND per batch.
+    Three phases: (1) per-row lazy analytic trials + the sample/full gate
+    decisions, (2) one fused encode over all sample windows and
+    gate-passing full rows, (3) projection upgrades from the sample rows
+    get a second fused encode, then winners finalize."""
+    from rle_array_spark.codecs.ngram import NgramCodec
+
+    n = len(rows)
+    if stats_list is None:
+        stats_list = [None] * n
+    state: list[tuple[str, bytes | None, int, BlockStats] | None] = [None] * n
+    out: list[tuple[str, bytes] | None] = [None] * n
+    full_idx: list[int] = []
+    sample_idx: list[int] = []
+    rf_idx: list[int] = []
+
+    for i, values in enumerate(rows):
+        stats = stats_list[i]
+        if stats is None:
+            stats = compute_stats(values)
+        raw_bytes = stats.raw_bytes
+        if stats.n == 0:
+            out[i] = ("raw", CODECS["raw"].encode(values))
+            continue
+        estimates = {nm: CODECS[nm].estimate_size(stats) for nm in AUTO_CANDIDATES}
+        best_est = min((sz, nm) for nm, sz in estimates.items())
+        runner_up = min((sz, nm) for nm, sz in estimates.items() if nm != best_est[1])
+        trial_names = [best_est[1]]
+        if runner_up[0] <= RUNNER_UP_SLACK * max(best_est[0], 1):
+            trial_names.append(runner_up[1])
+        best_name, best_payload = "raw", None
+        best_size = raw_bytes
+        for nm in trial_names:
+            exact = nm in ("for", "bitpack") or (nm == "dict" and stats.uniq is not None)
+            if exact:
+                size, payload = estimates[nm], None
+            else:
+                payload = (
+                    CODECS["dict"].encode(values, table=stats.uniq)
+                    if nm == "dict"
+                    else CODECS[nm].encode(values)
+                )
+                size = len(payload)
+            if size < best_size:
+                best_name, best_payload, best_size = nm, payload, size
+        state[i] = (best_name, best_payload, best_size, stats)
+        card_ratio = stats.cardinality / stats.n
+        if (
+            enable_ngram
+            and card_ratio < NGRAM_CARD_RATIO_SKIP
+            and stats.n >= NGRAM_MIN_TOKENS
+            and best_size > NGRAM_SKIP_IF_RATIO_BELOW * raw_bytes
+        ):
+            if stats.n > NGRAM_SAMPLE_TOKENS:
+                sample_idx.append(i)
+            elif card_ratio < NGRAM_CARD_RATIO_FASTPASS:
+                full_idx.append(i)
+            else:
+                rf_idx.append(i)
+
+    # Fused repeat-fraction gate for the mid-cardinality band.
+    if rf_idx:
+        fracs = NgramCodec.repeat_fraction_batch([rows[i] for i in rf_idx])
+        full_idx.extend(
+            i for i, rf in zip(rf_idx, fracs) if rf >= NGRAM_MIN_REPEAT_FRACTION
+        )
+        full_idx.sort()
+
+    # Fused ngram pass: sample windows first (their projections can demand
+    # full encodes), full-gate rows alongside.
+    ngram = CODECS["ngram"]
+    batch1 = [rows[i][:NGRAM_SAMPLE_TOKENS] for i in sample_idx] + [
+        rows[i] for i in full_idx
+    ]
+    payloads1 = ngram.encode_batch(batch1) if batch1 else []
+    upgrades: list[int] = []
+    for j, i in enumerate(sample_idx):
+        best_size = state[i][2]
+        sample = batch1[j]
+        projected = len(payloads1[j]) / (sample.size * 4) * state[i][3].raw_bytes
+        if projected < NGRAM_PROJECTION_MARGIN * best_size:
+            upgrades.append(i)
+    payloads2 = (
+        ngram.encode_batch([rows[i] for i in upgrades]) if upgrades else []
+    )
+    ngram_payloads = dict(zip(full_idx, payloads1[len(sample_idx):]))
+    ngram_payloads.update(zip(upgrades, payloads2))
+
+    for i, values in enumerate(rows):
+        if out[i] is not None:
+            continue
+        best_name, best_payload, best_size, stats = state[i]
+        p = ngram_payloads.get(i)
+        if p is not None and len(p) < best_size:
+            best_name, best_payload, best_size = "ngram", p, len(p)
+        if best_name == "raw" or best_size > threshold * stats.raw_bytes:
+            out[i] = ("raw", CODECS["raw"].encode(values))
+        elif best_payload is None:
+            out[i] = (
+                best_name,
+                CODECS["dict"].encode(values, table=stats.uniq)
+                if best_name == "dict"
+                else CODECS[best_name].encode(values),
+            )
+        else:
+            out[i] = (best_name, best_payload)
+    return out  # type: ignore[return-value]

@@ -41,12 +41,137 @@ def _greedy_nonoverlapping(positions: np.ndarray) -> np.ndarray:
     keep a maximal greedy left-to-right non-overlapping subset."""
     if positions.size == 0:
         return positions
-    gaps = np.diff(positions)
-    chain_start = np.concatenate(([True], gaps > 1))
+    return positions[_greedy_mask(positions)]
+
+
+def _greedy_mask(positions: np.ndarray) -> np.ndarray:
+    """Boolean-mask form of :func:`_greedy_nonoverlapping` over the same
+    sorted positions (identical kept set; the fused batch encoder needs
+    the mask to select parallel symbol arrays)."""
+    if positions.size == 0:
+        return np.zeros(0, dtype=bool)
+    chain_start = np.empty(positions.size, dtype=bool)
+    chain_start[0] = True
+    np.greater(positions[1:] - positions[:-1], 1, out=chain_start[1:])
     chain_id = np.cumsum(chain_start) - 1
     starts = positions[chain_start]
-    offsets = positions - starts[chain_id]
-    return positions[offsets % 2 == 0]
+    return (positions - starts[chain_id]) % 2 == 0
+
+
+def _encode_fused(vs: list[np.ndarray], vmaxes: list[int]) -> list[bytes]:
+    """One fused grammar build over a group of non-empty rows; see
+    NgramCodec.encode_batch. Every selection / tie-break / stop decision
+    replicates the solo loop in ``NgramCodec.encode`` exactly."""
+    g = len(vs)
+    mult = max(vmaxes) + MAX_SYMS + 1
+    big_m = mult * mult
+    sym_bases = np.array([m + 1 for m in vmaxes], dtype=np.int64)
+    s = np.concatenate([v.astype(np.int64) for v in vs])
+    row_of = np.repeat(
+        np.arange(g, dtype=np.int64), np.array([v.size for v in vs], dtype=np.int64)
+    )
+    n_syms = np.zeros(g, dtype=np.int64)
+    active = np.ones(g, dtype=bool)
+    rounds: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # (row, left, right)
+
+    for _ in range(MAX_ROUNDS):
+        active &= n_syms < MAX_SYMS  # solo: break when table is full
+        if not active.any() or s.size < 2:
+            break
+        valid = row_of[:-1] == row_of[1:]
+        valid &= active[row_of[:-1]]
+        pos = np.flatnonzero(valid)
+        if pos.size == 0:
+            break
+        fk = row_of[pos] * big_m + s[pos] * mult + s[pos + 1]
+        uniq, counts = np.unique(fk, return_counts=True)
+        eligible = counts >= MIN_PAIR_COUNT
+        rows_with_digrams = np.unique(row_of[pos])
+        if not eligible.any():
+            break  # every active row would have break-ed (no table growth)
+        cand = np.flatnonzero(eligible)
+        cr = (uniq[cand] // big_m).astype(np.int64)
+        cc = counts[cand]
+        # Rows with digrams but no eligible pair stop WITHOUT table growth.
+        active[rows_with_digrams[~np.isin(rows_with_digrams, cr)]] = False
+        # Per-row top-budget selection by (count desc, key desc) — the solo
+        # stable-argsort-reversed tie-break. cand is ascending in fused key
+        # == (row, key) lexicographic, so -cand orders key-desc within row.
+        sel_order = np.lexsort((-cand, -cc, cr))
+        sr_sorted = cr[sel_order]
+        row_change = np.empty(sr_sorted.size, dtype=bool)
+        row_change[0] = True
+        np.not_equal(sr_sorted[1:], sr_sorted[:-1], out=row_change[1:])
+        seg_start = np.flatnonzero(row_change)
+        seg_id = np.cumsum(row_change) - 1
+        rank_in_row = np.arange(sr_sorted.size) - seg_start[seg_id]
+        budget = np.minimum(PAIRS_PER_ROUND, MAX_SYMS - n_syms[sr_sorted])
+        sel = sel_order[rank_in_row < budget]
+        selu = np.sort(cand[sel])  # (row, key) ascending — solo sym order
+        sk = uniq[selu]
+        sel_rows = (sk // big_m).astype(np.int64)
+        local = sk % big_m
+        left = local // mult
+        right = local % mult
+        # Fresh symbol ids: sym_base_row + prior table size + rank-by-key.
+        rchange = np.empty(sel_rows.size, dtype=bool)
+        rchange[0] = True
+        np.not_equal(sel_rows[1:], sel_rows[:-1], out=rchange[1:])
+        rstart = np.flatnonzero(rchange)
+        rid = np.cumsum(rchange) - 1
+        rank = np.arange(sel_rows.size) - rstart[rid]
+        sym = sym_bases[sel_rows] + n_syms[sel_rows] + rank
+        rounds.append((sel_rows, left, right))
+        rows_u, row_cnt = sel_rows[rstart], np.diff(np.append(rstart, sel_rows.size))
+        n_syms[rows_u] += row_cnt
+        # Matches: fused keys present in the selected set.
+        pis = np.searchsorted(sk, fk)
+        np.clip(pis, 0, sk.size - 1, out=pis)
+        is_match = sk[pis] == fk
+        mpos = pos[is_match]
+        kept_mask = _greedy_mask(mpos)  # chains never span rows (see solo)
+        kept = mpos[kept_mask]
+        # Rows that selected symbols but kept no match stop (solo breaks
+        # AFTER appending table entries).
+        kept_rows = np.unique(row_of[kept]) if kept.size else np.zeros(0, np.int64)
+        active[rows_u[~np.isin(rows_u, kept_rows)]] = False
+        if kept.size == 0:
+            continue  # table may still have grown; other rows proceed
+        s[kept] = sym[pis[is_match]][kept_mask]
+        drop = np.zeros(s.size, dtype=bool)
+        drop[kept + 1] = True
+        keep = ~drop
+        s = s[keep]
+        row_of = row_of[keep]
+
+    # Assemble per-row payloads (identical packing to the solo path).
+    if rounds:
+        all_rows = np.concatenate([r for r, _, _ in rounds])
+        all_left = np.concatenate([le for _, le, _ in rounds])
+        all_right = np.concatenate([ri for _, _, ri in rounds])
+        by_row = np.argsort(all_rows, kind="stable")  # keeps round order
+        all_rows, all_left, all_right = (
+            all_rows[by_row], all_left[by_row], all_right[by_row]
+        )
+        trow_off = np.searchsorted(all_rows, np.arange(g + 1))
+    else:
+        all_left = all_right = np.zeros(0, dtype=np.int64)
+        trow_off = np.zeros(g + 1, dtype=np.int64)
+    srow_off = np.searchsorted(row_of, np.arange(g + 1))
+    out: list[bytes] = []
+    for r in range(g):
+        ns = int(n_syms[r])
+        s_r = s[srow_off[r] : srow_off[r + 1]]
+        table = np.empty(2 * ns, dtype=np.int64)
+        if ns:
+            table[0::2] = all_left[trow_off[r] : trow_off[r + 1]]
+            table[1::2] = all_right[trow_off[r] : trow_off[r + 1]]
+        sym_base = int(sym_bases[r])
+        twidth = bit_width(sym_base + ns - 1) if ns else 0
+        swidth = bit_width(int(s_r.max())) if s_r.size else 0
+        header = struct.pack(_HEADER, ns, sym_base, s_r.size, twidth, swidth)
+        out.append(header + pack_bits(table, twidth) + pack_bits(s_r, swidth))
+    return out
 
 
 class NgramCodec(Codec):
@@ -74,6 +199,56 @@ class NgramCodec(Codec):
         _, counts = np.unique(keys, return_counts=True)
         eligible = counts[counts >= MIN_PAIR_COUNT].sum()
         return float(eligible) / float(n)
+
+    @staticmethod
+    def repeat_fraction_batch(
+        rows: list[np.ndarray], sample_pairs: int = 2048
+    ) -> list[float]:
+        """Fused form of :meth:`repeat_fraction`: ONE np.unique over every
+        row's digram keys (row-prefixed, same shared-mult argument as
+        encode_batch) instead of one per row. Bit-identical fractions —
+        integer counts divide by the same n."""
+        fracs = [0.0] * len(rows)
+        work: list[tuple[int, np.ndarray]] = []
+        vmaxes: list[int] = []
+        for i, values in enumerate(rows):
+            n = min(values.size, sample_pairs + 1)
+            if n < 2:
+                continue
+            v = values[:n]
+            work.append((i, v))
+            vmaxes.append(int(v.max()))
+        if not work:
+            return fracs
+        order = sorted(range(len(work)), key=lambda j: vmaxes[j])
+        g_start = 0
+        while g_start < len(order):
+            g_end = g_start + 1
+            while g_end < len(order):
+                mult = vmaxes[order[g_end]] + MAX_SYMS + 2
+                if (g_end - g_start + 1) * mult * mult >= 2**63:
+                    break
+                g_end += 1
+            group = order[g_start:g_end]
+            mult = vmaxes[group[-1]] + MAX_SYMS + 2
+            big_m = mult * mult
+            keys = []
+            rows_of = []
+            for gi, j in enumerate(group):
+                v = work[j][1].astype(np.int64)
+                keys.append(gi * big_m + v[:-1] * mult + v[1:])
+                rows_of.append(np.full(v.size - 1, gi, dtype=np.int64))
+            fk = np.concatenate(keys)
+            uniq, counts = np.unique(fk, return_counts=True)
+            elig = counts >= MIN_PAIR_COUNT
+            if elig.any():
+                gr = (uniq[elig] // big_m).astype(np.int64)
+                per_row = np.bincount(gr, weights=counts[elig], minlength=len(group))
+                for gi, j in enumerate(group):
+                    i, v = work[j]
+                    fracs[i] = float(per_row[gi]) / float(v.size)
+            g_start = g_end
+        return fracs
 
     def encode(self, values: np.ndarray) -> bytes:
         v = check_tokens(values)
@@ -126,6 +301,54 @@ class NgramCodec(Codec):
         swidth = bit_width(int(s.max())) if s.size else 0
         header = struct.pack(_HEADER, n_syms, sym_base, s.size, twidth, swidth)
         return header + pack_bits(table, twidth) + pack_bits(s, swidth)
+
+    def encode_batch(self, rows: list[np.ndarray]) -> list[bytes]:
+        """Byte-identical to ``[self.encode(r) for r in rows]`` with the
+        grammar rounds FUSED across rows: each round runs ONE np.unique /
+        selection / replacement pass over the concatenation of every
+        still-active row's stream instead of ~20 numpy calls per row per
+        round — the per-call overhead that dominates encode cost on small
+        blocks (measured 0.32 ms/row at ~660 tokens). Fused keys are
+        ``row_group * mult² + left * mult + right`` with a shared ``mult``
+        (any mult larger than every component preserves each row's key
+        ORDER and (left,right) extraction, so selections are unchanged);
+        rows are greedily grouped so the fused key fits int64 even for
+        near-2³¹ token values. Per-row grammar state (symbol budget, stop
+        conditions, sym_base) is tracked per row; a row that would have
+        ``break``-ed solo is masked out of later rounds. Equality with the
+        solo path is pinned by tests/test_codecs.py differentials."""
+        payloads: list[bytes | None] = [None] * len(rows)
+        nonempty: list[int] = []
+        checked: list[np.ndarray] = []
+        vmaxes: list[int] = []
+        for i, r in enumerate(rows):
+            v = check_tokens(r)
+            if v.size == 0:
+                payloads[i] = struct.pack(_HEADER, 0, 0, 0, 0, 0)
+            else:
+                nonempty.append(i)
+                checked.append(v)
+                vmaxes.append(int(v.max()))
+        if not nonempty:
+            return payloads  # type: ignore[return-value]
+        # Group rows (vmax-ascending) so group_size * mult² stays in int64.
+        order = sorted(range(len(nonempty)), key=lambda j: vmaxes[j])
+        g_start = 0
+        while g_start < len(order):
+            g_end = g_start + 1
+            while g_end < len(order):
+                mult = vmaxes[order[g_end]] + MAX_SYMS + 1
+                if (g_end - g_start + 1) * mult * mult >= 2**63:
+                    break
+                g_end += 1
+            group = order[g_start:g_end]
+            outs = _encode_fused(
+                [checked[j] for j in group], [vmaxes[j] for j in group]
+            )
+            for j, p in zip(group, outs):
+                payloads[nonempty[j]] = p
+            g_start = g_end
+        return payloads  # type: ignore[return-value]
 
     def decode(self, payload, n: int) -> np.ndarray:
         buf = memoryview(payload)

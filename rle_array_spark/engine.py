@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rle_array_spark.chooser import DEFAULT_THRESHOLD, choose_codec
+from rle_array_spark.chooser import DEFAULT_THRESHOLD, choose_codec, choose_codec_batch
 from rle_array_spark.codecs import CODECS, compute_stats
 from rle_array_spark.codecs.rle import reference_rle_nbytes
 
@@ -383,18 +383,31 @@ def _encode_column(
         run_pos = np.zeros(0, dtype=np.int64)
         run_off = np.zeros(n_rows + 1, dtype=np.int64)
 
+    if codec == "auto":
+        # Batch chooser: NGRAM trials across the whole batch fuse into one
+        # grammar build per round (choose_codec_batch) — per-row results
+        # identical to choose_codec, per-call numpy overhead paid once.
+        rows = [flat[offsets[i] : offsets[i + 1]] for i in range(n_rows)]
+        stats_list = [
+            _row_stats(
+                flat, run_pos, int(run_off[i]), int(run_off[i + 1]),
+                int(offsets[i + 1] - offsets[i]),
+                int(run_off[i + 1] - run_off[i]),
+                int(tok_min[i]), int(tok_max[i]),
+            )
+            for i in range(n_rows)
+        ]
+        chosen = choose_codec_batch(rows, stats_list=stats_list, threshold=threshold)
+    else:
+        chosen = None
+
     for i in range(n_rows):
         lo, hi = offsets[i], offsets[i + 1]
-        row = flat[lo:hi]
         r = int(run_off[i + 1] - run_off[i])
-        if codec == "auto":
-            stats = _row_stats(
-                flat, run_pos, int(run_off[i]), int(run_off[i + 1]),
-                int(hi - lo), r, int(tok_min[i]), int(tok_max[i]),
-            )
-            name, payload = choose_codec(row, stats=stats, threshold=threshold)
+        if chosen is not None:
+            name, payload = chosen[i]
         else:
-            name, payload = codec, CODECS[codec].encode(row)
+            name, payload = codec, CODECS[codec].encode(flat[lo:hi])
         codecs_out.append(name)
         payloads.append(payload)
         n_values[i] = hi - lo

@@ -49,6 +49,17 @@ def main() -> None:
         f"ratio {total * 4 / enc_bytes:.3f}  {dict(Counter(n for n, _ in enc))}"
     )
 
+    # Batched chooser (the engine kernel's path): ngram trials fused.
+    from rle_array_spark.chooser import choose_codec_batch
+
+    t0 = time.monotonic()
+    enc_b = []
+    for lo in range(0, len(rows), 1024):  # engine-batch-sized groups
+        enc_b.extend(choose_codec_batch(rows[lo : lo + 1024]))
+    t_b = time.monotonic() - t0
+    assert all(a == b for a, b in zip(enc, enc_b))
+    print(f"encode batch: {t_b:6.2f}s  {total / t_b / 1e6:6.1f} M tok/s  (same payloads)")
+
     t0 = time.monotonic()
     enc_rle = [CODECS["rle"].encode(r) for r in rows]
     t_rle = time.monotonic() - t0

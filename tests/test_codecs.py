@@ -248,3 +248,85 @@ def test_lazy_chooser_matches_eager_trials():
             a = eager(v.copy(), thr)
             b = choose_codec(v.copy(), threshold=thr)
             assert a[0] == b[0] and a[1] == b[1], (thr, v.size, a[0], b[0])
+
+
+def test_ngram_encode_batch_byte_identical():
+    """Fused batch grammar build must produce byte-identical payloads to
+    the solo encoder for every regime, any grouping (subsets reshuffle the
+    shared-mult groups), including near-INT32_MAX values (the int64 fused
+    key capacity edge) and empty/single rows."""
+    import random
+
+    from rle_array_spark import datagen
+
+    ng = CODECS["ngram"]
+    rng = np.random.default_rng(3)
+    cases = [
+        np.array([], dtype=np.int32),
+        np.array([7], dtype=np.int32),
+        np.full(1000, 3, dtype=np.int32),
+        np.tile(np.array([0, 1], dtype=np.int32), 500),
+        rng.integers(0, 5, size=3000).astype(np.int32),
+        np.array([2**31 - 1] * 100, dtype=np.int32),
+        np.tile(np.array([2**31 - 1, 2**31 - 2], dtype=np.int32), 300),
+    ]
+    batch = datagen.generate_block(0, 30, include_edges=True)
+    tok = batch.column("tokens")
+    cases += [np.asarray(tok[i].values, dtype=np.int32) for i in range(batch.num_rows)]
+    for ms in (4, 64, 256):
+        motif = rng.integers(0, 60000, size=ms)
+        v = np.tile(motif, 3000 // ms + 1)[:3000].astype(np.int32)
+        m = rng.random(3000) < 0.2
+        v[m] = rng.integers(0, 60000, size=m.sum())
+        cases.append(v)
+    solo = [ng.encode(v.copy()) for v in cases]
+    fused = ng.encode_batch([v.copy() for v in cases])
+    assert solo == fused
+    for trial in range(3):
+        random.seed(trial)
+        sub = random.sample(range(len(cases)), k=len(cases) // 2)
+        f = ng.encode_batch([cases[i].copy() for i in sub])
+        assert all(f[j] == solo[i] for j, i in enumerate(sub))
+
+
+def test_repeat_fraction_batch_matches_solo():
+    from rle_array_spark.codecs.ngram import NgramCodec
+
+    rng = np.random.default_rng(5)
+    cases = [np.array([], dtype=np.int32), np.array([4], dtype=np.int32)]
+    for _ in range(80):
+        n = int(rng.integers(2, 6000))
+        cases.append(
+            rng.integers(0, int(rng.integers(2, 70000)), size=n).astype(np.int32)
+        )
+    solo = [NgramCodec.repeat_fraction(v) for v in cases]
+    batch = NgramCodec.repeat_fraction_batch(cases)
+    assert solo == batch
+
+
+def test_choose_codec_batch_matches_solo():
+    """The engine kernel's batch chooser must return identical (name,
+    payload) per row as choose_codec — incl. the sample-projection upgrade
+    path (rows > NGRAM_SAMPLE_TOKENS) and tight-threshold raw fallbacks."""
+    from rle_array_spark import datagen
+    from rle_array_spark.chooser import choose_codec_batch
+
+    rng = np.random.default_rng(13)
+    batch = datagen.generate_block(0, 25, include_edges=True)
+    tok = batch.column("tokens")
+    cases = [np.asarray(tok[i].values, dtype=np.int32) for i in range(batch.num_rows)]
+    for _ in range(40):
+        n = int(rng.integers(0, 3000))
+        cases.append(
+            rng.integers(0, int(rng.integers(2, 70000)), size=n).astype(np.int32)
+        )
+    for ms in (8, 256):  # > sample-window rows exercise projection+upgrade
+        motif = rng.integers(0, 60000, size=ms)
+        v = np.tile(motif, 12000 // ms + 1)[:12000].astype(np.int32)
+        m = rng.random(12000) < 0.15
+        v[m] = rng.integers(0, 60000, size=m.sum())
+        cases.append(v)
+    for thr in (1.0, 0.5):
+        solo = [choose_codec(v.copy(), threshold=thr) for v in cases]
+        bat = choose_codec_batch([v.copy() for v in cases], threshold=thr)
+        assert solo == bat
