@@ -137,6 +137,7 @@ def choose_codec_batch(
     stats_list: list[BlockStats | None] | None = None,
     threshold: float = DEFAULT_THRESHOLD,
     enable_ngram: bool = True,
+    runs_fn=None,
 ) -> list[tuple[str, bytes]]:
     """Batch form of :func:`choose_codec` — identical (name, payload) per
     row (pinned by tests/test_codecs.py differential), with every NGRAM
@@ -179,11 +180,21 @@ def choose_codec_batch(
             if exact:
                 size, payload = estimates[nm], None
             else:
-                payload = (
-                    CODECS["dict"].encode(values, table=stats.uniq)
-                    if nm == "dict"
-                    else CODECS[nm].encode(values)
-                )
+                if nm == "rle" and runs_fn is not None:
+                    # Batch-precomputed canonical runs (engine change mask,
+                    # ``runs_fn(i)``): identical bytes to RleCodec.encode's
+                    # own split_runs, minus the per-row O(n) change re-scan.
+                    # Same negative-token rejection (a negative value is a
+                    # negative run value).
+                    from rle_array_spark.codecs.core import check_tokens
+                    from rle_array_spark.codecs.rle import encode_runs
+
+                    rv, rl = runs_fn(i)
+                    payload = encode_runs(check_tokens(rv), rl)
+                elif nm == "dict":
+                    payload = CODECS["dict"].encode(values, table=stats.uniq)
+                else:
+                    payload = CODECS[nm].encode(values)
                 size = len(payload)
             if size < best_size:
                 best_name, best_payload, best_size = nm, payload, size

@@ -397,7 +397,16 @@ def _encode_column(
             )
             for i in range(n_rows)
         ]
-        chosen = choose_codec_batch(rows, stats_list=stats_list, threshold=threshold)
+        def row_runs(i: int) -> tuple[np.ndarray, np.ndarray]:
+            # Canonical runs from the batch change mask — computed only for
+            # rows whose chooser actually trials RLE.
+            starts_abs = run_pos[run_off[i] : run_off[i + 1]]
+            ends = np.append(starts_abs[1:], offsets[i + 1])
+            return flat[starts_abs], (ends - starts_abs).astype(np.int64)
+
+        chosen = choose_codec_batch(
+            rows, stats_list=stats_list, threshold=threshold, runs_fn=row_runs
+        )
     else:
         chosen = None
 
