@@ -535,3 +535,23 @@ def test_take_any_property(arr, codec, data):
     if rv.size > 1:
         assert np.all(rv[1:] != rv[:-1])
     assert np.all(rl > 0)
+
+
+@given(st.lists(st.one_of(token_arrays, run_arrays), min_size=0, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_ngram_encode_batch_property(rows):
+    """For ANY set of non-negative int32 rows, the fused batch grammar
+    build emits the solo encoder's exact bytes, row for row."""
+    ng = CODECS["ngram"]
+    solo = [ng.encode(r.copy()) for r in rows]
+    assert ng.encode_batch([r.copy() for r in rows]) == solo
+
+
+@given(st.lists(st.one_of(token_arrays, run_arrays), min_size=0, max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_choose_codec_batch_property(rows):
+    """Batch chooser == solo chooser for ANY row set (names and bytes)."""
+    from rle_array_spark.chooser import choose_codec_batch
+
+    solo = [choose_codec(r.copy()) for r in rows]
+    assert choose_codec_batch([r.copy() for r in rows]) == solo
