@@ -1487,6 +1487,61 @@ def source_quantiles_df(
     return cum.groupBy("source", "n_toks").agg(*aggs)
 
 
+def docs_containing_df(blocks: DataFrame, token: int) -> DataFrame:
+    """Which docs contain ``token``, and how often — the contamination-
+    screening / inverted-lookup shape over encoded blocks. Two-stage:
+
+    1. ZONE-MAP PRUNE: a relational ``tok_min <= T <= tok_max`` filter on
+       the metadata columns. Over parquet-written blocks Catalyst pushes
+       this into the scan (PushedFilters, pinned by
+       tests/test_plans.py:20), so pruned blocks' payloads are never read
+       — the property that matters when 99% of a 100 TB corpus can't
+       contain the token.
+    2. Surviving payloads count occurrences in the COMPRESSED domain
+       (value_counts_block: run values for RLE, table lookup for DICT —
+       O(runs), never decoding), merged per doc across chunks.
+    """
+    pruned = blocks.filter(
+        (F.col("tok_min") <= F.lit(int(token))) & (F.col("tok_max") >= F.lit(int(token)))
+    )
+
+    def kernel(batches):
+        from rle_array_spark.codecs.reduce import value_counts_block
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            codecs_col = batch.column("codec").to_pylist()
+            payload_col = batch.column("payload")
+            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column("doc_id").to_pylist()
+            out_docs: list[str] = []
+            out_hits: list[int] = []
+            for i in range(batch.num_rows):
+                vals, counts = value_counts_block(
+                    codecs_col[i],
+                    memoryview(payload_col[i].as_buffer()),
+                    int(n_col[i]),
+                )
+                j = np.searchsorted(vals, token)
+                if j < vals.size and vals[j] == token:
+                    out_docs.append(doc_ids[i])
+                    out_hits.append(int(counts[j]))
+            if out_docs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_docs, type=pa.string()),
+                        pa.array(np.array(out_hits, dtype=np.int64)),
+                    ],
+                    names=["doc_id", "n_hits"],
+                )
+
+    partials = pruned.select("doc_id", "codec", "payload", "n_values").mapInArrow(
+        kernel, "doc_id string, n_hits long"
+    )
+    return partials.groupBy("doc_id").agg(F.sum("n_hits").alias("n_hits"))
+
+
 def sort_blocks_df(blocks: DataFrame, descending: bool = False) -> DataFrame:
     """Per-doc sorted copy computed from HISTOGRAMS, never from decoded
     sequences: value_counts partials merge across a doc's chunks, and the

@@ -219,3 +219,21 @@ def test_source_quantiles_df_rejects_inexact_prob(spark, sequences):
     blocks = encode_df(sequences.limit(1), codec="auto")
     with pytest.raises(ValueError, match="binary-exact"):
         source_quantiles_df(blocks, probs=(0.3,))
+
+
+# ---- containment lookup (zone-map prune + compressed occurrence count) ----
+
+
+def test_docs_containing_df_matches_bruteforce(spark, sequences):
+    from rle_array_spark.engine import docs_containing_df, encode_df
+
+    blocks = encode_df(sequences, codec="auto")
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    for token in (0, 5, 17, 1000, 10**9):
+        got = {r["doc_id"]: r["n_hits"] for r in docs_containing_df(blocks, token).collect()}
+        want = {}
+        for d, toks in raw.items():
+            c = int(np.count_nonzero(np.asarray(toks, dtype=np.int64) == token))
+            if c:
+                want[d] = c
+        assert got == want, token
