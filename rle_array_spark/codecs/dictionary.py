@@ -27,10 +27,18 @@ class DictCodec(Codec):
         v = check_tokens(values)
         if table is None:
             table = np.unique(v)
-        codes = np.searchsorted(table, v)
         card = int(table.size)
         if card == 0:
             return struct.pack(_HEADER, 0, 0, 0, 0)
+        span = int(table[-1]) - int(table[0]) + 1
+        if span <= 2 * v.size:
+            # Dense value range: O(span + n) inverse-lookup table beats the
+            # O(n log card) searchsorted (identical codes either way).
+            lut = np.empty(span, dtype=np.int64)
+            lut[table - table[0]] = np.arange(card, dtype=np.int64)
+            codes = lut[v - table[0]]
+        else:
+            codes = np.searchsorted(table, v)
         dbase = int(table[0])
         dwidth = bit_width(int(table[-1]) - dbase)
         cwidth = bit_width(card - 1)
