@@ -574,10 +574,12 @@ def choose_typed(values: np.ndarray, valid: np.ndarray | None = None) -> tuple[s
     best = min((est_rle, "trle"), (est_dict, "tdict"), (est_raw, "traw"))[1]
     enc = {"trle": encode_trle, "tdict": encode_tdict, "traw": encode_traw}[best]
     payload = enc(values, valid)
-    if best != "traw":
-        raw = encode_traw(values, valid)
-        if len(raw) <= len(payload):
-            return "traw", raw
+    if best != "traw" and est_raw <= len(payload):
+        # est_raw IS len(encode_traw(...)) — header + buffer, both
+        # analytically sized (0 deviations over every dtype/null regime,
+        # pinned by tests) — so the raw guard never wastes the O(n) copy
+        # on blocks where the structured codec already won.
+        return "traw", encode_traw(values, valid)
     return best, payload
 
 

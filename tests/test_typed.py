@@ -354,3 +354,54 @@ def test_take_and_reverse_typed_df(spark):
     for r in tk.collect():
         a = audit[r["doc_id"]]
         assert r["n_runs"] == a["n_runs"] and r["null_count"] == a["null_count"]
+
+
+def test_choose_typed_raw_guard_is_analytic():
+    """choose_typed's raw-vs-winner guard uses the analytic traw size
+    (len(encode_traw) == 2 + null_header + n*w exactly); pin that equality
+    and that the guard still returns traw whenever raw is no larger."""
+    import numpy as np
+
+    from rle_array_spark.codecs.typed import (
+        _mask_runs,
+        _normalize,
+        choose_typed,
+        decode_typed,
+        encode_traw,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        n = int(rng.integers(0, 300))
+        kind = trial % 5
+        if kind == 0:
+            vals = rng.normal(size=n)
+            vals[rng.random(n) < 0.2] = np.nan
+        elif kind == 1:
+            vals = rng.integers(0, 5, size=n).astype(np.int32)
+        elif kind == 2:
+            vals = rng.random(n) < 0.5
+        elif kind == 3:
+            vals = rng.integers(0, 10**15, size=n).astype("datetime64[us]")
+        else:
+            vals = np.repeat(rng.normal(size=n // 10 + 1), 10)[:n]
+        valid = None
+        if rng.random() < 0.6 and n:
+            valid = rng.random(n) < 0.8
+        code, bv, valid_n = _normalize(vals, valid)
+        null_bytes = 0 if valid_n is None else 5 + 4 * _mask_runs(valid_n)[1].size
+        assert 2 + null_bytes + bv.size * vals.dtype.itemsize == len(
+            encode_traw(vals, valid)
+        )
+        name, payload = choose_typed(vals, valid)
+        if name != "traw":  # winner must beat raw strictly
+            assert len(payload) < len(encode_traw(vals, valid))
+        out, ov = decode_typed(name, payload, n)
+        got_valid = ov if ov is not None else np.ones(n, dtype=bool)
+        want_valid = valid if valid is not None else np.ones(n, dtype=bool)
+        assert np.array_equal(got_valid, want_valid)
+        if n:
+            eq = out[got_valid] == vals[got_valid]
+            if vals.dtype.kind == "f":
+                eq = eq | (np.isnan(out[got_valid]) & np.isnan(vals[got_valid]))
+            assert eq.all()
