@@ -123,6 +123,85 @@ def running_source_stats_stream(
     return query
 
 
+RUNNING_QUANTILES_SCHEMA = "source string, n_toks long, p25 int, p50 int, p75 int"
+_HIST_STATE_SCHEMA = "hvalues array<int>, hcounts array<long>"
+_QUANTILE_PROBS = (0.25, 0.5, 0.75)
+
+
+def _running_quantiles_fn(key, pdf_iter, state):
+    """applyInPandasWithState update function: merge each micro-batch's
+    per-block COMPRESSED-DOMAIN histograms (value_counts_block — O(runs),
+    payloads never decoded) into a per-source running histogram held in
+    the state store, and emit the exact running quantiles after each
+    micro-batch. Same ceil(p·n) discrete convention as the batch
+    ``engine.source_quantiles_df``, so a full drain ends at exactly the
+    batch answer (pinned by tests/test_streaming.py). State size is
+    bounded by the vocabulary, not the stream length."""
+    import numpy as np
+    import pandas as pd
+
+    from rle_array_spark.codecs.reduce import value_counts_block
+
+    if state.exists:
+        hv, hc = state.get
+        hist = dict(zip(hv, hc))
+    else:
+        hist = {}
+    for pdf in pdf_iter:
+        for codec, payload, n in zip(
+            pdf["codec"], pdf["payload"], pdf["n_values"].astype("int64")
+        ):
+            vals, counts = value_counts_block(codec, memoryview(payload), int(n))
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                hist[v] = hist.get(v, 0) + c
+    values = np.array(sorted(hist), dtype=np.int64)
+    counts = np.array([hist[v] for v in values.tolist()], dtype=np.int64)
+    state.update((values.astype("int32").tolist(), counts.tolist()))
+    cum = np.cumsum(counts)
+    n_toks = int(cum[-1]) if cum.size else 0
+    row = {"source": [key[0]], "n_toks": [n_toks]}
+    for p in _QUANTILE_PROBS:
+        k = int(np.ceil(p * n_toks))
+        idx = int(np.searchsorted(cum, max(k, 1)))
+        row[f"p{int(p * 100)}"] = [int(values[idx])] if n_toks else [None]
+    yield pd.DataFrame(row)
+
+
+def running_quantiles_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    codec: str = "auto",
+):
+    """Continuous encode with streaming EXACT quantiles downstream: the
+    per-source running token histogram lives in the streaming state store
+    (merged from compressed-domain partial histograms), so every
+    micro-batch appends the exact-so-far quartiles per touched source —
+    the streaming twin of ``engine.source_quantiles_df``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_sequence_stream(spark, input_dir)
+    blocks = encode_df(stream, codec=codec)
+    quants = blocks.groupBy("source").applyInPandasWithState(
+        _running_quantiles_fn,
+        outputStructType=RUNNING_QUANTILES_SCHEMA,
+        stateStructType=_HIST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        quants.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def encode_table_stream(
     spark: SparkSession,
     input_dir: str,

@@ -175,3 +175,40 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     dedup_stream(spark, input_dir, out_dir, ckpt)
     out2 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(out_dir).collect()}
     assert out2 == {"d1": 5, "d3": 5, "d5": 5}
+
+
+def test_streaming_running_quantiles_match_batch(spark, tmp_path):
+    """Streaming exact quantiles: after draining two shards, the latest
+    emission per source equals the BATCH source_quantiles_df answer over
+    the same rows (state merged compressed-domain histograms across
+    restarts)."""
+    from rle_array_spark.engine import encode_df, source_quantiles_df
+    from rle_array_spark.streaming import running_quantiles_stream
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "quants")
+    ckpt = str(tmp_path / "ckptq")
+
+    _write_shard(input_dir, 0)
+    running_quantiles_stream(spark, input_dir, out_dir, ckpt)
+    _write_shard(input_dir, 1)
+    running_quantiles_stream(spark, input_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:  # max-n_toks row per source = latest emission
+        if r["source"] not in latest or r["n_toks"] > latest[r["source"]]["n_toks"]:
+            latest[r["source"]] = r
+    seq = spark.read.schema(
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).parquet(input_dir)
+    batch = {
+        r["source"]: r
+        for r in source_quantiles_df(encode_df(seq, codec="auto")).collect()
+    }
+    assert set(latest) == set(batch)
+    for s, want in batch.items():
+        got = latest[s]
+        assert got["n_toks"] == want["n_toks"], s
+        for c in ("p25", "p50", "p75"):
+            assert got[c] == want[c], (s, c)
