@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rle_array_spark.chooser import DEFAULT_THRESHOLD, choose_codec, choose_codec_batch
+from rle_array_spark.chooser import DEFAULT_THRESHOLD, choose_codec_batch
 from rle_array_spark.codecs import CODECS, compute_stats
 from rle_array_spark.codecs.rle import reference_rle_nbytes
 

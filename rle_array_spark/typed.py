@@ -633,3 +633,36 @@ def value_counts_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return partials.groupBy("doc_id", "value").agg(F.sum("count").alias("count"))
+
+
+def doc_quantiles_typed_df(
+    blocks: DataFrame, elem_type: str, probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Exact per-doc discrete quantiles over a typed column, computed from
+    the compressed value-counts histogram (nulls excluded by construction;
+    float NaN sorts LAST — the Spark/NumPy convention). Same ceil(p·n)
+    pick and binary-exact-probability contract as the token-side
+    ``engine.source_quantiles_df``; the shuffle carries only (doc, value,
+    count) tuples."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for p in probs:
+        if not (0 < p <= 1) or (p * 2**32) != int(p * 2**32):
+            raise ValueError(f"probability {p} is not a binary-exact fraction")
+    vc = value_counts_typed_df(blocks, elem_type)
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("cum", F.sum("count").over(w_cum)).withColumn(
+        "n_vals", F.sum("count").over(Window.partitionBy("doc_id"))
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_vals")), F.col("value"))
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return cum.groupBy("doc_id", "n_vals").agg(*aggs)

@@ -405,3 +405,42 @@ def test_choose_typed_raw_guard_is_analytic():
             if vals.dtype.kind == "f":
                 eq = eq | (np.isnan(out[got_valid]) & np.isnan(vals[got_valid]))
             assert eq.all()
+
+
+def test_doc_quantiles_typed_matches_numpy(spark):
+    """Compressed-histogram per-doc quantiles == numpy sort-and-pick over
+    the decoded values (nulls excluded, NaN sorting last), float dtype
+    with planted NaNs and nulls."""
+    import numpy as np
+
+    from rle_array_spark.typed import doc_quantiles_typed_df, encode_typed_df
+
+    rng = np.random.default_rng(23)
+    rows = []
+    raw = {}
+    for d in range(30):
+        n = int(rng.integers(1, 200))
+        vals = np.round(rng.normal(size=n), 3)
+        vals[rng.random(n) < 0.1] = np.nan
+        mask = rng.random(n) < 0.15  # nulls
+        pyvals = [None if m else float(v) for v, m in zip(vals, mask)]
+        rows.append((f"d{d:03d}", "src", pyvals))
+        raw[f"d{d:03d}"] = np.sort(vals[~mask])  # NaN sorts last
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, "vals")
+    got = {r["doc_id"]: r for r in doc_quantiles_typed_df(blocks, "double").collect()}
+    for d, x in raw.items():
+        if x.size == 0:
+            assert d not in got
+            continue
+        row = got[d]
+        assert row["n_vals"] == x.size
+        for p in (0.25, 0.5, 0.75):
+            k = int(np.ceil(p * x.size))
+            want = x[k - 1]
+            v = row[f"p{int(p * 100)}"]
+            assert (np.isnan(want) and np.isnan(v)) or v == want, (d, p)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="binary-exact"):
+        doc_quantiles_typed_df(blocks, "double", probs=(0.3,))
