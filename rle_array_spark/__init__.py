@@ -15,6 +15,13 @@ ever see Arrow record batches (``mapInArrow``) — no per-row Python UDFs.
 __version__ = "0.1.0"
 
 from rle_array_spark.codecs import CODECS, decode_block, encode_block  # noqa: F401
-from rle_array_spark.chooser import choose_codec  # noqa: F401
+from rle_array_spark.chooser import choose_codec, choose_codec_batch  # noqa: F401
 
-__all__ = ["CODECS", "encode_block", "decode_block", "choose_codec", "__version__"]
+__all__ = [
+    "CODECS",
+    "encode_block",
+    "decode_block",
+    "choose_codec",
+    "choose_codec_batch",
+    "__version__",
+]

@@ -33,10 +33,13 @@ class DictCodec(Codec):
         span = int(table[-1]) - int(table[0]) + 1
         if span <= 2 * v.size:
             # Dense value range: O(span + n) inverse-lookup table beats the
-            # O(n log card) searchsorted (identical codes either way).
-            lut = np.empty(span, dtype=np.int64)
+            # O(n log card) searchsorted (identical codes either way for a
+            # covering table). np.zeros + clip-mode take keep even a
+            # MISUSED partial table deterministic and crash-free — the same
+            # garbage-codes-no-crash class the searchsorted path has.
+            lut = np.zeros(span, dtype=np.int64)
             lut[table - table[0]] = np.arange(card, dtype=np.int64)
-            codes = lut[v - table[0]]
+            codes = np.take(lut, v.astype(np.int64) - int(table[0]), mode="clip")
         else:
             codes = np.searchsorted(table, v)
         dbase = int(table[0])

@@ -233,11 +233,9 @@ class NgramCodec(Codec):
             mult = vmaxes[group[-1]] + MAX_SYMS + 2
             big_m = mult * mult
             keys = []
-            rows_of = []
             for gi, j in enumerate(group):
                 v = work[j][1].astype(np.int64)
                 keys.append(gi * big_m + v[:-1] * mult + v[1:])
-                rows_of.append(np.full(v.size - 1, gi, dtype=np.int64))
             fk = np.concatenate(keys)
             uniq, counts = np.unique(fk, return_counts=True)
             elig = counts >= MIN_PAIR_COUNT

@@ -585,6 +585,7 @@ def ivf_assign_df(
     import pyarrow as pa
 
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    top = min(top, cent.shape[0])  # probing more cells than exist = all cells
 
     def kernel(batches):
         for batch in batches:

@@ -392,3 +392,13 @@ def test_ivf_probe_ties_break_to_smaller_cent(spark):
     cent = np.ones((2, 64))
     got = [r["cent_id"] for r in ivf_assign_df(e, cent, 64, top=1).collect()]
     assert got == [0]
+
+
+def test_ivf_nprobe_exceeding_clusters_clamps(clustered_embeddings):
+    # nprobe > n_clusters must mean "probe all cells", not corrupt offsets
+    rows = P.ivf_knn_top1(
+        clustered_embeddings, n_queries=5, n_clusters=4, nprobe=16
+    ).collect()
+    assert len(rows) == 5
+    # probing every cell = exhaustive scan = recall 1.0
+    assert rows[0]["recall_vs_bruteforce"] == 1.0
