@@ -152,8 +152,29 @@ def throughput_at(cores: int, reps: int = 2) -> tuple[float, float, dict]:
         spark.stop()
 
 
+def calibrate() -> float:
+    """Fixed single-thread numpy workload (sort + gather + reduce over 8M
+    int64 — the kernel's op mix) timed min-of-3. Run at bench start AND
+    end: the ratio is the box's drift during the run, letting a reader
+    normalize absolute cell times across runs (this VM drifts 1.4-1.7×
+    uniformly on a ~minutes timescale)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 20, size=8_000_000)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.monotonic()
+        s = np.sort(x)
+        idx = np.searchsorted(s, x[:1_000_000])
+        best = min(best, time.monotonic() - t0)
+        _ = int(idx.sum())
+    return round(best, 3)
+
+
 def main() -> None:
     queries: dict[str, float] = {}
+    cal_start = calibrate()
 
     # --- scaling evidence: identical encode jobs, same input, varying cores ---
     # Two full cycles over the levels, per-cell best: the VM's throughput
@@ -343,6 +364,12 @@ def main() -> None:
         "compression_ratio_vs_raw": round(totals["raw"] / totals["enc"], 3),
         "compression_ratio_vs_reference_rle": round(totals["ref"] / totals["enc"], 3),
         "queries_spread": SPREAD,
+    }
+    cal_end = calibrate()
+    out["calibration"] = {
+        "numpy_cell_start_s": cal_start,
+        "numpy_cell_end_s": cal_end,
+        "drift_factor": round(cal_end / cal_start, 3),
     }
     print(json.dumps(out))
 
