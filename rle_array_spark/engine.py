@@ -1453,7 +1453,11 @@ def source_quantiles_df(
     Scale shape: the shuffle carries only (source, value, count) pairs —
     bounded by vocabulary × sources, not token count — then one tiny
     window over at most |vocab| rows per source. Survives a 100× corpus
-    the same way value_counts does.
+    the same way value_counts does. The (doc_id, source) mapping joins
+    from a second scan of ``blocks``: over a WRITTEN blocks table that is
+    a two-column parquet scan (payload column pruned); only when blocks
+    are computed inline does that branch re-run the encode — persist
+    ``blocks`` first in that case.
 
     ``probs`` must be binary-exact fractions (k/2^m, e.g. 0.25/0.5/0.75)
     so ceil(p*n) is the same number in every engine's float arithmetic;
