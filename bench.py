@@ -189,9 +189,11 @@ def main() -> None:
         for cores in levels:
             # ≥8-core cells are cheap; 3 reps × 2 cycles = 6 samples per
             # level keeps the printed N→4N efficiency (the north-rule
-            # criterion) from being hostage to one VM stall
+            # criterion) from being hostage to one VM stall. The 2-core
+            # cells get 2 reps/cycle (4 samples): with only 2, an unlucky
+            # local[2] draw alone moves the 2→8 ratio by ±0.1.
             wall_salted, wall_scan, totals = throughput_at(
-                cores, reps=1 if cores <= 2 else 3
+                cores, reps=2 if cores <= 2 else 3
             )
             wall_best_salted[cores] = min(
                 wall_best_salted.get(cores, float("inf")), wall_salted
