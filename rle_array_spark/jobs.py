@@ -119,6 +119,35 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Compressed-domain analytics over a written blocks dir: per-source
+    exact quartiles (histogram merge, tokens never decoded) and, with
+    --contains, the docs containing a token (zone-map prune + occurrence
+    counts) — the operational form of engine.source_quantiles_df /
+    docs_containing_df."""
+    from rle_array_spark.engine import docs_containing_df, source_quantiles_df
+    from rle_array_spark.tableio import read_blocks
+
+    spark = _session(args)
+    blocks = read_blocks(spark, args.blocks) if args.lineage else spark.read.parquet(args.blocks)
+    out: dict = {"job": "stats"}
+    quants = source_quantiles_df(blocks).collect()
+    out["quantiles"] = {
+        r["source"]: {"n_toks": int(r["n_toks"]), "p25": r["p25"], "p50": r["p50"], "p75": r["p75"]}
+        for r in quants
+    }
+    if args.contains is not None:
+        hits = docs_containing_df(blocks, args.contains).collect()
+        out["contains"] = {
+            "token": args.contains,
+            "docs": len(hits),
+            "occurrences": int(sum(r["n_hits"] for r in hits)),
+        }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rle_array_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -168,13 +197,30 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--codec", default="auto")
 
+    sts = sub.add_parser("stats")
+    sts.add_argument("--blocks", required=True)
+    sts.add_argument(
+        "--lineage", action="store_true",
+        help="blocks dir was written by encode --salted (read via the "
+        "snapshot-aware reader instead of a plain parquet scan)",
+    )
+    sts.add_argument(
+        "--contains", type=int, default=None,
+        help="also report docs containing this token (zone-map prune + "
+        "compressed occurrence count)",
+    )
+
     for s in sub.choices.values():
         s.add_argument("--cores", default="*")
 
     args = p.parse_args(argv)
-    return {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify, "stream": cmd_stream}[
-        args.cmd
-    ](args)
+    return {
+        "encode": cmd_encode,
+        "decode": cmd_decode,
+        "verify": cmd_verify,
+        "stream": cmd_stream,
+        "stats": cmd_stats,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

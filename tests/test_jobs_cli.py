@@ -64,3 +64,23 @@ def test_cli_salted_encode_resume(tmp_path):
     second = _run(["encode", "--input", input_dir, "--output", out_dir, "--salted", "--partitions", "4"])
     assert second["skipped"] == 4  # full checkpoint hit
     assert second["tokens"] == first["tokens"]
+
+
+def test_cli_stats(tmp_path):
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    pq.write_table(
+        pa.Table.from_batches([generate_block(0, 10)]), os.path.join(input_dir, "p.parquet")
+    )
+    enc_dir = str(tmp_path / "enc")
+    _run(["encode", "--input", input_dir, "--output", enc_dir])
+    out = _run(["stats", "--blocks", enc_dir, "--contains", "0"])
+    # every datagen source appears with ordered quartiles
+    assert set(out["quantiles"]) == {
+        "padded", "natural", "code", "lowcard", "narrow", "random", "giant"
+    }
+    for q in out["quantiles"].values():
+        assert q["p25"] <= q["p50"] <= q["p75"] and q["n_toks"] > 0
+    # PAD token 0 dominates the padded source: plenty of hits
+    assert out["contains"]["docs"] > 0
+    assert out["contains"]["occurrences"] > out["contains"]["docs"]
