@@ -1491,6 +1491,42 @@ def source_quantiles_df(
     return cum.groupBy("source", "n_toks").agg(*aggs)
 
 
+def dedup_exact_encoded_df(blocks: DataFrame) -> DataFrame:
+    """Exact duplicate detection over ENCODED blocks — no decode, no raw
+    text: the codecs are byte-canonical (identical token arrays under the
+    same encode parameters produce identical ordered (codec, payload)
+    chunk lists — the determinism the resume fingerprint already relies
+    on), so md5 over a doc's ordered chunk payloads is a token-stream
+    fingerprint. Compare pipeline.exact_dedup_groups, which hashes raw
+    text: this one runs over an already-encoded corpus at ~compression
+    ratio fewer bytes hashed, and the only shuffle carries (fingerprint,
+    doc_id) pairs. Returns duplicate groups: (fingerprint, n_toks,
+    n_docs > 1, representative = min doc_id)."""
+    per_chunk = blocks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_values",
+        F.md5(F.concat(F.encode("codec", "utf-8"), F.col("payload"))).alias("chunk_h"),
+    )
+    per_doc = per_chunk.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_h"))),
+                    lambda s: s["chunk_h"],
+                ),
+            )
+        ).alias("fingerprint"),
+        F.sum("n_values").alias("n_toks"),
+    )
+    return (
+        per_doc.groupBy("fingerprint", "n_toks")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def docs_containing_df(blocks: DataFrame, token: int) -> DataFrame:
     """Which docs contain ``token``, and how often — the contamination-
     screening / inverted-lookup shape over encoded blocks. Two-stage:

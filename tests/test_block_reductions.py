@@ -237,3 +237,33 @@ def test_docs_containing_df_matches_bruteforce(spark, sequences):
             if c:
                 want[d] = c
         assert got == want, token
+
+
+# ---- exact dedup over encoded blocks (payload fingerprints) ----
+
+
+def test_dedup_exact_encoded_finds_planted_dups(spark):
+    from rle_array_spark.engine import dedup_exact_encoded_df, encode_df
+
+    rng = np.random.default_rng(31)
+    rows = []
+    a = rng.integers(0, 100, size=400).tolist()
+    b = rng.integers(0, 5, size=900).tolist()
+    c = rng.integers(0, 65000, size=50).tolist()
+    rows.append(("d000", "s", a))
+    rows.append(("d001", "s", b))
+    rows.append(("d002", "s", a))      # dup of d000
+    rows.append(("d003", "s", c))
+    rows.append(("d004", "s", b))      # dup of d001
+    rows.append(("d005", "s", b))      # dup of d001
+    rows.append(("d006", "s", a[:-1] + [a[-1] ^ 1]))  # near-miss, NOT a dup
+    df = spark.createDataFrame(
+        [(d, s, v, len(v)) for d, s, v in rows],
+        "doc_id string, source string, tokens array<int>, n_tok int",
+    )
+    # chunking on: identical docs must fingerprint identically across chunks
+    blocks = encode_df(df, codec="auto", chunk_tokens=128)
+    groups = {r["representative"]: r for r in dedup_exact_encoded_df(blocks).collect()}
+    assert set(groups) == {"d000", "d001"}
+    assert groups["d000"]["n_docs"] == 2 and groups["d000"]["n_toks"] == 400
+    assert groups["d001"]["n_docs"] == 3 and groups["d001"]["n_toks"] == 900
