@@ -373,7 +373,25 @@ def main() -> None:
         "numpy_cell_end_s": cal_end,
         "drift_factor": round(cal_end / cal_start, 3),
     }
-    print(json.dumps(out))
+    # The driver parses the LAST stdout line and its capture window is finite:
+    # in round 3 the single line (grown by queries_spread) outran the tail
+    # capture and recorded "parsed": null.  Keep the printed line compact
+    # (~1.5 KB: metric + per-query seconds + headline throughput/scaling/
+    # compression cells) and write the full record — spread stats,
+    # calibration — to BENCH_FULL.json next to this script.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    compact = {k: v for k, v in out.items() if k not in ("queries_spread", "calibration")}
+    compact["queries"] = {k: round(v, 3) for k, v in queries.items()}
+    compact["spread_file"] = "BENCH_FULL.json"
+    compact["drift_factor"] = out["calibration"]["drift_factor"]
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 4000, f"bench metric line too long ({len(line)}B) — trim before the driver truncates it"
+    print(line)
 
 
 if __name__ == "__main__":

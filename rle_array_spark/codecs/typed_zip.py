@@ -54,6 +54,10 @@ TYPED_ZIP_OPS: dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
     ),
     "min": np.minimum,
     "max": np.maximum,
+    # ``**`` (reference array.py:748-824): always float64 out, matching SQL
+    # power() — sidesteps numpy's integers-to-negative-powers error and
+    # keeps the op oracle-replicable in both engines
+    "pow": lambda a, b: np.power(a.astype(np.float64), b.astype(np.float64)),
     "eq": lambda a, b: a == b,
     "ne": lambda a, b: a != b,
     "lt": lambda a, b: a < b,

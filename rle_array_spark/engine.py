@@ -534,6 +534,15 @@ TRANSFORM_OPS = {
     "bitand": (lambda v, k: v & k, lambda k: k >= 0),
     "bitor": (lambda v, k: v | k, lambda k: k >= 0),
     "bitxor": (lambda v, k: v ^ k, lambda k: k >= 0),
+    # ``**`` (reference array.py:748-824, tests/test_operators.py:161-341):
+    # computed in float64 — exact for any result < 2^53, and every result
+    # that survives must fit int32 anyway (_checked_int32 raises on the
+    # rest, including the inf→INT64_MIN cast artifact of an overflowing
+    # base**k — the reference's int-overflow contract)
+    "pow": (
+        lambda v, k: np.power(v.astype(np.float64), float(k)).astype(np.int64),
+        lambda k: k >= 0,
+    ),
 }
 
 
@@ -1065,6 +1074,12 @@ ZIP_OPS = {
         a, b, out=np.zeros_like(a), where=b != 0
     ),
     "mod": lambda a, b: np.mod(a, b, out=np.zeros_like(a), where=b != 0),
+    # ``**`` on the union grid (reference array.py:748-824): float64 pow is
+    # exact below 2^53 and _checked_int32 enforces the int32 token-domain
+    # overflow contract on the cast-back (inf → INT64_MIN → raises)
+    "pow": lambda a, b: np.power(
+        a.astype(np.float64), b.astype(np.float64)
+    ).astype(np.int64),
     # comparisons → 0/1 runs, the masking primitive (reference supports all
     # binary ops incl. comparisons on the union grid,
     # tests/test_operators.py:161-341); results are bool-as-int32 blocks
@@ -1439,7 +1454,9 @@ def value_counts_blocks_df(blocks: DataFrame) -> DataFrame:
 
 
 def source_quantiles_df(
-    blocks: DataFrame, probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+    blocks: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    interpolation: str = "lower",
 ) -> DataFrame:
     """Exact per-source discrete quantiles computed from the compressed
     value-counts histogram — tokens are never decoded. Per-block partial
@@ -1462,7 +1479,19 @@ def source_quantiles_df(
     ``probs`` must be binary-exact fractions (k/2^m, e.g. 0.25/0.5/0.75)
     so ceil(p*n) is the same number in every engine's float arithmetic;
     asserted here rather than documented-and-hoped.
+
+    ``interpolation='linear'`` returns the pandas/numpy-linear (and DuckDB
+    ``quantile_cont``) variant the reference's decode-fallback ``quantile``
+    inherits (/root/reference/rle_array/array.py:537-554): with h =
+    (n-1)·p, result = v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋), still computed from
+    the same compressed histogram — the two order statistics come from the
+    same cumulative window, so no decode and the identical scale shape.
+    Binary-exact p keeps h and the fraction exact in doubles, so the
+    interpolated value is bit-identical across engines. Output columns are
+    DOUBLE in linear mode, INT (value dtype) in lower mode.
     """
+    if interpolation not in ("lower", "linear"):
+        raise ValueError(f"interpolation must be 'lower' or 'linear', got {interpolation!r}")
     for p in probs:
         if not (0 < p <= 1) or (p * 2**32) != int(p * 2**32):
             raise ValueError(f"probability {p} is not a binary-exact fraction")
@@ -1482,12 +1511,31 @@ def source_quantiles_df(
     cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n_toks", F.sum("cnt").over(w_all)
     )
-    aggs = [
-        F.min(
-            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_toks")), F.col("value"))
-        ).alias(f"p{int(p * 100)}")
-        for p in probs
-    ]
+    if interpolation == "lower":
+        aggs = [
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_toks")), F.col("value"))
+            ).alias(f"p{int(p * 100)}")
+            for p in probs
+        ]
+        return cum.groupBy("source", "n_toks").agg(*aggs)
+    # linear: h = (n-1)*p; lo = 1-based rank floor(h)+1, hi = min(lo+1, n);
+    # v_at(r) = smallest value whose cumulative count reaches r (two order
+    # statistics out of the SAME cumulative column — no extra pass)
+    aggs = []
+    for p in probs:
+        h = F.lit(p) * (F.col("n_toks") - 1).cast("double")
+        lo_rank = F.floor(h) + 1
+        hi_rank = F.least(lo_rank + 1, F.col("n_toks"))
+        frac = h - F.floor(h).cast("double")
+        lo_val = F.min(F.when(F.col("cum") >= lo_rank, F.col("value")))
+        hi_val = F.min(F.when(F.col("cum") >= hi_rank, F.col("value")))
+        aggs.append(
+            (
+                lo_val.cast("double")
+                + frac * (hi_val.cast("double") - lo_val.cast("double"))
+            ).alias(f"p{int(p * 100)}")
+        )
     return cum.groupBy("source", "n_toks").agg(*aggs)
 
 

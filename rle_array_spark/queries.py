@@ -1391,6 +1391,27 @@ def q_fused_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_pow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``**`` through BOTH compressed-domain implementations (reference
+    array.py:748-824, tests/test_operators.py:161-341): the union-grid zip
+    computes (x%5) ** (x%3) between two encoded columns, then the scalar
+    transform squares the result — ((x%5)**(x%3))**2, all without decoding.
+    Small bases/exponents keep every value exact in both engines; the
+    int32 overflow contract (_checked_int32) is tested separately in
+    tests/test_transform.py."""
+    from rle_array_spark.engine import zip_blocks_df
+
+    seq = _sequences(spark, sf_dir)
+    blocks_a = encode_df(seq, codec="auto")
+    base = transform_blocks(blocks_a, "mod", 5)
+    expo = transform_blocks(blocks_a, "mod", 3)
+    powed = zip_blocks_df(base, expo, "pow")
+    squared = transform_blocks(powed, "pow", 2)
+    return decode_stats_df(squared).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
 def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x + x%7 through BOTH zip implementations plus all three
     boolean-filter paths in one slot: the block-pair union-grid zip
@@ -1404,11 +1425,13 @@ def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = q_mask_gather(spark, sf_dir).withColumn("path", F.lit("mask"))
     ffilt = q_frame_filter(spark, sf_dir).withColumn("path", F.lit("frame_filter"))
     fused = q_fused_filter(spark, sf_dir).withColumn("path", F.lit("fused_filter"))
+    powed = q_zip_pow(spark, sf_dir).withColumn("path", F.lit("pow"))
     return (
         block.unionByName(frame)
         .unionByName(mask)
         .unionByName(ffilt)
         .unionByName(fused)
+        .unionByName(powed)
     )
 
 
@@ -1442,7 +1465,24 @@ SELECT doc_id,
            AS tok_wsum,
        path
 FROM kept CROSS JOIN (VALUES ('mask'), ('frame_filter'), ('fused_filter'))
-    AS mpaths(path)"""
+    AS mpaths(path)
+UNION ALL
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
+       'pow' AS path
+FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(
+               string_split(text, ''),
+               c -> CAST(pow(pow(unicode(c) % 5, unicode(c) % 3), 2) AS BIGINT)
+           ) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)"""
 
 
 def q_window_shift_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1496,19 +1536,44 @@ def q_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational merge → cumulative-window quantile pick; tokens are never
     decoded. The compressed-domain twin of token_moments' decode-fallback
     median (reference quantile path, array.py:537-560). Binary-exact
-    probabilities (0.25/0.5/0.75) keep ceil(p*n) engine-independent."""
+    probabilities (0.25/0.5/0.75) keep ceil(p*n) engine-independent.
+
+    Two labeled arms since r4: ``disc`` (the exact-discrete original) and
+    ``cont`` (pandas/numpy-linear interpolation — the convention the
+    reference's decode-fallback ``quantile`` inherits from pandas,
+    /root/reference/rle_array/array.py:537-554; DuckDB ``quantile_cont``)
+    — both derived from the SAME compressed histogram, quantile columns
+    cast to DOUBLE so the union is schema-uniform (int quartiles are
+    exact in double)."""
     from rle_array_spark.engine import source_quantiles_df
 
-    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
-    return source_quantiles_df(blocks, probs=(0.25, 0.5, 0.75))
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto").persist()
+    qcols = [F.col(c).cast("double").alias(c) for c in ("p25", "p50", "p75")]
+    disc = source_quantiles_df(blocks, probs=(0.25, 0.5, 0.75)).select(
+        "source", F.lit("disc").alias("kind"), "n_toks", *qcols
+    )
+    cont = source_quantiles_df(
+        blocks, probs=(0.25, 0.5, 0.75), interpolation="linear"
+    ).select("source", F.lit("cont").alias("kind"), "n_toks", *qcols)
+    return disc.unionByName(cont)
 
 
 ORACLE_QUANTILES_HIST = f"""{_ORACLE_TOK_CTE}
 SELECT source,
+       'disc' AS kind,
        CAST(count(*) AS BIGINT) AS n_toks,
-       CAST(quantile_disc(tok, 0.25) AS INT) AS p25,
-       CAST(quantile_disc(tok, 0.5) AS INT) AS p50,
-       CAST(quantile_disc(tok, 0.75) AS INT) AS p75
+       CAST(quantile_disc(tok, 0.25) AS DOUBLE) AS p25,
+       CAST(quantile_disc(tok, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_disc(tok, 0.75) AS DOUBLE) AS p75
+FROM (SELECT source, unnest(tokens) AS tok FROM tok)
+GROUP BY source
+UNION ALL
+SELECT source,
+       'cont' AS kind,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       quantile_cont(tok, 0.25) AS p25,
+       quantile_cont(tok, 0.5) AS p50,
+       quantile_cont(tok, 0.75) AS p75
 FROM (SELECT source, unnest(tokens) AS tok FROM tok)
 GROUP BY source"""
 

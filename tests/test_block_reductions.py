@@ -219,6 +219,36 @@ def test_source_quantiles_df_rejects_inexact_prob(spark, sequences):
     blocks = encode_df(sequences.limit(1), codec="auto")
     with pytest.raises(ValueError, match="binary-exact"):
         source_quantiles_df(blocks, probs=(0.3,))
+    with pytest.raises(ValueError, match="interpolation"):
+        source_quantiles_df(blocks, interpolation="nearest")
+
+
+def test_source_quantiles_df_linear_matches_numpy(spark, sequences):
+    """interpolation='linear' must reproduce numpy's default (pandas-linear)
+    quantile — the convention the reference's decode-fallback quantile
+    inherits (/root/reference/rle_array/array.py:537-554) — bit-exactly,
+    since binary-exact probs keep h=(n-1)p and the fraction exact."""
+    from rle_array_spark.engine import encode_df, source_quantiles_df
+
+    probs = (0.25, 0.5, 0.75)
+    blocks = encode_df(sequences, codec="auto")
+    got = {
+        r["source"]: r
+        for r in source_quantiles_df(blocks, probs, interpolation="linear").collect()
+    }
+    raw = sequences.select("source", "tokens").collect()
+    per_source: dict[str, list] = {}
+    for r in raw:
+        per_source.setdefault(r["source"], []).extend(r["tokens"])
+    for src, toks in per_source.items():
+        x = np.asarray(toks, dtype=np.float64)
+        if x.size == 0:
+            assert src not in got
+            continue
+        row = got[src]
+        assert row["n_toks"] == x.size
+        for p in probs:
+            assert row[f"p{int(p * 100)}"] == float(np.quantile(x, p)), (src, p)
 
 
 # ---- containment lookup (zone-map prune + compressed occurrence count) ----

@@ -137,8 +137,35 @@ def test_transform_invalid_operand_raises(sequences):
     blocks = encode_df(sequences.limit(1), codec="rle")
     with pytest.raises(ValueError, match="invalid operand"):
         transform_blocks(blocks, "mod", 0)
+    with pytest.raises(ValueError, match="invalid operand"):
+        transform_blocks(blocks, "pow", -1)
     with pytest.raises(ValueError, match="unsupported op"):
-        transform_blocks(blocks, "pow", 2)
+        transform_blocks(blocks, "truediv", 2)
+
+
+def test_transform_pow(sequences):
+    """`**` scalar operator (reference array.py:748-824): (tokens % 11)**2
+    through two chained compressed-domain transforms decodes exactly."""
+    from rle_array_spark.engine import decode_df
+
+    blocks = encode_df(sequences, codec="auto")
+    squared = transform_blocks(transform_blocks(blocks, "mod", 11), "pow", 2)
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(squared).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    for doc_id, tokens in raw.items():
+        expect = (np.array(tokens, dtype=np.int64) % 11) ** 2
+        np.testing.assert_array_equal(np.array(decoded[doc_id], dtype=np.int64), expect)
+
+
+def test_transform_pow_overflow_raises(spark):
+    """The reference's int-overflow contract: a pow whose result leaves the
+    int32 token domain must raise, never wrap (3**20 > 2^31)."""
+    df = spark.createDataFrame(
+        [("d1", "s0", [3] * 50)], "doc_id string, source string, tokens array<int>"
+    )
+    blocks = transform_blocks(encode_df(df, codec="rle"), "pow", 20)
+    with pytest.raises(Exception, match="out of int32"):
+        blocks.collect()
 
 
 def test_transform_blocks_metadata_consistent(sequences):

@@ -377,6 +377,31 @@ def test_zip_ops_floordiv_mod_zero_safe():
     )
 
 
+def test_zip_ops_pow():
+    """Engine ZIP_OPS `**` (reference array.py:748-824): exact for small
+    bases/exponents, raises (never wraps) when the result leaves int32."""
+    from rle_array_spark.engine import ZIP_OPS
+
+    a = np.array([0, 2, 3, 10, 1], dtype=np.int64)
+    b = np.array([0, 10, 4, 3, 100], dtype=np.int64)
+    np.testing.assert_array_equal(ZIP_OPS["pow"](a, b), [1, 1024, 81, 1000, 1])
+    ar = np.repeat(a, 20).astype(np.int32)
+    br = np.repeat(b, 20).astype(np.int32)
+    pa_, pb = encode_block(ar, "rle"), encode_block(br, "rle")
+    codec, payload = zip_blocks("rle", pa_, "rle", pb, ar.size, ZIP_OPS["pow"])
+    np.testing.assert_array_equal(
+        decode_block(payload, codec, ar.size), np.repeat([1, 1024, 81, 1000, 1], 20)
+    )
+    # overflow contract: 3**21 > 2^31 must raise through _checked_int32
+    big = np.repeat(np.array([3], np.int32), 8)
+    exp = np.repeat(np.array([21], np.int32), 8)
+    with pytest.raises(ValueError, match="out of int32"):
+        zip_blocks(
+            "rle", encode_block(big, "rle"), "rle", encode_block(exp, "rle"),
+            8, ZIP_OPS["pow"],
+        )
+
+
 # ---- fused predicate filter (values[pred(values) != 0]) ----
 
 
