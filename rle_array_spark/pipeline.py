@@ -5,14 +5,15 @@ Everything here is expressed in stock DataFrame/SQL operators (JVM-side,
 whole-stage codegen) except the multimodal decode, which is a Pandas-UDF
 ``mapInPandas`` over binary columns per the large-scale recipe. Each
 operator has a DuckDB-oracle twin in queries.py built from the same
-hash/string primitives (md5 is bit-identical across engines; MinHash uses
-*lexicographic min over md5 hex strings*, which equals numeric min of the
-128-bit hashes, so the whole LSH pipeline is engine-portable with no
-integer-width gymnastics).
+hash/string primitives (md5 is bit-identical across engines; MinHash
+derives a 32-bit base hash from one md5 per shingle and expands it with
+int64 universal hashing mod 2^31-1, so the whole LSH pipeline is
+engine-portable and every signature slot is an 8-byte integer).
 
 Scale notes:
 - MinHash/LSH: the self-join is on (band_idx, band_key) — the classic
-  banded-LSH shuffle; band keys are md5s, uniformly distributed, no skew.
+  banded-LSH shuffle; band keys are 60-bit md5-prefix ints, uniformly
+  distributed, no skew, 8 bytes on the wire.
 - SimHash: explode(words) → groupBy(doc) is a partial-aggregable sum;
   Catalyst does map-side combine.
 - Brute-force kNN crossJoin is the small-N baseline; the sign-LSH variant
@@ -26,9 +27,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_K = 5
-NUM_HASHES = 12
-BANDS = 4
+# Production operating point (r4; was the 12-perm/4-band demo scale): 128
+# permutations banded 16×8 puts the LSH S-curve threshold at (1/16)^(1/8)
+# ≈ 0.71 — the classic near-dup setting for J ≥ 0.8 verification.
+NUM_HASHES = 128
+BANDS = 16
 ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# 2^31 - 1 (Mersenne prime) — the universal-hash modulus. The modulus must
+# be FAR below a*h's int64 ceiling so the product wraps many times across
+# the 32-bit base-hash domain: with a < 2^31 and h < 2^32, a*h + b < 2^63
+# (no int64 overflow in either engine) and a*h/p ≈ 2^32 wraps — proper
+# mixing. (A 2^61-1 modulus was measured broken here: it wraps ≤3 times,
+# leaving the map piecewise order-preserving, so every slot picked nearly
+# the same min shingle and slot-equality stopped estimating Jaccard.)
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) universal-hash coefficients, reproducible
+    as literal constants in the DuckDB oracle. The LCG state is SQUARED
+    before the modulus — an affine-in-j stream makes the per-slot hashes
+    linearly dependent across j, which correlates the 128 min-estimators
+    (the same defect measured on the sign-LSH hyperplanes); squaring
+    breaks the linearity. a_j is forced nonzero."""
+    def lcg(k: int) -> int:
+        return (1103515245 * k + 12345) % (1 << 31)
+
+    out = []
+    for j in range(num_hashes):
+        m = lcg(2 * j + 1)
+        a = (m * m) % ((1 << 31) - 1) or 1
+        m2 = lcg(2 * j + 2)
+        b = (m2 * m2) % ((1 << 31) - 1)
+        out.append((a, b))
+    return out
 
 EN_STOP = ("the", "and", "of", "to", "in", "is", "a")
 DE_STOP = ("der", "die", "und", "das", "ist", "ein", "zu")
@@ -69,35 +102,68 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
-    """NUM_HASHES-wide MinHash signature: hash function j is
-    md5(shingle || ':j'); min over the hex strings == min over the 128-bit
-    hash values (fixed-width lowercase hex)."""
+def minhash_signatures(
+    docs: DataFrame,
+    shingles: DataFrame | None = None,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """num_hashes-wide MinHash signature as ``array<bigint>`` (8-byte slots
+    — r3's 32-char md5 hex signatures carried 4× the shuffle bytes): ONE
+    md5 per shingle yields a 32-bit base hash h (first 8 hex chars), then
+    slot j is min over the universal hashes (a_j·h + b_j) mod (2^31−1) —
+    the datasketch-style scheme, 1 digest + num_hashes integer ops per
+    shingle instead of num_hashes digests. Every step is plain int64 SQL
+    arithmetic, so DuckDB replicates it bit-identically."""
     sh = shingles if shingles is not None else shingle_sets(docs)
+    bases = sh.select(
+        "doc_id",
+        F.expr(
+            "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
     mh = [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat(s, ':{j}'))))").alias(f"mh{j}")
-        for j in range(NUM_HASHES)
+        F.expr(
+            f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return sh.select("doc_id", F.array(*mh).alias("sig"))
+    return bases.select("doc_id", F.array(*mh).alias("sig"))
 
 
-def lsh_bands(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
-    sig = minhash_signatures(docs, shingles)
-    bands = [
-        F.md5(
-            F.concat_ws("|", F.expr(f"slice(sig, {b * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})"))
+def lsh_bands(
+    docs: DataFrame,
+    shingles: DataFrame | None = None,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows — band keys are 60-bit ints (md5
+    prefix of the joined slice), so the LSH self-join shuffles 8-byte keys
+    instead of 32-char hex strings."""
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, shingles, num_hashes=num_hashes)
+    band_cols = [
+        F.expr(
+            "cast(conv(substring(md5(array_join(transform("
+            f"slice(sig, {b * r + 1}, {r}), x -> cast(x as string)), '|')), 1, 15), 16, 10) as bigint)"
         ).alias(f"band{b}")
-        for b in range(BANDS)
+        for b in range(bands)
     ]
-    wide = sig.select("doc_id", *bands)
-    stack = ", ".join(f"{b}, band{b}" for b in range(BANDS))
-    return wide.selectExpr("doc_id", f"stack({BANDS}, {stack}) as (band_idx, band_key)")
+    wide = sig.select("doc_id", *band_cols)
+    stack = ", ".join(f"{b}, band{b}" for b in range(bands))
+    return wide.selectExpr("doc_id", f"stack({bands}, {stack}) as (band_idx, band_key)")
 
 
-def minhash_candidate_pairs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    shingles: DataFrame | None = None,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band bucket."""
-    bands = lsh_bands(docs, shingles)
-    a, b = bands.alias("a"), bands.alias("b")
+    bdf = lsh_bands(docs, shingles, num_hashes=num_hashes, bands=bands)
+    a, b = bdf.alias("a"), bdf.alias("b")
     return (
         a.join(
             b,
@@ -110,7 +176,12 @@ def minhash_candidate_pairs(docs: DataFrame, shingles: DataFrame | None = None) 
     )
 
 
-def near_dup_pairs_jaccard(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def near_dup_pairs_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard (n-gram
     Jaccard dedup): keep pairs with J >= threshold.
 
@@ -120,7 +191,7 @@ def near_dup_pairs_jaccard(docs: DataFrame, threshold: float = 0.8) -> DataFrame
     here — the single-session analog of writing the intermediate shingle
     table, which is what a 100 TB run would do."""
     sh = shingle_sets(docs).persist()
-    pairs = minhash_candidate_pairs(docs, shingles=sh)
+    pairs = minhash_candidate_pairs(docs, shingles=sh, num_hashes=num_hashes, bands=bands)
     joined = (
         pairs.join(sh.withColumnRenamed("shingles", "sh_a"), pairs.doc_a == sh.doc_id)
         .drop("doc_id")
@@ -137,7 +208,12 @@ def near_dup_pairs_jaccard(docs: DataFrame, threshold: float = 0.8) -> DataFrame
     )
 
 
-def dedup_survivors(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def dedup_survivors(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
     """End-to-end dedup pipeline — the corpus that SURVIVES, not just the
     stage outputs: exact dedup first (md5 hash-groupBy; the lexicographic
     min doc_id of each identical-text group survives), then near-dup
@@ -159,7 +235,9 @@ def dedup_survivors(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select("doc_id")
     )
     exact_survivors = d.join(reps, "doc_id", "left_semi").persist()
-    near_pairs = near_dup_pairs_jaccard(exact_survivors, threshold=threshold)
+    near_pairs = near_dup_pairs_jaccard(
+        exact_survivors, threshold=threshold, num_hashes=num_hashes, bands=bands
+    )
     dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         exact_survivors.join(dropped, "doc_id", "left_anti")

@@ -42,14 +42,26 @@ _SH_CTE = f"""sh AS (
     FROM d
 )"""
 
+# Same universal-hash scheme as pipeline.minhash_signatures: one md5 per
+# shingle -> 32-bit base hash -> per-slot (a_j*h + b_j) mod (2^31-1), all
+# int64 arithmetic DuckDB reproduces bit-identically.
 _SIG_LIST = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5(s || ':{j}')))" for j in range(NUM_HASHES)
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P.MINHASH_PRIME}))"
+    for a, b in P.minhash_coeffs(NUM_HASHES)
 )
-_SIG_CTE = f"sig AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM sh)"
+_SIG_CTE = f"""sig AS (
+    SELECT doc_id, [{_SIG_LIST}] AS sig
+    FROM (SELECT doc_id,
+                 list_transform(shingles,
+                                s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hs
+          FROM sh)
+)"""
 
 _BANDS_CTE = f"""bands AS (
     SELECT doc_id, t.i AS band_idx,
-           md5(array_to_string(sig[t.i * {R} + 1 : t.i * {R} + {R}], '|')) AS band_key
+           ('0x' || substring(md5(array_to_string(
+               list_transform(sig[t.i * {R} + 1 : t.i * {R} + {R}],
+                              x -> CAST(x AS VARCHAR)), '|')), 1, 15))::BIGINT AS band_key
     FROM sig, range({BANDS}) t(i)
 )"""
 
