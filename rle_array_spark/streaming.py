@@ -173,15 +173,20 @@ def running_quantiles_stream(
     out_dir: str,
     checkpoint_dir: str,
     codec: str = "auto",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous encode with streaming EXACT quantiles downstream: the
     per-source running token histogram lives in the streaming state store
     (merged from compressed-domain partial histograms), so every
     micro-batch appends the exact-so-far quartiles per touched source —
-    the streaming twin of ``engine.source_quantiles_df``."""
+    the streaming twin of ``engine.source_quantiles_df``.
+
+    ``max_files_per_trigger`` splits an availableNow drain into several
+    micro-batches (one per N input files) so cross-batch state merge is
+    actually exercised — the gated parity query uses 1."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = read_sequence_stream(spark, input_dir)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
     blocks = encode_df(stream, codec=codec)
     quants = blocks.groupBy("source").applyInPandasWithState(
         _running_quantiles_fn,
