@@ -379,3 +379,67 @@ class NgramCodec(Codec):
         # Compression depends on n-gram structure invisible to scalar stats;
         # require a trial encode (chooser gates it on size heuristics).
         return None
+
+
+_GROUP_BASE = np.int64(1) << 32  # above any int32 terminal, so fused ids disambiguate
+
+
+def decode_group(payloads: list, ns) -> np.ndarray:
+    """Fused multi-row NGRAM decode — the decode-side analog of the fused
+    batch encoder above. Each row's symbol ids are remapped into ONE global
+    namespace (symbol k of row r → _GROUP_BASE + table_offset_r + k;
+    terminals are int32 so they stay below _GROUP_BASE), the remapped
+    streams are concatenated, and a single vectorized expansion loop runs
+    for the whole group: iterations = max grammar depth over the group,
+    each one numpy-call-bounded over the fused stream, instead of a full
+    expansion loop per row (the r3 decode profile: per-row NGRAM ran at
+    ~7.5 Mtok/s and held 50% of batch decode time with 8% of the tokens).
+    Expansion is order-preserving, so row r's tokens occupy
+    out[sum(ns[:r]) : sum(ns[:r+1])] of the returned flat array.
+    Bit-identical to per-row decode (tests/test_vdecode.py differential).
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    streams: list[np.ndarray] = []
+    lefts: list[np.ndarray] = []
+    rights: list[np.ndarray] = []
+    table_off = 0
+    for payload, n in zip(payloads, ns.tolist()):
+        if n == 0:
+            continue
+        buf = memoryview(payload)
+        n_syms, sym_base, n_stream, twidth, swidth = struct.unpack_from(_HEADER, buf, 0)
+        off = _HEADER_SIZE
+        tbytes = packed_nbytes(2 * n_syms, twidth)
+        s = unpack_bits(buf[off + tbytes :], n_stream, swidth).astype(np.int64)
+        if n_syms:
+            table = unpack_bits(buf[off : off + tbytes], 2 * n_syms, twidth).astype(
+                np.int64
+            )
+            shift = _GROUP_BASE + table_off - sym_base
+            table = np.where(table >= sym_base, table + shift, table)
+            s = np.where(s >= sym_base, s + shift, s)
+            lefts.append(table[0::2])
+            rights.append(table[1::2])
+            table_off += n_syms
+        streams.append(s)
+    total = int(ns.sum())
+    if not streams:
+        return np.zeros(0, dtype=np.int32)
+    left = np.concatenate(lefts) if lefts else np.zeros(0, dtype=np.int64)
+    right = np.concatenate(rights) if rights else np.zeros(0, dtype=np.int64)
+    s = np.concatenate(streams)
+    # identical body to Codec.decode's loop, over the fused stream
+    while True:
+        mask = s >= _GROUP_BASE
+        if not mask.any():
+            break
+        reps = np.where(mask, 2, 1)
+        idx = np.cumsum(reps) - reps
+        out = np.repeat(s, reps)
+        sym = s[mask] - _GROUP_BASE
+        out[idx[mask]] = left[sym]
+        out[idx[mask] + 1] = right[sym]
+        s = out
+    if s.size != total:
+        raise ValueError(f"ngram group decode length mismatch: {s.size} != {total}")
+    return s.astype(np.int32)

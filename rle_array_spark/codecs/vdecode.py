@@ -317,7 +317,23 @@ def decode_rows_vectorized(
         fn = _GROUP_DECODERS.get(str(codec))
         if fn is not None:
             fn(buf, starts[sel], lens[sel], ns[sel], out, out_starts[sel])
-        else:  # ngram + any future codec: per-row reference path
+        elif str(codec) == "ngram" and sel.size > 1:
+            # fused group expansion (ngram.decode_group): one vectorized
+            # grammar-expansion loop for every ngram row in the batch
+            from rle_array_spark.codecs.ngram import decode_group
+
+            g = decode_group(
+                [
+                    memoryview(buf[int(starts[j]) : int(starts[j] + lens[j])].tobytes())
+                    for j in sel
+                ],
+                ns[sel],
+            )
+            pos = 0
+            for j in sel:
+                out[out_starts[j] : out_starts[j] + ns[j]] = g[pos : pos + ns[j]]
+                pos += int(ns[j])
+        else:  # single ngram row + any future codec: per-row reference path
             c = CODECS[str(codec)]
             for j in sel:
                 s, e = int(starts[j]), int(starts[j] + lens[j])

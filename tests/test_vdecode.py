@@ -168,3 +168,58 @@ def test_corrupt_rle_length_raises():
 def test_property_vectorized_roundtrip(data):
     rows = [np.array(r, dtype=np.int32) for r in data]
     _roundtrip(rows, choose_codec)
+
+
+# ---- fused multi-row NGRAM decode (ngram.decode_group) ----
+
+
+def _ngram_rows(seed: int, n_rows: int) -> list[np.ndarray]:
+    """Motif-heavy rows the chooser would send to NGRAM, varied shapes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        motif = rng.integers(0, 50, rng.integers(2, 6)).astype(np.int32)
+        reps = int(rng.integers(5, 60))
+        noise = rng.integers(0, 1000, rng.integers(0, 20)).astype(np.int32)
+        rows.append(np.concatenate([np.tile(motif, reps), noise]))
+    return rows
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_ngram_decode_group_differential(seed):
+    """decode_group must be bit-identical to per-row NGRAM decode over
+    mixed shapes, including empty and symbol-free rows."""
+    from rle_array_spark.codecs.ngram import decode_group
+
+    rows = _ngram_rows(seed, 9)
+    rows.insert(3, np.array([], dtype=np.int32))          # empty row
+    rows.insert(5, np.arange(7, dtype=np.int32))          # likely 0-symbol row
+    ng = CODECS["ngram"]
+    payloads = [ng.encode(r) for r in rows]
+    ns = np.array([r.size for r in rows], dtype=np.int64)
+    fused = decode_group([memoryview(p) for p in payloads], ns)
+    expect = np.concatenate(
+        [ng.decode(memoryview(p), int(n)) for p, n in zip(payloads, ns)]
+    ) if ns.sum() else np.zeros(0, np.int32)
+    np.testing.assert_array_equal(fused, expect)
+    assert fused.dtype == np.int32
+
+
+def test_ngram_decode_group_single_and_empty():
+    from rle_array_spark.codecs.ngram import decode_group
+
+    assert decode_group([], np.array([], dtype=np.int64)).size == 0
+    r = np.tile(np.array([3, 4, 5], np.int32), 40)
+    p = CODECS["ngram"].encode(r)
+    np.testing.assert_array_equal(
+        decode_group([memoryview(p)], np.array([r.size])), r
+    )
+
+
+def test_ngram_decode_group_length_mismatch_raises():
+    from rle_array_spark.codecs.ngram import decode_group
+
+    r = np.tile(np.array([3, 4, 5], np.int32), 40)
+    p = CODECS["ngram"].encode(r)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_group([memoryview(p)], np.array([r.size + 1]))
