@@ -636,17 +636,29 @@ def value_counts_typed_df(blocks: DataFrame, elem_type: str) -> DataFrame:
 
 
 def doc_quantiles_typed_df(
-    blocks: DataFrame, elem_type: str, probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+    blocks: DataFrame,
+    elem_type: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    interpolation: str = "lower",
 ) -> DataFrame:
     """Exact per-doc discrete quantiles over a typed column, computed from
     the compressed value-counts histogram (nulls excluded by construction;
     float NaN sorts LAST — the Spark/NumPy convention). Same ceil(p·n)
     pick and binary-exact-probability contract as the token-side
     ``engine.source_quantiles_df``; the shuffle carries only (doc, value,
-    count) tuples."""
+    count) tuples.
+
+    ``interpolation='linear'`` mirrors engine.source_quantiles_df's
+    pandas/numpy-linear variant (reference decode-fallback convention,
+    array.py:537-554): h = (n-1)p, interpolate between the two order
+    statistics from the same cumulative column; output DOUBLE. Numeric
+    element types only (linear interpolation of timestamps/bools is not
+    defined here)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if interpolation not in ("lower", "linear"):
+        raise ValueError(f"interpolation must be 'lower' or 'linear', got {interpolation!r}")
     for p in probs:
         if not (0 < p <= 1) or (p * 2**32) != int(p * 2**32):
             raise ValueError(f"probability {p} is not a binary-exact fraction")
@@ -659,10 +671,26 @@ def doc_quantiles_typed_df(
     cum = vc.withColumn("cum", F.sum("count").over(w_cum)).withColumn(
         "n_vals", F.sum("count").over(Window.partitionBy("doc_id"))
     )
-    aggs = [
-        F.min(
-            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_vals")), F.col("value"))
-        ).alias(f"p{int(p * 100)}")
-        for p in probs
-    ]
+    if interpolation == "lower":
+        aggs = [
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_vals")), F.col("value"))
+            ).alias(f"p{int(p * 100)}")
+            for p in probs
+        ]
+        return cum.groupBy("doc_id", "n_vals").agg(*aggs)
+    aggs = []
+    for p in probs:
+        h = F.lit(p) * (F.col("n_vals") - 1).cast("double")
+        lo_rank = F.floor(h) + 1
+        hi_rank = F.least(lo_rank + 1, F.col("n_vals"))
+        frac = h - F.floor(h).cast("double")
+        lo_val = F.min(F.when(F.col("cum") >= lo_rank, F.col("value")))
+        hi_val = F.min(F.when(F.col("cum") >= hi_rank, F.col("value")))
+        aggs.append(
+            (
+                lo_val.cast("double")
+                + frac * (hi_val.cast("double") - lo_val.cast("double"))
+            ).alias(f"p{int(p * 100)}")
+        )
     return cum.groupBy("doc_id", "n_vals").agg(*aggs)

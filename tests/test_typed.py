@@ -444,3 +444,26 @@ def test_doc_quantiles_typed_matches_numpy(spark):
 
     with _pytest.raises(ValueError, match="binary-exact"):
         doc_quantiles_typed_df(blocks, "double", probs=(0.3,))
+    with _pytest.raises(ValueError, match="interpolation"):
+        doc_quantiles_typed_df(blocks, "double", interpolation="nearest")
+
+    # linear variant: pandas/numpy-linear pick on the same sorted order
+    # (NaN participates sorting last — interpolation touching the NaN
+    # region yields NaN, the histogram-order semantics)
+    lin = {
+        r["doc_id"]: r
+        for r in doc_quantiles_typed_df(
+            blocks, "double", interpolation="linear"
+        ).collect()
+    }
+    for d, x in raw.items():
+        if x.size == 0:
+            continue
+        row = lin[d]
+        for p in (0.25, 0.5, 0.75):
+            h = (x.size - 1) * p
+            lo = x[int(np.floor(h))]
+            hi = x[min(int(np.floor(h)) + 1, x.size - 1)]
+            want = lo + (h - np.floor(h)) * (hi - lo)
+            v = row[f"p{int(p * 100)}"]
+            assert (np.isnan(want) and np.isnan(v)) or v == want, (d, p, v, want)
