@@ -400,8 +400,7 @@ def decode_group(payloads: list, ns) -> np.ndarray:
     """
     ns = np.asarray(ns, dtype=np.int64)
     streams: list[np.ndarray] = []
-    lefts: list[np.ndarray] = []
-    rights: list[np.ndarray] = []
+    tables: list[np.ndarray] = []
     table_off = 0
     for payload, n in zip(payloads, ns.tolist()):
         if n == 0:
@@ -416,30 +415,72 @@ def decode_group(payloads: list, ns) -> np.ndarray:
                 np.int64
             )
             shift = _GROUP_BASE + table_off - sym_base
-            table = np.where(table >= sym_base, table + shift, table)
+            tables.append(np.where(table >= sym_base, table + shift, table))
             s = np.where(s >= sym_base, s + shift, s)
-            lefts.append(table[0::2])
-            rights.append(table[1::2])
             table_off += n_syms
         streams.append(s)
     total = int(ns.sum())
     if not streams:
         return np.zeros(0, dtype=np.int32)
-    left = np.concatenate(lefts) if lefts else np.zeros(0, dtype=np.int64)
-    right = np.concatenate(rights) if rights else np.zeros(0, dtype=np.int64)
     s = np.concatenate(streams)
-    # identical body to Codec.decode's loop, over the fused stream
+    if not tables:  # every row symbol-free: streams are already terminals
+        if s.size != total:
+            raise ValueError(
+                f"ngram group decode length mismatch: {s.size} != {total}"
+            )
+        return s.astype(np.int32)
+    # Expand the grammar TABLE first: the expansion loop runs over
+    # table-sized arrays (2 ints per symbol, << stream size) for
+    # max-depth iterations; the stream then expands in ONE
+    # segment-gather pass. Measured vs looping over the stream itself:
+    # the stream loop re-walked the full (growing) stream per depth
+    # level — ~100 ms vs ~40 ms per bench batch rep.
+    defs = np.concatenate(tables)  # [l0, r0, l1, r1, ...] in global order
+    n_total_syms = defs.size // 2
+    left = defs[0::2].copy()
+    right = defs[1::2].copy()
+    seg = np.repeat(np.arange(n_total_syms, dtype=np.int64), 2)
     while True:
-        mask = s >= _GROUP_BASE
+        mask = defs >= _GROUP_BASE
         if not mask.any():
             break
         reps = np.where(mask, 2, 1)
         idx = np.cumsum(reps) - reps
-        out = np.repeat(s, reps)
-        sym = s[mask] - _GROUP_BASE
-        out[idx[mask]] = left[sym]
-        out[idx[mask] + 1] = right[sym]
-        s = out
-    if s.size != total:
-        raise ValueError(f"ngram group decode length mismatch: {s.size} != {total}")
-    return s.astype(np.int32)
+        nd = np.repeat(defs, reps)
+        seg = np.repeat(seg, reps)
+        sym = defs[mask] - _GROUP_BASE
+        nd[idx[mask]] = left[sym]
+        nd[idx[mask] + 1] = right[sym]
+        defs = nd
+    # defs is now every symbol's full terminal expansion, contiguous per
+    # symbol in id order (np.repeat preserves order)
+    exp_len = np.bincount(seg, minlength=n_total_syms)
+    exp_off = np.cumsum(exp_len) - exp_len
+    term = s < _GROUP_BASE
+    sym_ids = s[~term] - _GROUP_BASE
+    lens_out = np.ones(s.size, dtype=np.int64)
+    lens_out[~term] = exp_len[sym_ids]
+    out_off = np.cumsum(lens_out) - lens_out
+    produced = int(out_off[-1] + lens_out[-1]) if s.size else 0
+    if produced != total:
+        raise ValueError(f"ngram group decode length mismatch: {produced} != {total}")
+    out = np.empty(total, dtype=np.int64)
+    out[out_off[term]] = s[term]
+    li = lens_out[~term]
+    if li.size:
+        dst = np.repeat(out_off[~term], li) + _grouped_arange(li)
+        src = np.repeat(exp_off[sym_ids], li) + _grouped_arange(li)
+        out[dst] = defs[src]
+    return out.astype(np.int32)
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """concatenate(arange(c) for c in counts), vectorized (same idiom as
+    vdecode._grouped_arange — duplicated here to avoid a circular import:
+    vdecode imports the codec registry which imports this module)."""
+    counts = counts.astype(np.int64, copy=False)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
