@@ -223,3 +223,33 @@ def test_ngram_decode_group_length_mismatch_raises():
     p = CODECS["ngram"].encode(r)
     with pytest.raises(ValueError, match="length mismatch"):
         decode_group([memoryview(p)], np.array([r.size + 1]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.lists(st.integers(0, 2**31 - 1), min_size=0, max_size=60),
+            # motif-heavy rows that actually build grammars
+            st.tuples(
+                st.lists(st.integers(0, 99), min_size=1, max_size=5),
+                st.integers(2, 40),
+            ).map(lambda t: (t[0] * t[1])),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_property_ngram_decode_group(data):
+    """decode_group == per-row ngram decode on arbitrary mixed rows
+    (randomized guard for the table-first expansion + segment gather)."""
+    from rle_array_spark.codecs.ngram import decode_group
+
+    rows = [np.asarray(r, dtype=np.int32) for r in data]
+    ng = CODECS["ngram"]
+    payloads = [ng.encode(r) for r in rows]
+    ns = np.array([r.size for r in rows], dtype=np.int64)
+    fused = decode_group([memoryview(p) for p in payloads], ns)
+    parts = [ng.decode(memoryview(p), int(n)) for p, n in zip(payloads, ns)]
+    expect = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+    np.testing.assert_array_equal(fused, expect)
