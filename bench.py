@@ -344,6 +344,11 @@ def main() -> None:
             "window_shift_ffill",
             "roundtrip_auto",
             "cosine_pairs_lsh",
+            # r4: pipeline + streaming visibility (end-to-end dedup at
+            # production MinHash parameters; real structured-streaming
+            # drain with stateful quantiles)
+            "dedup_survivors",
+            "stream_quantiles_parity",
         ):
             queries[name] = timed(lambda n=name: q[n](spark, SF_DIR).collect(), name=name)
     finally:
