@@ -395,7 +395,13 @@ def main() -> None:
     compact["spread_file"] = "BENCH_FULL.json"
     compact["drift_factor"] = out["calibration"]["drift_factor"]
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 4000, f"bench metric line too long ({len(line)}B) — trim before the driver truncates it"
+    if len(line) >= 4000:
+        # fail SAFE: the driver must always receive a parseable line — drop
+        # the per-query detail (it lives in BENCH_FULL.json) rather than
+        # risk the tail-capture truncation this split exists to prevent
+        print(f"bench: metric line {len(line)}B >= 4KB, trimming queries", file=sys.stderr)
+        compact["queries"] = {"trimmed": "see BENCH_FULL.json"}
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -323,8 +323,9 @@ def decode_rows_vectorized(
             from rle_array_spark.codecs.ngram import decode_group
 
             g = decode_group(
+                # contiguous read-only views — no per-payload copy
                 [
-                    memoryview(buf[int(starts[j]) : int(starts[j] + lens[j])].tobytes())
+                    memoryview(buf[int(starts[j]) : int(starts[j] + lens[j])])
                     for j in sel
                 ],
                 ns[sel],

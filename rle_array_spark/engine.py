@@ -521,8 +521,9 @@ def encode_df(
 # Scalar value-map operators over encoded blocks — the reference's scalar
 # binary operator set restricted to maps that keep tokens in the
 # non-negative int32 domain (/root/reference/rle_array/array.py:748-824:
-# + - * // % & | ^; true-div/pow excluded — they leave the integer token
-# domain). Each entry: (fn(values:int64, k) -> int64, operand validator).
+# + - * // % ** & | ^; true-div excluded — it leaves the integer token
+# domain; pow is integer-exact via rounded float64, see its entry).
+# Each entry: (fn(values:int64, k) -> int64, operand validator).
 TRANSFORM_OPS = {
     "add": (lambda v, k: v + k, lambda k: k >= 0),
     "mul": (lambda v, k: v * k, lambda k: k >= 0),
@@ -538,9 +539,11 @@ TRANSFORM_OPS = {
     # computed in float64 — exact for any result < 2^53, and every result
     # that survives must fit int32 anyway (_checked_int32 raises on the
     # rest, including the inf→INT64_MIN cast artifact of an overflowing
-    # base**k — the reference's int-overflow contract)
+    # base**k — the reference's int-overflow contract). rint before the
+    # int cast so a libm whose pow is not correctly rounded (musl, old
+    # glibc) can't truncate 124.999… to 124 while SQL CAST rounds to 125.
     "pow": (
-        lambda v, k: np.power(v.astype(np.float64), float(k)).astype(np.int64),
+        lambda v, k: np.rint(np.power(v.astype(np.float64), float(k))).astype(np.int64),
         lambda k: k >= 0,
     ),
 }
@@ -1093,9 +1096,10 @@ ZIP_OPS = {
     "mod": lambda a, b: np.mod(a, b, out=np.zeros_like(a), where=b != 0),
     # ``**`` on the union grid (reference array.py:748-824): float64 pow is
     # exact below 2^53 and _checked_int32 enforces the int32 token-domain
-    # overflow contract on the cast-back (inf → INT64_MIN → raises)
-    "pow": lambda a, b: np.power(
-        a.astype(np.float64), b.astype(np.float64)
+    # overflow contract on the cast-back (inf → INT64_MIN → raises);
+    # rint first so non-correctly-rounded libm pow can't truncate down
+    "pow": lambda a, b: np.rint(
+        np.power(a.astype(np.float64), b.astype(np.float64))
     ).astype(np.int64),
     # comparisons → 0/1 runs, the masking primitive (reference supports all
     # binary ops incl. comparisons on the union grid,
@@ -1506,9 +1510,14 @@ def source_quantiles_df(
     Binary-exact p keeps h and the fraction exact in doubles, so the
     interpolated value is bit-identical across engines. Output columns are
     DOUBLE in linear mode, INT (value dtype) in lower mode.
+    ``interpolation='both'`` returns BOTH sets in one aggregation pass
+    (columns pXX_disc + pXX_cont) — one scan, no persist needed by callers
+    that want the two conventions side by side.
     """
-    if interpolation not in ("lower", "linear"):
-        raise ValueError(f"interpolation must be 'lower' or 'linear', got {interpolation!r}")
+    if interpolation not in ("lower", "linear", "both"):
+        raise ValueError(
+            f"interpolation must be 'lower', 'linear' or 'both', got {interpolation!r}"
+        )
     for p in probs:
         if not (0 < p <= 1) or (p * 2**32) != int(p * 2**32):
             raise ValueError(f"probability {p} is not a binary-exact fraction")
@@ -1528,22 +1537,48 @@ def source_quantiles_df(
     cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n_toks", F.sum("cnt").over(w_all)
     )
-    if interpolation == "lower":
-        aggs = [
-            F.min(
-                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_toks")), F.col("value"))
-            ).alias(f"p{int(p * 100)}")
-            for p in probs
-        ]
-        return cum.groupBy("source", "n_toks").agg(*aggs)
-    # linear: h = (n-1)*p; lo = 1-based rank floor(h)+1, hi = min(lo+1, n);
-    # v_at(r) = smallest value whose cumulative count reaches r (two order
-    # statistics out of the SAME cumulative column — no extra pass)
+    if interpolation == "both":
+        aggs = quantile_aggs("n_toks", probs, "lower", suffix="_disc")
+        aggs += quantile_aggs("n_toks", probs, "linear", suffix="_cont")
+    else:
+        aggs = quantile_aggs("n_toks", probs, interpolation)
+    return cum.groupBy("source", "n_toks").agg(*aggs)
+
+
+def quantile_aggs(
+    count_col: str,
+    probs: tuple[float, ...],
+    interpolation: str,
+    suffix: str = "",
+) -> list:
+    """Aggregate expressions picking quantiles out of a cumulative
+    histogram (columns ``value``, ``cum``, ``count_col``) — the ONE copy
+    of the rank/interpolation math shared by the token-side
+    ``source_quantiles_df`` and the typed-side
+    ``typed.doc_quantiles_typed_df`` (the cross-engine parity contract
+    depends on both staying bit-identical).
+
+    ``lower``: smallest value with cum ≥ ceil(p·n) (DuckDB quantile_disc).
+    ``linear``: h = (n−1)p; interpolate between the order statistics at
+    1-based ranks floor(h)+1 and min(floor(h)+2, n) — both out of the SAME
+    cumulative column, no extra pass (DuckDB quantile_cont / numpy-linear).
+    """
     aggs = []
     for p in probs:
-        h = F.lit(p) * (F.col("n_toks") - 1).cast("double")
+        name = f"p{int(p * 100)}{suffix}"
+        if interpolation == "lower":
+            aggs.append(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.lit(p) * F.col(count_col)),
+                        F.col("value"),
+                    )
+                ).alias(name)
+            )
+            continue
+        h = F.lit(p) * (F.col(count_col) - 1).cast("double")
         lo_rank = F.floor(h) + 1
-        hi_rank = F.least(lo_rank + 1, F.col("n_toks"))
+        hi_rank = F.least(lo_rank + 1, F.col(count_col))
         frac = h - F.floor(h).cast("double")
         lo_val = F.min(F.when(F.col("cum") >= lo_rank, F.col("value")))
         hi_val = F.min(F.when(F.col("cum") >= hi_rank, F.col("value")))
@@ -1551,9 +1586,9 @@ def source_quantiles_df(
             (
                 lo_val.cast("double")
                 + frac * (hi_val.cast("double") - lo_val.cast("double"))
-            ).alias(f"p{int(p * 100)}")
+            ).alias(name)
         )
-    return cum.groupBy("source", "n_toks").agg(*aggs)
+    return aggs
 
 
 def dedup_exact_encoded_df(blocks: DataFrame) -> DataFrame:

@@ -1547,15 +1547,20 @@ def q_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in double)."""
     from rle_array_spark.engine import source_quantiles_df
 
-    blocks = encode_df(_sequences(spark, sf_dir), codec="auto").persist()
-    qcols = [F.col(c).cast("double").alias(c) for c in ("p25", "p50", "p75")]
-    disc = source_quantiles_df(blocks, probs=(0.25, 0.5, 0.75)).select(
-        "source", F.lit("disc").alias("kind"), "n_toks", *qcols
+    blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
+    both = source_quantiles_df(
+        blocks, probs=(0.25, 0.5, 0.75), interpolation="both"
     )
-    cont = source_quantiles_df(
-        blocks, probs=(0.25, 0.5, 0.75), interpolation="linear"
-    ).select("source", F.lit("cont").alias("kind"), "n_toks", *qcols)
-    return disc.unionByName(cont)
+    # one aggregation pass (one encode/scan, no persist) → unpivot the
+    # disc/cont column pairs into labeled rows with stack()
+    return both.selectExpr(
+        "source",
+        "stack(2, "
+        " 'disc', cast(p25_disc as double), cast(p50_disc as double), cast(p75_disc as double),"
+        " 'cont', p25_cont, p50_cont, p75_cont"
+        ") as (kind, p25, p50, p75)",
+        "n_toks",
+    ).select("source", "kind", "n_toks", "p25", "p50", "p75")
 
 
 ORACLE_QUANTILES_HIST = f"""{_ORACLE_TOK_CTE}

@@ -671,26 +671,8 @@ def doc_quantiles_typed_df(
     cum = vc.withColumn("cum", F.sum("count").over(w_cum)).withColumn(
         "n_vals", F.sum("count").over(Window.partitionBy("doc_id"))
     )
-    if interpolation == "lower":
-        aggs = [
-            F.min(
-                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_vals")), F.col("value"))
-            ).alias(f"p{int(p * 100)}")
-            for p in probs
-        ]
-        return cum.groupBy("doc_id", "n_vals").agg(*aggs)
-    aggs = []
-    for p in probs:
-        h = F.lit(p) * (F.col("n_vals") - 1).cast("double")
-        lo_rank = F.floor(h) + 1
-        hi_rank = F.least(lo_rank + 1, F.col("n_vals"))
-        frac = h - F.floor(h).cast("double")
-        lo_val = F.min(F.when(F.col("cum") >= lo_rank, F.col("value")))
-        hi_val = F.min(F.when(F.col("cum") >= hi_rank, F.col("value")))
-        aggs.append(
-            (
-                lo_val.cast("double")
-                + frac * (hi_val.cast("double") - lo_val.cast("double"))
-            ).alias(f"p{int(p * 100)}")
-        )
-    return cum.groupBy("doc_id", "n_vals").agg(*aggs)
+    from rle_array_spark.engine import quantile_aggs
+
+    return cum.groupBy("doc_id", "n_vals").agg(
+        *quantile_aggs("n_vals", probs, interpolation)
+    )
