@@ -80,11 +80,25 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _read_blocks_any(spark: SparkSession, path: str):
+    """Accept either a plain parquet dir of block rows or a checkpointed
+    writer dir (the thing ``encode --salted`` writes: blocks/ + lineage/
+    or _manifest.json) — ``verify --blocks <the dir encode just wrote>``
+    must work without the user knowing the layout."""
+    import os
+
+    if os.path.isdir(os.path.join(path, "blocks")):
+        from rle_array_spark.tableio import read_blocks
+
+        return read_blocks(spark, path)
+    return spark.read.parquet(path)
+
+
 def cmd_decode(args) -> int:
     from rle_array_spark.engine import decode_df
 
     spark = _session(args)
-    blocks = spark.read.parquet(args.blocks)
+    blocks = _read_blocks_any(spark, args.blocks)
     decode_df(blocks).write.mode(args.mode).parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"job": "decode", "rows": int(n)}))
@@ -99,7 +113,7 @@ def cmd_verify(args) -> int:
     df = spark.read.schema(
         "doc_id string, tokens array<int>, n_tok int, source string"
     ).parquet(args.input)
-    blocks = spark.read.parquet(args.blocks)
+    blocks = _read_blocks_any(spark, args.blocks)
     mismatches = verify_roundtrip(df, blocks)
     print(json.dumps({"job": "verify", "mismatches": int(mismatches)}))
     spark.stop()

@@ -64,6 +64,14 @@ def test_cli_salted_encode_resume(tmp_path):
     second = _run(["encode", "--input", input_dir, "--output", out_dir, "--salted", "--partitions", "4"])
     assert second["skipped"] == 4  # full checkpoint hit
     assert second["tokens"] == first["tokens"]
+    # verify/decode must accept the writer dir the salted encode just
+    # produced (blocks/ subdir layout), not only a flat parquet dir —
+    # the spark-submit lifecycle encode → verify → decode (r4 fix)
+    ver = _run(["verify", "--input", input_dir, "--blocks", out_dir])
+    assert ver["mismatches"] == 0
+    dec_dir = str(tmp_path / "dec")
+    dec = _run(["decode", "--blocks", out_dir, "--output", dec_dir])
+    assert dec["rows"] > 0
 
 
 def test_cli_stats(tmp_path):
