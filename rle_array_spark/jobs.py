@@ -121,14 +121,37 @@ def cmd_verify(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    from rle_array_spark.streaming import encode_stream
+    """Streaming surface behind one subcommand: --op selects the job.
+    encode = continuous encode (exactly-once file-source checkpointing);
+    stats / quantiles = encode + custom stateful operator
+    (applyInPandasWithState running totals / exact running quartiles);
+    dedup = cross-batch exact dedup (state store extends the seen-set
+    across micro-batches and restarts). All drain with availableNow and
+    resume from --checkpoint."""
+    from rle_array_spark import streaming
 
     spark = _session(args)
-    encode_stream(
-        spark, args.input, args.output, args.checkpoint, codec=args.codec
-    )
+    if args.op == "encode":
+        streaming.encode_stream(
+            spark, args.input, args.output, args.checkpoint, codec=args.codec
+        )
+    elif args.op == "stats":
+        streaming.running_source_stats_stream(
+            spark, args.input, args.output, args.checkpoint, codec=args.codec
+        )
+    elif args.op == "quantiles":
+        streaming.running_quantiles_stream(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            codec=args.codec,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    else:  # dedup
+        streaming.dedup_stream(spark, args.input, args.output, args.checkpoint)
     n = spark.read.parquet(args.output).count()
-    print(json.dumps({"job": "stream", "rows": int(n)}))
+    print(json.dumps({"job": f"stream-{args.op}", "rows": int(n)}))
     spark.stop()
     return 0
 
@@ -210,6 +233,19 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--output", required=True)
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--codec", default="auto")
+    st.add_argument(
+        "--op",
+        choices=("encode", "stats", "quantiles", "dedup"),
+        default="encode",
+        help="encode blocks, running per-source stats, running exact "
+        "quantiles, or cross-batch exact dedup (dedup input: documents "
+        "parquet with doc_id/text/source)",
+    )
+    st.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="split the drain into micro-batches of N input files "
+        "(quantiles op; exercises cross-batch state merge)",
+    )
 
     sts = sub.add_parser("stats")
     sts.add_argument("--blocks", required=True)

@@ -92,3 +92,60 @@ def test_cli_stats(tmp_path):
     # PAD token 0 dominates the padded source: plenty of hits
     assert out["contains"]["docs"] > 0
     assert out["contains"]["occurrences"] > out["contains"]["docs"]
+
+
+@pytest.mark.slow
+def test_cli_stream_ops(tmp_path):
+    """The streaming surface via the spark-submit CLI: quantiles op drained
+    in micro-batches must equal the batch quantile answer; dedup op over
+    documents keeps one representative per distinct text."""
+    import numpy as np
+
+    seq_dir = str(tmp_path / "seq")
+    os.makedirs(seq_dir)
+    tbl = pa.Table.from_batches([generate_block(2, 8)])
+    # two files -> two micro-batches at --max-files-per-trigger 1
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(seq_dir, "a.parquet"))
+    pq.write_table(tbl.slice(half), os.path.join(seq_dir, "b.parquet"))
+
+    out = _run([
+        "stream", "--op", "quantiles", "--input", seq_dir,
+        "--output", str(tmp_path / "q_out"),
+        "--checkpoint", str(tmp_path / "q_ckpt"),
+        "--max-files-per-trigger", "1",
+    ])
+    assert out["job"] == "stream-quantiles" and out["rows"] > 0
+    import pandas as pd
+
+    emitted = pd.read_parquet(str(tmp_path / "q_out"))
+    final = emitted.loc[emitted.groupby("source")["n_toks"].idxmax()]
+    toks = tbl.to_pandas()
+    for _, row in final.iterrows():
+        if row["n_toks"] == 0:
+            continue
+        vals = np.sort(
+            np.concatenate(
+                toks.loc[toks["source"] == row["source"], "tokens"].to_list()
+            ).astype(np.int64)
+        )
+        assert row["n_toks"] == vals.size
+        k = int(np.ceil(0.5 * vals.size))
+        assert row["p50"] == vals[k - 1]
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    ddf = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": ["same text here", "same text here", "other doc", "third doc"],
+            "source": ["s"] * 4,
+        }
+    )
+    pq.write_table(ddf, os.path.join(docs_dir, "d.parquet"))
+    out = _run([
+        "stream", "--op", "dedup", "--input", docs_dir,
+        "--output", str(tmp_path / "d_out"),
+        "--checkpoint", str(tmp_path / "d_ckpt"),
+    ])
+    assert out["job"] == "stream-dedup" and out["rows"] == 3  # one dup dropped
