@@ -546,6 +546,25 @@ TRANSFORM_OPS = {
         lambda v, k: np.rint(np.power(v.astype(np.float64), float(k))).astype(np.int64),
         lambda k: k >= 0,
     ),
+    # reflected non-commutative forms (reference __rsub__/__rfloordiv__/
+    # __rmod__/__rpow__, array.py:769-807): scalar OP values. Same token-
+    # domain conventions as the forward forms — subtraction clamps at 0,
+    # division/modulo are zero-safe (v == 0 → 0), pow is rint'ed float64
+    # under the _checked_int32 overflow contract. The commutative
+    # reflections (radd/rmul/rand/ror/rxor) are the forward entries.
+    "rsub_floor": (lambda v, k: np.maximum(k - v, 0), lambda k: k >= 0),
+    "rfloordiv": (
+        lambda v, k: np.floor_divide(k, v, out=np.zeros_like(v), where=v != 0),
+        lambda k: k >= 0,
+    ),
+    "rmod": (
+        lambda v, k: np.mod(k, v, out=np.zeros_like(v), where=v != 0),
+        lambda k: k >= 0,
+    ),
+    "rpow": (
+        lambda v, k: np.rint(np.power(float(k), v.astype(np.float64))).astype(np.int64),
+        lambda k: k >= 0,
+    ),
 }
 
 

@@ -266,24 +266,56 @@ LIMIT 20"""
 
 
 def q_compressed_add_const(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compute-on-compressed: +7 applied to run values / dict tables inside
-    the encoded payloads (reference scalar-op semantics, array.py:846-849),
-    then decoded — the oracle adds 7 to the raw tokens and never sees a
-    codec."""
+    """Compute-on-compressed scalar operators, four labeled arms (reference
+    scalar-op semantics incl. the REFLECTED dunders, array.py:748-824):
+    ``add`` = x+7, ``rsub`` = max(1200−x, 0) (__rsub__, token-domain
+    clamp), ``rmod`` = 997 mod x zero-safe (__rmod__), ``rpow`` =
+    2**(x mod 20) (__rpow__, rint'ed float64 under the int32 overflow
+    contract). All applied to run values / dict tables inside the encoded
+    payloads, then decoded; the oracle transforms raw tokens and never
+    sees a codec."""
     seq = _sequences(spark, sf_dir)
     blocks = encode_df(seq, codec="auto")
-    shifted = transform_blocks(blocks, "add", 7)
-    return decode_stats_df(shifted).select(*_STATS_COLS)
+    arms = [
+        ("add", transform_blocks(blocks, "add", 7)),
+        ("rsub", transform_blocks(blocks, "rsub_floor", 1200)),
+        ("rmod", transform_blocks(blocks, "rmod", 997)),
+        ("rpow", transform_blocks(transform_blocks(blocks, "mod", 20), "rpow", 2)),
+    ]
+    out = None
+    for name, shifted in arms:
+        part = decode_stats_df(shifted).select(*_STATS_COLS).withColumn(
+            "path", F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
-ORACLE_COMPRESSED_ADD = f"""WITH tok AS (
-    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-           source,
-           list_transform(string_split(text, ''), c -> unicode(c) + 7) AS tokens
+ORACLE_COMPRESSED_ADD = f"""WITH docs0 AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+           list_transform(string_split(text, ''), c -> unicode(c)) AS xs
     FROM documents
     WHERE length(text) > 0
+), tok AS (
+    SELECT doc_id, source, list_transform(xs, x -> x + 7) AS tokens, 'add' AS path FROM docs0
+    UNION ALL
+    SELECT doc_id, source, list_transform(xs, x -> greatest(1200 - x, 0)), 'rsub' FROM docs0
+    UNION ALL
+    SELECT doc_id, source,
+           list_transform(xs, x -> CASE WHEN x = 0 THEN 0 ELSE 997 % x END), 'rmod' FROM docs0
+    UNION ALL
+    SELECT doc_id, source,
+           list_transform(xs, x -> CAST(pow(2, x % 20) AS BIGINT)), 'rpow' FROM docs0
 )
-{_ORACLE_STATS_SELECT}"""
+SELECT doc_id,
+       source,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
+       path
+FROM tok"""
 
 
 def q_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:

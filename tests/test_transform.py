@@ -143,6 +143,39 @@ def test_transform_invalid_operand_raises(sequences):
         transform_blocks(blocks, "truediv", 2)
 
 
+@pytest.mark.parametrize("op,operand,fn", [
+    ("rsub_floor", 700, lambda v, k: np.maximum(k - v, 0)),
+    ("rfloordiv", 1000, lambda v, k: np.floor_divide(k, v, out=np.zeros_like(v), where=v != 0)),
+    ("rmod", 997, lambda v, k: np.mod(k, v, out=np.zeros_like(v), where=v != 0)),
+])
+def test_transform_reflected_ops(sequences, op, operand, fn):
+    """Reflected scalar operators (reference __rsub__/__rfloordiv__/__rmod__,
+    array.py:769-801): k OP tokens, same clamp/zero-safe conventions."""
+    from rle_array_spark.engine import decode_df
+
+    blocks = encode_df(sequences, codec="auto")
+    out = transform_blocks(blocks, op, operand)
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(out).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    for doc_id, tokens in raw.items():
+        expect = fn(np.array(tokens, dtype=np.int64), operand)
+        np.testing.assert_array_equal(np.array(decoded[doc_id], dtype=np.int64), expect)
+
+
+def test_transform_rpow(sequences):
+    """k ** tokens (reference __rpow__, array.py:805-807): exact for small
+    exponents via a mod transform, raises on int32 overflow."""
+    from rle_array_spark.engine import decode_df
+
+    blocks = encode_df(sequences, codec="auto")
+    out = transform_blocks(transform_blocks(blocks, "mod", 20), "rpow", 2)
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(out).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    for doc_id, tokens in raw.items():
+        expect = 2 ** (np.array(tokens, dtype=np.int64) % 20)
+        np.testing.assert_array_equal(np.array(decoded[doc_id], dtype=np.int64), expect)
+
+
 def test_transform_pow(sequences):
     """`**` scalar operator (reference array.py:748-824): (tokens % 11)**2
     through two chained compressed-domain transforms decodes exactly."""
