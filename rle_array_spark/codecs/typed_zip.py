@@ -183,6 +183,43 @@ def zip_typed_blocks(
     return _emit_runs(dtype_code(out_vals.dtype), valid, out_vals, lens, n)
 
 
+TYPED_UNARY_OPS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
+    # reference unary dunders (__neg__/__abs__/__pos__, array.py:826-837);
+    # numeric dtypes only — numpy itself raises on datetime64 negation
+    "neg": np.negative,
+    "abs": np.abs,
+    "pos": np.positive,
+}
+
+
+def transform_typed(name: str, payload, n: int, fn, to_bool: bool = False):
+    """Value-map ``fn`` over one typed block's RUN VALUES (the reference's
+    scalar/unary operator semantics, array.py:748-849: op the run values,
+    keep positions, recompress) — the single-input sibling of
+    :func:`zip_typed_blocks`, sharing its run-form parse, adjacent-equal
+    merge and emit. Null slots keep their validity (null OP k = null).
+    ``to_bool`` casts the result to bool (comparison outputs)."""
+    if n == 0:
+        dt, _, _ = _decode_header(memoryview(payload), 0)
+        out = np.ascontiguousarray(fn(np.zeros(0, dtype=dt)))
+        if to_bool:
+            out = out.astype(np.bool_)
+        return "traw", encode_traw(out)
+    ends, vals, valid = _typed_run_form(name, payload, n)
+    out_vals = np.ascontiguousarray(fn(vals))
+    if to_bool:
+        out_vals = out_vals.astype(np.bool_)
+    out_bits = out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize])
+    if out_bits.size > 1:  # merge adjacent runs made equal by the map
+        keep = np.concatenate(([True], out_bits[1:] != out_bits[:-1]))
+        if not keep.all():
+            starts = np.flatnonzero(keep)
+            out_vals = out_vals[starts]
+            ends = ends[np.append(starts[1:] - 1, ends.size - 1)]
+    lens = np.diff(np.concatenate(([0], ends)))
+    return _emit_runs(dtype_code(out_vals.dtype), valid, out_vals, lens, n)
+
+
 def take_typed(
     name: str,
     payload,

@@ -1115,12 +1115,16 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mask_typed_df — reference boolean ``__getitem__``, array.py:655-668)
     so a[a < b] is verified in the same slot, and the fused scalar filter
     (filter_typed_df, value-domain, no mask payload) verifies a[a < 500]
-    alongside."""
+    alongside. The r4 ``scalar_sum`` arm chains the typed unary + scalar
+    operators (transform_typed_df — reference __neg__/__abs__ and scalar
+    dunders on arbitrary dtypes, array.py:748-849): abs(neg(a))·3 − 100,
+    all in the compressed domain."""
     from rle_array_spark.typed import (
         decode_typed_df,
         encode_typed_df,
         filter_typed_df,
         mask_typed_df,
+        transform_typed_df,
         zip_typed_df,
     )
 
@@ -1163,6 +1167,24 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        .join(
+            decode_typed_df(
+                transform_typed_df(
+                    transform_typed_df(
+                        transform_typed_df(transform_typed_df(ba, "neg"), "abs"),
+                        "mul", 3,
+                    ),
+                    "sub", 100,
+                ),
+                "long",
+            ).select(
+                "doc_id",
+                F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias(
+                    "scalar_sum"
+                ),
+            ),
+            "doc_id",
+        )
     )
 
 
@@ -1178,7 +1200,8 @@ SELECT doc_id,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS lt_count,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS mask_n,
        CAST(COALESCE(list_sum(list_transform(list_filter(range(1, length(a) + 1), i -> a[i] < b[i]), i -> a[i])), 0) AS BIGINT) AS mask_sum,
-       CAST(COALESCE(list_sum(list_filter(a, x -> x < 500)), 0) AS BIGINT) AS sfilt_sum
+       CAST(COALESCE(list_sum(list_filter(a, x -> x < 500)), 0) AS BIGINT) AS sfilt_sum,
+       CAST(list_sum(list_transform(a, x -> abs(-x) * 3 - 100)) AS BIGINT) AS scalar_sum
 FROM seq"""
 
 

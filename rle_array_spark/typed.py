@@ -301,6 +301,48 @@ def filter_typed_df(blocks: DataFrame, op: str, operand) -> DataFrame:
     return _block_transform_df(blocks, row_fn)
 
 
+def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
+    """Compressed-domain scalar/unary operator over a typed encoded column
+    (reference dunders array.py:748-849 for arbitrary dtypes): unary ops
+    from ``TYPED_UNARY_OPS`` (neg/abs/pos, no operand) or any
+    ``TYPED_ZIP_OPS`` entry applied against a broadcast scalar operand
+    (add/sub/mul/div/floordiv/mod/pow/min/max + comparisons → bool
+    blocks usable as masks). Runs in one shuffle-free mapInArrow pass on
+    run values only; nulls stay null; adjacent runs made equal by the map
+    merge (recompress invariant). Metadata recomputed exactly."""
+    from rle_array_spark.codecs.typed_zip import (
+        COMPARISON_OPS,
+        TYPED_UNARY_OPS,
+        TYPED_ZIP_OPS,
+        transform_typed,
+    )
+
+    if op in TYPED_UNARY_OPS:
+        if operand is not None:
+            raise ValueError(f"unary op {op!r} takes no operand")
+        base = TYPED_UNARY_OPS[op]
+        fn = base
+        to_bool = False
+    elif op in TYPED_ZIP_OPS:
+        if operand is None:
+            raise ValueError(f"scalar op {op!r} needs an operand")
+        zf = TYPED_ZIP_OPS[op]
+        opnd = np.asarray(operand)  # 0-d array: broadcasts AND has .astype
+        fn = lambda v: zf(v, opnd)  # noqa: E731 — scalar broadcast
+        to_bool = op in COMPARISON_OPS
+    else:
+        raise ValueError(
+            f"unsupported op {op!r}; unary: {sorted(TYPED_UNARY_OPS)}, "
+            f"scalar: {sorted(TYPED_ZIP_OPS)}"
+        )
+
+    def row_fn(c, p, n):
+        nc, npay = transform_typed(c, p, n, fn, to_bool=to_bool)
+        return nc, npay, n  # value-map: length unchanged
+
+    return _block_transform_df(blocks, row_fn)
+
+
 def cast_typed_df(blocks: DataFrame, to_dtype) -> DataFrame:
     """Cross-dtype cast over typed encoded blocks — the reference's
     ``astype`` (/root/reference/rle_array/array.py:445-453,670-681) as a

@@ -467,3 +467,61 @@ def test_doc_quantiles_typed_matches_numpy(spark):
             want = lo + (h - np.floor(h)) * (hi - lo)
             v = row[f"p{int(p * 100)}"]
             assert (np.isnan(want) and np.isnan(v)) or v == want, (d, p, v, want)
+
+
+def test_transform_typed_df_ops(spark):
+    """Compressed-domain unary + scalar ops over typed columns (reference
+    __neg__/__abs__ and scalar dunders, array.py:748-849): decode of the
+    transformed blocks equals numpy over the raw values; nulls stay null;
+    comparisons produce bool blocks."""
+    import numpy as np
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        transform_typed_df,
+    )
+
+    rng = np.random.default_rng(77)
+    rows = []
+    raw = {}
+    for d in range(20):
+        n = int(rng.integers(1, 120))
+        vals = np.repeat(
+            rng.integers(-40, 40, max(n // 4, 1)).astype(np.float64), 4
+        )[:n]
+        mask = rng.random(n) < 0.2
+        rows.append((f"d{d:02d}", "s", [None if m else float(v) for v, m in zip(vals, mask)]))
+        raw[f"d{d:02d}"] = (vals, mask)
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, "vals").persist()
+
+    cases = [
+        ("neg", None, lambda v: -v),
+        ("abs", None, lambda v: np.abs(v)),
+        ("mul", 2.5, lambda v: v * 2.5),
+        ("pow", 2, lambda v: np.power(v, 2.0)),
+        ("ge", 0, lambda v: v >= 0),
+    ]
+    for op, operand, npfn in cases:
+        out = transform_typed_df(blocks, op, operand)
+        elem = "boolean" if op == "ge" else "double"
+        got = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, elem).collect()}
+        for d, (vals, mask) in raw.items():
+            g = got[d]
+            exp = npfn(vals)
+            for i in range(len(vals)):
+                if mask[i]:
+                    assert g[i] is None, (op, d, i)
+                else:
+                    assert g[i] == exp[i], (op, d, i, g[i], exp[i])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="takes no operand"):
+        transform_typed_df(blocks, "neg", 3)
+    with _pytest.raises(ValueError, match="needs an operand"):
+        transform_typed_df(blocks, "mul")
+    with _pytest.raises(ValueError, match="unsupported op"):
+        transform_typed_df(blocks, "sqrtish", 1)
+    blocks.unpersist()
