@@ -510,6 +510,33 @@ def fillna_strings(
     return encode_string_block(pa.array(list(out), type=pa.string()), "auto")
 
 
+def transform_strings(name: str, payload, n: int, fn) -> tuple[str, bytes]:
+    """Value-map a ``str -> str`` function over one string block — in the
+    TABLE domain for the dictionary-backed codecs (srle/sdict): fn runs
+    once per DISTINCT value, the code stream and validity are reused, and
+    colliding outputs (e.g. lower('A') == lower('a')) are deduped with a
+    vectorized code remap. O(|table|) python calls + O(n) numpy, never
+    O(n) python. sraw/sfsst fall back to decode → map → re-encode (the
+    same fallback contract as mixed-codec zips). The string sibling of
+    typed_zip.transform_typed (reference object-dtype ops decode-fallback,
+    array.py:698-746 __array_ufunc__)."""
+    if n == 0:
+        return name, bytes(payload) if not isinstance(payload, bytes) else payload
+    if name in ("srle", "sdict"):
+        table, codes, valid = _codes_form(name, payload, n)
+        if table.size == 0:
+            return name, bytes(memoryview(payload))
+        mapped = np.array([fn(t) for t in table.tolist()], dtype=object)
+        uniq, inv = np.unique(mapped.astype(str), return_inverse=True)
+        return _emit_codes(uniq.astype(object), inv[codes], valid)
+    vals, valid = decode_strings(name, payload, n)
+    out = [
+        None if (valid is not None and not valid[i]) else fn(vals[i])
+        for i in range(n)
+    ]
+    return encode_string_block(pa.array(out, type=pa.string()), "auto")
+
+
 def take_strings(
     name: str,
     payload,

@@ -1220,6 +1220,7 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_strings_df,
         filter_strings_df,
         mask_strings_df,
+        transform_strings_df,
         zip_strings_df,
     )
     from rle_array_spark.typed import decode_typed_df
@@ -1255,6 +1256,16 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.size("vals").alias("sfilt_n")
         ),
         "doc_id",
+    ).join(
+        # r4 transform arm: table-domain value map (transform_strings_df —
+        # fn runs once per DISTINCT value) then a fused filter on the
+        # mapped table: count of upper(x) == 'CLICK'
+        decode_strings_df(
+            filter_strings_df(
+                transform_strings_df(ba, lambda s: s.upper()), "eq", "CLICK"
+            )
+        ).select("doc_id", F.size("vals").alias("upper_n")),
+        "doc_id",
     )
 
 
@@ -1273,7 +1284,9 @@ SELECT doc_id,
                 list_filter(range(1, length(a) + 1), i -> a[i] = b[i]),
                 i -> length(a[i]))), 0) AS BIGINT) AS mask_len_sum,
        CAST(COALESCE(length(list_filter(a, x -> x = 'click')), 0) AS INT)
-           AS sfilt_n
+           AS sfilt_n,
+       CAST(COALESCE(length(list_filter(a, x -> upper(x) = 'CLICK')), 0) AS INT)
+           AS upper_n
 FROM seq"""
 
 

@@ -395,6 +395,21 @@ def filter_strings_df(blocks: DataFrame, op: str, value: str) -> DataFrame:
     return _strings_rewrite_df(blocks, row_fn)
 
 
+def transform_strings_df(blocks: DataFrame, fn) -> DataFrame:
+    """Value-map a ``str -> str`` function over a string encoded column in
+    one shuffle-free mapInArrow pass — TABLE-domain for dictionary-backed
+    codecs (fn runs once per distinct value; colliding outputs dedupe with
+    a code remap), decode-fallback for sraw/sfsst. Nulls stay null.
+    ``fn`` must be deterministic and picklable (it ships to executors)."""
+    from rle_array_spark.codecs.strings import transform_strings
+
+    def row_fn(c, p, n):
+        nc, npay = transform_strings(c, p, n, fn)
+        return nc, npay, n  # value-map: length unchanged
+
+    return _strings_rewrite_df(blocks, row_fn)
+
+
 def zip_strings_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str = "eq") -> DataFrame:
     """Elementwise eq/ne over two string encoded columns aligned on
     (doc_id, source), producing TYPED bool blocks (decode with

@@ -231,3 +231,56 @@ def test_string_corrupt_payload_raises_never_wrong():
                 # fail to reproduce the data (checked via ValueError above);
                 # reaching here with full-size output means silent corruption
                 raise ValueError("decode accepted truncated payload")
+
+
+def test_transform_strings_kernel_all_codecs():
+    """transform_strings must be value-identical to decode→map→re-encode
+    across all four string codecs, including colliding outputs (case fold
+    merges table entries) and nulls."""
+    import pyarrow as pa
+
+    from rle_array_spark.codecs.strings import (
+        decode_strings,
+        encode_string_block,
+        transform_strings,
+    )
+
+    words = ["Click", "VIEW", "buy", "Click", None, "view", "BUY", ""] * 25
+    arr = pa.array(words, type=pa.string())
+    exp = [None if w is None else w.lower() for w in words]
+    for codec in ("srle", "sdict", "sraw", "sfsst", "auto"):
+        c, p = encode_string_block(arr, codec)
+        nc, npay = transform_strings(c, p, len(words), lambda s: s.lower())
+        out, valid = decode_strings(nc, npay, len(words))
+        got = [
+            None if (valid is not None and not valid[i]) else out[i]
+            for i in range(len(words))
+        ]
+        assert got == exp, codec
+
+
+def test_transform_strings_df_spark(spark):
+    """Spark-level: upper() over an encoded string column, nulls preserved,
+    then the fused table-domain filter on the mapped values."""
+    from rle_array_spark.strings import (
+        decode_strings_df,
+        encode_strings_df,
+        filter_strings_df,
+        transform_strings_df,
+    )
+
+    rows = [
+        ("a", "s", ["x", "X", None, "click", "Click"]),
+        ("b", "s", []),
+        ("c", "s", ["CLICK"] * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<string>")
+    up = transform_strings_df(encode_strings_df(df, "vals"), lambda s: s.upper())
+    got = {r["doc_id"]: r["vals"] for r in decode_strings_df(up).collect()}
+    assert got["a"] == ["X", "X", None, "CLICK", "CLICK"]
+    assert got["b"] == [] and got["c"] == ["CLICK"] * 100
+    n = {
+        r["doc_id"]: r["vals"]
+        for r in decode_strings_df(filter_strings_df(up, "eq", "CLICK")).collect()
+    }
+    assert len(n["a"]) == 2 and len(n["c"]) == 100
