@@ -184,11 +184,18 @@ def zip_typed_blocks(
 
 
 TYPED_UNARY_OPS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
-    # reference unary dunders (__neg__/__abs__/__pos__, array.py:826-837);
-    # numeric dtypes only — numpy itself raises on datetime64 negation
+    # reference unary dunders (__neg__/__abs__/__pos__/__invert__,
+    # array.py:826-837); numeric dtypes only — numpy itself raises on
+    # datetime64 negation and float inversion, matching the reference
+    # (which applies the same numpy op to the decoded array)
     "neg": np.negative,
     "abs": np.abs,
     "pos": np.positive,
+    # ``~``: bitwise not on ints (-v-1), logical not on bool mask blocks
+    # (the reference's mask-complement idiom a[~(a < b)]). Token-domain
+    # TRANSFORM_OPS deliberately excludes it: ~token is negative and
+    # leaves the non-negative int32 token domain.
+    "invert": np.invert,
 }
 
 

@@ -1118,7 +1118,11 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside. The r4 ``scalar_sum`` arm chains the typed unary + scalar
     operators (transform_typed_df — reference __neg__/__abs__ and scalar
     dunders on arbitrary dtypes, array.py:748-849): abs(neg(a))·3 − 100,
-    all in the compressed domain."""
+    all in the compressed domain. The ``inv_sum``/``inv_ge_count`` arms
+    cover ``__invert__`` (array.py:835-836) on both of its domains:
+    bitwise not over int blocks (sum of ~a = -a-1) and logical not over
+    the bool mask blocks (count of ~(a < b) — the reference's
+    mask-complement idiom)."""
     from rle_array_spark.typed import (
         decode_typed_df,
         encode_typed_df,
@@ -1185,6 +1189,22 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        .join(
+            decode_typed_df(transform_typed_df(ba, "invert"), "long").select(
+                "doc_id",
+                F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias(
+                    "inv_sum"
+                ),
+            ),
+            "doc_id",
+        )
+        .join(
+            decode_typed_df(transform_typed_df(ltb, "invert"), "boolean").select(
+                "doc_id",
+                F.size(F.filter("vals", lambda x: x)).alias("inv_ge_count"),
+            ),
+            "doc_id",
+        )
     )
 
 
@@ -1201,7 +1221,9 @@ SELECT doc_id,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS mask_n,
        CAST(COALESCE(list_sum(list_transform(list_filter(range(1, length(a) + 1), i -> a[i] < b[i]), i -> a[i])), 0) AS BIGINT) AS mask_sum,
        CAST(COALESCE(list_sum(list_filter(a, x -> x < 500)), 0) AS BIGINT) AS sfilt_sum,
-       CAST(list_sum(list_transform(a, x -> abs(-x) * 3 - 100)) AS BIGINT) AS scalar_sum
+       CAST(list_sum(list_transform(a, x -> abs(-x) * 3 - 100)) AS BIGINT) AS scalar_sum,
+       CAST(list_sum(list_transform(a, x -> -x - 1)) AS BIGINT) AS inv_sum,
+       CAST(length(a) - COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS inv_ge_count
 FROM seq"""
 
 

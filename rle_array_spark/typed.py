@@ -304,7 +304,7 @@ def filter_typed_df(blocks: DataFrame, op: str, operand) -> DataFrame:
 def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
     """Compressed-domain scalar/unary operator over a typed encoded column
     (reference dunders array.py:748-849 for arbitrary dtypes): unary ops
-    from ``TYPED_UNARY_OPS`` (neg/abs/pos, no operand) or any
+    from ``TYPED_UNARY_OPS`` (neg/abs/pos/invert, no operand) or any
     ``TYPED_ZIP_OPS`` entry applied against a broadcast scalar operand
     (add/sub/mul/div/floordiv/mod/pow/min/max + comparisons → bool
     blocks usable as masks). Runs in one shuffle-free mapInArrow pass on

@@ -525,3 +525,67 @@ def test_transform_typed_df_ops(spark):
     with _pytest.raises(ValueError, match="unsupported op"):
         transform_typed_df(blocks, "sqrtish", 1)
     blocks.unpersist()
+
+
+def test_transform_typed_df_invert(spark):
+    """``invert`` (reference __invert__, array.py:835-836) on both domains:
+    bitwise not over int blocks (~v = -v-1, nulls stay null) and logical
+    not over bool mask blocks; floats raise like numpy does."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        transform_typed_df,
+    )
+
+    rng = np.random.default_rng(78)
+    rows = []
+    raw = {}
+    for d in range(12):
+        n = int(rng.integers(1, 100))
+        vals = np.repeat(rng.integers(-50, 50, max(n // 4, 1)), 4)[:n]
+        mask = rng.random(n) < 0.2
+        rows.append(
+            (f"d{d:02d}", "s", [None if m else int(v) for v, m in zip(vals, mask)])
+        )
+        raw[f"d{d:02d}"] = (vals, mask)
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<long>")
+    blocks = encode_typed_df(df, "vals").persist()
+
+    got = {
+        r["doc_id"]: r["vals"]
+        for r in decode_typed_df(transform_typed_df(blocks, "invert"), "long").collect()
+    }
+    for d, (vals, mask) in raw.items():
+        for i in range(len(vals)):
+            if mask[i]:
+                assert got[d][i] is None, (d, i)
+            else:
+                assert got[d][i] == -int(vals[i]) - 1, (d, i)
+
+    # bool mask blocks: ~(v >= 0) == (v < 0); null comparisons stay null
+    masks = transform_typed_df(blocks, "ge", 0)
+    got_b = {
+        r["doc_id"]: r["vals"]
+        for r in decode_typed_df(
+            transform_typed_df(masks, "invert"), "boolean"
+        ).collect()
+    }
+    for d, (vals, mask) in raw.items():
+        for i in range(len(vals)):
+            if mask[i]:
+                assert got_b[d][i] is None, (d, i)
+            else:
+                assert got_b[d][i] == bool(vals[i] < 0), (d, i)
+    blocks.unpersist()
+
+    # float inversion raises (numpy contract the reference inherits)
+    from rle_array_spark.codecs.typed import encode_typed
+    from rle_array_spark.codecs.typed_zip import TYPED_UNARY_OPS, transform_typed
+
+    fvals = np.array([1.5, 1.5, -2.0], dtype=np.float64)
+    codec, payload = encode_typed(fvals)
+    with _pytest.raises(TypeError):
+        transform_typed(codec, payload, 3, TYPED_UNARY_OPS["invert"])
