@@ -1122,7 +1122,9 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover ``__invert__`` (array.py:835-836) on both of its domains:
     bitwise not over int blocks (sum of ~a = -a-1) and logical not over
     the bool mask blocks (count of ~(a < b) — the reference's
-    mask-complement idiom)."""
+    mask-complement idiom). The ``rscalar_sum`` arm chains the reflected
+    scalar forms (__rfloordiv__/__rsub__, array.py:769-807):
+    500 − (100000 // (a+1)), all compressed-domain."""
     from rle_array_spark.typed import (
         decode_typed_df,
         encode_typed_df,
@@ -1199,6 +1201,26 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .join(
+            # reflected scalar chain: 500 - (100000 // (a+1)) — rfloordiv
+            # then rsub, both compressed-domain (reference __rfloordiv__/
+            # __rsub__ on arbitrary dtypes, array.py:769-807)
+            decode_typed_df(
+                transform_typed_df(
+                    transform_typed_df(
+                        transform_typed_df(ba, "add", 1), "rfloordiv", 100000
+                    ),
+                    "rsub", 500,
+                ),
+                "long",
+            ).select(
+                "doc_id",
+                F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias(
+                    "rscalar_sum"
+                ),
+            ),
+            "doc_id",
+        )
+        .join(
             decode_typed_df(transform_typed_df(ltb, "invert"), "boolean").select(
                 "doc_id",
                 F.size(F.filter("vals", lambda x: x)).alias("inv_ge_count"),
@@ -1223,6 +1245,7 @@ SELECT doc_id,
        CAST(COALESCE(list_sum(list_filter(a, x -> x < 500)), 0) AS BIGINT) AS sfilt_sum,
        CAST(list_sum(list_transform(a, x -> abs(-x) * 3 - 100)) AS BIGINT) AS scalar_sum,
        CAST(list_sum(list_transform(a, x -> -x - 1)) AS BIGINT) AS inv_sum,
+       CAST(list_sum(list_transform(a, x -> 500 - 100000 // (x + 1))) AS BIGINT) AS rscalar_sum,
        CAST(length(a) - COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS inv_ge_count
 FROM seq"""
 

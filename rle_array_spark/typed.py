@@ -307,7 +307,9 @@ def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
     from ``TYPED_UNARY_OPS`` (neg/abs/pos/invert, no operand) or any
     ``TYPED_ZIP_OPS`` entry applied against a broadcast scalar operand
     (add/sub/mul/div/floordiv/mod/pow/min/max + comparisons → bool
-    blocks usable as masks). Runs in one shuffle-free mapInArrow pass on
+    blocks usable as masks), or a reflected ``r``-form of a
+    non-commutative one (rsub/rdiv/rfloordiv/rmod/rpow — scalar OP
+    values, reference __rsub__ etc., array.py:769-807). Runs in one shuffle-free mapInArrow pass on
     run values only; nulls stay null; adjacent runs made equal by the map
     merge (recompress invariant). Metadata recomputed exactly."""
     from rle_array_spark.codecs.typed_zip import (
@@ -330,10 +332,35 @@ def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
         opnd = np.asarray(operand)  # 0-d array: broadcasts AND has .astype
         fn = lambda v: zf(v, opnd)  # noqa: E731 — scalar broadcast
         to_bool = op in COMPARISON_OPS
+    elif (
+        op.startswith("r")
+        and op[1:] in TYPED_ZIP_OPS
+        and op[1:] not in COMPARISON_OPS
+    ):
+        # reflected scalar forms (reference __rsub__/__rtruediv__/
+        # __rfloordiv__/__rmod__/__rpow__, array.py:769-807): scalar OP
+        # values. The scalar side is materialized to the values' shape so
+        # the zero-safe where= branches of floordiv/mod see full arrays,
+        # and promoted so an int scalar over a float column divides in
+        # float (reflected comparisons are just the mirrored forward ops
+        # and stay unnamed, like the reference's pandas dispatch).
+        if operand is None:
+            raise ValueError(f"scalar op {op!r} needs an operand")
+        zf = TYPED_ZIP_OPS[op[1:]]
+        opnd = np.asarray(operand)
+
+        def fn(v, _zf=zf, _k=opnd):  # noqa: E731 — reflected broadcast
+            k_arr = np.broadcast_to(_k, v.shape).astype(
+                np.result_type(_k, v), copy=False
+            )
+            return _zf(k_arr, v)
+
+        to_bool = False
     else:
         raise ValueError(
             f"unsupported op {op!r}; unary: {sorted(TYPED_UNARY_OPS)}, "
-            f"scalar: {sorted(TYPED_ZIP_OPS)}"
+            f"scalar: {sorted(TYPED_ZIP_OPS)} (+ reflected r-forms of the "
+            f"non-commutative ones)"
         )
 
     def row_fn(c, p, n):

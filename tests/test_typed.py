@@ -589,3 +589,78 @@ def test_transform_typed_df_invert(spark):
     codec, payload = encode_typed(fvals)
     with _pytest.raises(TypeError):
         transform_typed(codec, payload, 3, TYPED_UNARY_OPS["invert"])
+
+
+def test_transform_typed_df_reflected(spark):
+    """Reflected scalar forms (reference __rsub__/__rtruediv__/
+    __rfloordiv__/__rmod__/__rpow__, array.py:769-807): scalar OP values
+    over typed blocks, nulls stay null; integer k//0 and k%0 are
+    zero-safe (0); an int scalar over a float column promotes to float."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        transform_typed_df,
+    )
+
+    rng = np.random.default_rng(79)
+    rows = []
+    raw = {}
+    for d in range(10):
+        n = int(rng.integers(1, 80))
+        vals = np.repeat(rng.integers(-6, 7, max(n // 4, 1)), 4)[:n]
+        mask = rng.random(n) < 0.2
+        rows.append(
+            (f"d{d:02d}", "s", [None if m else int(v) for v, m in zip(vals, mask)])
+        )
+        raw[f"d{d:02d}"] = (vals, mask)
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<long>")
+    blocks = encode_typed_df(df, "vals").persist()
+
+    def npref(op, k, v):
+        if op == "rsub":
+            return k - v
+        if op == "rfloordiv":
+            return np.floor_divide(k, v, out=np.zeros_like(v), where=v != 0)
+        if op == "rmod":
+            return np.mod(k, v, out=np.zeros_like(v), where=v != 0)
+        if op == "rpow":
+            return np.power(float(k), v.astype(np.float64))
+        raise AssertionError(op)
+
+    for op, k, elem in [
+        ("rsub", 100, "long"),
+        ("rfloordiv", 360, "long"),
+        ("rmod", 360, "long"),
+        ("rpow", 2, "double"),
+    ]:
+        got = {
+            r["doc_id"]: r["vals"]
+            for r in decode_typed_df(transform_typed_df(blocks, op, k), elem).collect()
+        }
+        for d, (vals, mask) in raw.items():
+            exp = npref(op, k, vals)
+            for i in range(len(vals)):
+                if mask[i]:
+                    assert got[d][i] is None, (op, d, i)
+                else:
+                    assert got[d][i] == exp[i], (op, d, i, got[d][i], exp[i])
+    blocks.unpersist()
+
+    # int scalar over a FLOAT column: rdiv/rfloordiv promote to float
+    fdf = spark.createDataFrame(
+        [("f0", "s", [2.0, 2.0, 0.5, None, -4.0])],
+        "doc_id string, source string, vals array<double>",
+    )
+    fb = encode_typed_df(fdf, "vals")
+    got = decode_typed_df(transform_typed_df(fb, "rdiv", 2), "double").collect()[0]["vals"]
+    assert got[0] == 1.0 and got[2] == 4.0 and got[3] is None and got[4] == -0.5
+    got = decode_typed_df(transform_typed_df(fb, "rfloordiv", 9), "double").collect()[0]["vals"]
+    assert got[0] == 4.0 and got[2] == 18.0 and got[3] is None and got[4] == -3.0
+
+    with _pytest.raises(ValueError, match="unsupported op"):
+        transform_typed_df(fb, "rlt", 1)  # reflected comparisons stay unnamed
+    with _pytest.raises(ValueError, match="needs an operand"):
+        transform_typed_df(fb, "rsub")
