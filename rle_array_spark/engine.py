@@ -649,6 +649,44 @@ def transform_blocks(blocks: DataFrame, op: str, operand: int) -> DataFrame:
     return blocks.mapInArrow(_transform_kernel(fn), BLOCK_SCHEMA)
 
 
+def transform_blocks_chain(blocks: DataFrame, steps) -> DataFrame:
+    """Fused chain of ``TRANSFORM_OPS`` scalar ops in ONE kernel pass —
+    the token-domain sibling of ``typed.transform_typed_chain_df``.
+    ``steps`` is a list of ``(op, operand)``; each operand is validated
+    against its op up front, then the composed value map runs over each
+    block's codec structure once (one payload parse + metadata recompute +
+    mapInArrow stage instead of N). Intermediate values may leave the
+    int32 token range mid-chain (int64 math throughout); only the FINAL
+    values hit the ``_checked_int32`` domain contract — so a chain whose
+    intermediate overflows int32 but whose result fits is accepted fused
+    (the step-by-step composition would reject it after the overflowing
+    step). Results are decode-identical to the step-by-step chain with
+    exact metadata; the chosen CODEC may legitimately differ (each
+    stepwise hop re-chooses from its input codec, the fused pass chooses
+    once from the original — both choices are valid encodings of the
+    same values; differential-tested on decode + metadata)."""
+    if not steps:
+        raise ValueError("empty transform chain")
+    resolved = []
+    for op, operand in steps:
+        if op not in TRANSFORM_OPS:
+            raise ValueError(
+                f"unsupported op {op!r}; one of {sorted(TRANSFORM_OPS)}"
+            )
+        base_fn, valid = TRANSFORM_OPS[op]
+        if not valid(operand):
+            raise ValueError(f"invalid operand {operand} for op {op!r}")
+        resolved.append((base_fn, operand))
+
+    def fn(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64)
+        for base_fn, k in resolved:
+            v = base_fn(v, k)
+        return v
+
+    return blocks.mapInArrow(_transform_kernel(fn), BLOCK_SCHEMA)
+
+
 def transform_blocks_fn(blocks: DataFrame, fn) -> DataFrame:
     """Generic value-map escape hatch — the reference's ``__array_ufunc__``
     (/root/reference/rle_array/array.py:698-746, tests/test_ufunc.py:21-108):

@@ -1130,6 +1130,7 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_typed_df,
         filter_typed_df,
         mask_typed_df,
+        transform_typed_chain_df,
         transform_typed_df,
         zip_typed_df,
     )
@@ -1174,13 +1175,12 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .join(
+            # fused chain: one kernel pass for the whole expression (the
+            # 4-stage step-by-step composition is differential-tested
+            # byte-identical in tests/test_typed.py)
             decode_typed_df(
-                transform_typed_df(
-                    transform_typed_df(
-                        transform_typed_df(transform_typed_df(ba, "neg"), "abs"),
-                        "mul", 3,
-                    ),
-                    "sub", 100,
+                transform_typed_chain_df(
+                    ba, [("neg", None), ("abs", None), ("mul", 3), ("sub", 100)]
                 ),
                 "long",
             ).select(
@@ -1205,11 +1205,8 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             # then rsub, both compressed-domain (reference __rfloordiv__/
             # __rsub__ on arbitrary dtypes, array.py:769-807)
             decode_typed_df(
-                transform_typed_df(
-                    transform_typed_df(
-                        transform_typed_df(ba, "add", 1), "rfloordiv", 100000
-                    ),
-                    "rsub", 500,
+                transform_typed_chain_df(
+                    ba, [("add", 1), ("rfloordiv", 100000), ("rsub", 500)]
                 ),
                 "long",
             ).select(

@@ -301,22 +301,14 @@ def filter_typed_df(blocks: DataFrame, op: str, operand) -> DataFrame:
     return _block_transform_df(blocks, row_fn)
 
 
-def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
-    """Compressed-domain scalar/unary operator over a typed encoded column
-    (reference dunders array.py:748-849 for arbitrary dtypes): unary ops
-    from ``TYPED_UNARY_OPS`` (neg/abs/pos/invert, no operand) or any
-    ``TYPED_ZIP_OPS`` entry applied against a broadcast scalar operand
-    (add/sub/mul/div/floordiv/mod/pow/min/max + comparisons → bool
-    blocks usable as masks), or a reflected ``r``-form of a
-    non-commutative one (rsub/rdiv/rfloordiv/rmod/rpow — scalar OP
-    values, reference __rsub__ etc., array.py:769-807). Runs in one shuffle-free mapInArrow pass on
-    run values only; nulls stay null; adjacent runs made equal by the map
-    merge (recompress invariant). Metadata recomputed exactly."""
+def _resolve_typed_op(op: str, operand=None):
+    """→ (fn(values ndarray) -> ndarray, to_bool) for one scalar/unary
+    operator name — the shared resolution behind ``transform_typed_df``
+    and the fused ``transform_typed_chain_df``."""
     from rle_array_spark.codecs.typed_zip import (
         COMPARISON_OPS,
         TYPED_UNARY_OPS,
         TYPED_ZIP_OPS,
-        transform_typed,
     )
 
     if op in TYPED_UNARY_OPS:
@@ -362,10 +354,69 @@ def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
             f"scalar: {sorted(TYPED_ZIP_OPS)} (+ reflected r-forms of the "
             f"non-commutative ones)"
         )
+    return fn, to_bool
+
+
+def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
+    """Compressed-domain scalar/unary operator over a typed encoded column
+    (reference dunders array.py:748-849 for arbitrary dtypes): unary ops
+    from ``TYPED_UNARY_OPS`` (neg/abs/pos/invert, no operand) or any
+    ``TYPED_ZIP_OPS`` entry applied against a broadcast scalar operand
+    (add/sub/mul/div/floordiv/mod/pow/min/max + comparisons → bool
+    blocks usable as masks), or a reflected ``r``-form of a
+    non-commutative one (rsub/rdiv/rfloordiv/rmod/rpow — scalar OP
+    values, reference __rsub__ etc., array.py:769-807). Runs in one
+    shuffle-free mapInArrow pass on run values only; nulls stay null;
+    adjacent runs made equal by the map merge (recompress invariant).
+    Metadata recomputed exactly."""
+    from rle_array_spark.codecs.typed_zip import transform_typed
+
+    fn, to_bool = _resolve_typed_op(op, operand)
 
     def row_fn(c, p, n):
         nc, npay = transform_typed(c, p, n, fn, to_bool=to_bool)
         return nc, npay, n  # value-map: length unchanged
+
+    return _block_transform_df(blocks, row_fn)
+
+
+def transform_typed_chain_df(blocks: DataFrame, steps) -> DataFrame:
+    """Fused chain of scalar/unary operators in ONE kernel pass — the
+    expression-evaluation shape for chained dunders like
+    ``abs(-a) * 3 - 100`` (reference chains in tests/test_operators.py).
+    ``steps`` is a list of ``op`` / ``(op, operand)`` items resolved
+    exactly like :func:`transform_typed_df`; the composed value map runs
+    over each block's run values once, so an N-op chain pays one payload
+    parse + one emit + one Arrow pass instead of N (N mapInArrow stages
+    collapse to one — at cluster scale that is N× less Arrow
+    (de)serialization and task-launch overhead on the hot expression
+    path). A comparison is only allowed as the LAST step (its bool output
+    leaves the arithmetic domain); results are bit-identical to the
+    step-by-step chain (differential-tested)."""
+    from rle_array_spark.codecs.typed_zip import transform_typed
+
+    if not steps:
+        raise ValueError("empty transform chain")
+    fns: list = []
+    to_bool = False
+    for i, step in enumerate(steps):
+        op, operand = step if isinstance(step, (tuple, list)) else (step, None)
+        fn_i, b = _resolve_typed_op(op, operand)
+        if b and i != len(steps) - 1:
+            raise ValueError(
+                f"comparison {op!r} only allowed as the last chain step"
+            )
+        fns.append(fn_i)
+        to_bool = b
+
+    def fused(v):
+        for f in fns:
+            v = f(v)
+        return v
+
+    def row_fn(c, p, n):
+        nc, npay = transform_typed(c, p, n, fused, to_bool=to_bool)
+        return nc, npay, n
 
     return _block_transform_df(blocks, row_fn)
 

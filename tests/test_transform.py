@@ -143,6 +143,65 @@ def test_transform_invalid_operand_raises(sequences):
         transform_blocks(blocks, "truediv", 2)
 
 
+def test_transform_blocks_chain_differential(sequences):
+    """Fused token chain (one kernel pass) is byte-identical to the
+    step-by-step composition; operand validation happens up front; an
+    intermediate that overflows int32 is fine fused when the final
+    result fits."""
+    from rle_array_spark.engine import transform_blocks_chain
+
+    from rle_array_spark.engine import decode_df
+
+    blocks = encode_df(sequences, codec="auto").persist()
+    chains = [
+        [("add", 7), ("mul", 3), ("mod", 251)],
+        [("rsub_floor", 900), ("floordiv", 2), ("bitxor", 0x55)],
+    ]
+    meta = ["tok_sum", "tok_min", "tok_max", "n_runs"]
+    for steps in chains:
+        fused_df = transform_blocks_chain(blocks, steps)
+        # decode-identical to the step-by-step composition (codec choice
+        # may differ: stepwise hops re-choose from intermediate codecs)
+        fused_tokens = {
+            r["doc_id"]: r["tokens"] for r in decode_df(fused_df).collect()
+        }
+        step = blocks
+        for op, k in steps:
+            step = transform_blocks(step, op, k)
+        step_rows = {r["doc_id"]: r for r in step.collect()}
+        step_tokens = {
+            r["doc_id"]: r["tokens"] for r in decode_df(step).collect()
+        }
+        assert fused_tokens == step_tokens, steps
+        # exact metadata parity (zone maps stay truthful through the fusion)
+        for r in fused_df.collect():
+            s = step_rows[r["doc_id"]]
+            assert [r[m] for m in meta] == [s[m] for m in meta], (steps, r["doc_id"])
+
+    # intermediate leaves int32, final mod brings it back: fused accepts
+    big = transform_blocks_chain(blocks, [("mul", 70000), ("mod", 1009)])
+    from rle_array_spark.engine import decode_df
+
+    decoded = {r["doc_id"]: r["tokens"] for r in decode_df(big).collect()}
+    raw = {
+        r["doc_id"]: r["tokens"]
+        for r in sequences.select("doc_id", "tokens").collect()
+    }
+    for doc_id, tokens in raw.items():
+        expect = (np.array(tokens, dtype=np.int64) * 70000) % 1009
+        np.testing.assert_array_equal(
+            np.array(decoded[doc_id], dtype=np.int64), expect
+        )
+
+    with pytest.raises(ValueError, match="invalid operand"):
+        transform_blocks_chain(blocks, [("add", 1), ("mod", 0)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        transform_blocks_chain(blocks, [("truediv", 2)])
+    with pytest.raises(ValueError, match="empty transform chain"):
+        transform_blocks_chain(blocks, [])
+    blocks.unpersist()
+
+
 @pytest.mark.parametrize("op,operand,fn", [
     ("rsub_floor", 700, lambda v, k: np.maximum(k - v, 0)),
     ("rfloordiv", 1000, lambda v, k: np.floor_divide(k, v, out=np.zeros_like(v), where=v != 0)),

@@ -664,3 +664,55 @@ def test_transform_typed_df_reflected(spark):
         transform_typed_df(fb, "rlt", 1)  # reflected comparisons stay unnamed
     with _pytest.raises(ValueError, match="needs an operand"):
         transform_typed_df(fb, "rsub")
+
+
+def test_transform_typed_chain_df_differential(spark):
+    """Fused chain (one kernel pass) is BYTE-identical to the equivalent
+    step-by-step transform_typed_df composition, including a trailing
+    comparison; comparisons mid-chain raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.typed import (
+        encode_typed_df,
+        transform_typed_chain_df,
+        transform_typed_df,
+    )
+
+    rng = np.random.default_rng(80)
+    rows = []
+    for d in range(15):
+        n = int(rng.integers(1, 150))
+        vals = np.repeat(rng.integers(-30, 30, max(n // 5, 1)), 5)[:n]
+        mask = rng.random(n) < 0.15
+        rows.append(
+            (f"d{d:02d}", "s", [None if m else int(v) for v, m in zip(vals, mask)])
+        )
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<long>")
+    blocks = encode_typed_df(df, "vals").persist()
+
+    chains = [
+        [("neg", None), ("abs", None), ("mul", 3), ("sub", 100)],
+        [("add", 1), ("rfloordiv", 100000), ("rsub", 500)],
+        [("invert", None), ("abs", None)],
+        [("mul", 2), ("ge", 0)],  # trailing comparison → bool blocks
+    ]
+    for steps in chains:
+        fused = {
+            (r["doc_id"],): (r["codec"], bytes(r["payload"]))
+            for r in transform_typed_chain_df(blocks, steps).collect()
+        }
+        step = blocks
+        for op, k in steps:
+            step = transform_typed_df(step, op, k)
+        expected = {
+            (r["doc_id"],): (r["codec"], bytes(r["payload"]))
+            for r in step.collect()
+        }
+        assert fused == expected, steps
+
+    with _pytest.raises(ValueError, match="last chain step"):
+        transform_typed_chain_df(blocks, [("ge", 0), ("abs", None)])
+    with _pytest.raises(ValueError, match="empty transform chain"):
+        transform_typed_chain_df(blocks, [])
+    blocks.unpersist()
