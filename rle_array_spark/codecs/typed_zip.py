@@ -135,10 +135,16 @@ def zip_typed_blocks(
     payload_b,
     n: int,
     op: str,
+    post_fn=None,
+    post_bool: bool = False,
 ) -> tuple[str, bytes]:
     """Elementwise ``op(a, b)`` over two equal-length typed blocks of the
     SAME dtype. Returns (codec, payload); comparisons yield bool blocks.
-    Null propagation: result valid iff both inputs valid."""
+    Null propagation: result valid iff both inputs valid. ``post_fn`` is
+    an optional fused value map applied to the zip output on the union
+    grid before the merge/emit (one pass for ``g(a OP b)`` — see
+    typed.zip_typed_df's ``post`` steps); ``post_bool`` casts its result
+    to bool (trailing comparison)."""
     fn = TYPED_ZIP_OPS[op]
     if n == 0:
         # preserve the RESULT dtype for empty blocks: apply the op to empty
@@ -152,6 +158,10 @@ def zip_typed_blocks(
         out = np.ascontiguousarray(fn(empty, empty))
         if op in COMPARISON_OPS:
             out = out.astype(np.bool_)
+        if post_fn is not None:
+            out = np.ascontiguousarray(post_fn(out))
+            if post_bool:
+                out = out.astype(np.bool_)
         return "traw", encode_traw(out)
     ends_a, vals_a, valid_a = _typed_run_form(name_a, payload_a, n)
     ends_b, vals_b, valid_b = _typed_run_form(name_b, payload_b, n)
@@ -165,6 +175,10 @@ def zip_typed_blocks(
     out_vals = np.ascontiguousarray(fn(a_exp, b_exp))
     if op in COMPARISON_OPS:
         out_vals = out_vals.astype(np.bool_)
+    if post_fn is not None:
+        out_vals = np.ascontiguousarray(post_fn(out_vals))
+        if post_bool:
+            out_vals = out_vals.astype(np.bool_)
     out_bits = out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize])
     # merge adjacent grid cells with equal output bit patterns
     if out_bits.size > 1:

@@ -665,6 +665,14 @@ def transform_blocks_chain(blocks: DataFrame, steps) -> DataFrame:
     stepwise hop re-chooses from its input codec, the fused pass chooses
     once from the original — both choices are valid encodings of the
     same values; differential-tested on decode + metadata)."""
+    fn = _resolve_token_chain(steps)
+    return blocks.mapInArrow(_transform_kernel(fn), BLOCK_SCHEMA)
+
+
+def _resolve_token_chain(steps):
+    """→ composed int64 value map for a list of ``(op, operand)``
+    ``TRANSFORM_OPS`` steps, operands validated up front — shared by
+    ``transform_blocks_chain`` and the zips' fused ``post`` chains."""
     if not steps:
         raise ValueError("empty transform chain")
     resolved = []
@@ -684,7 +692,7 @@ def transform_blocks_chain(blocks: DataFrame, steps) -> DataFrame:
             v = base_fn(v, k)
         return v
 
-    return blocks.mapInArrow(_transform_kernel(fn), BLOCK_SCHEMA)
+    return fn
 
 
 def transform_blocks_fn(blocks: DataFrame, fn) -> DataFrame:
@@ -1171,7 +1179,9 @@ ZIP_OPS = {
 }
 
 
-def zip_blocks_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame:
+def zip_blocks_df(
+    blocks_a: DataFrame, blocks_b: DataFrame, op: str, post=None
+) -> DataFrame:
     """Elementwise ``op`` over two encoded columns, aligned on
     (doc_id, chunk_idx), WITHOUT decoding when both sides are RLE — the
     run-boundary union-grid merge, O(runs_a + runs_b) per row (reference
@@ -1182,9 +1192,22 @@ def zip_blocks_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFram
     Here the two columns arrive as separate DataFrames, so alignment is a
     shuffle join; in a deployed table both encoded columns live in ONE row
     (wide blocks table) and the zip is join-free. Result metadata is exact
-    (payload_stats on the new payload)."""
+    (payload_stats on the new payload).
+
+    ``post`` is an optional ``(op, operand)`` chain of ``TRANSFORM_OPS``
+    steps FUSED into the zip kernel — ``(a + b) * 3 % 251`` runs as one
+    pass (union-grid/pair-table evaluation + emit once, not a zip stage
+    plus N transform stages). Decode-identical to composing
+    ``transform_blocks`` after the zip; intermediate values run in int64
+    and only the final values hit the ``_checked_int32`` contract."""
     if op not in ZIP_OPS:
         raise ValueError(f"unsupported zip op {op!r}; one of {sorted(ZIP_OPS)}")
+    zip_fn = ZIP_OPS[op]
+    if post is not None:
+        post_chain = _resolve_token_chain(post)
+
+        def zip_fn(a_, b_, _z=ZIP_OPS[op], _c=post_chain):
+            return _c(_z(a_, b_))
 
     a = blocks_a.select(
         "doc_id", "source", "chunk_idx", "n_chunks", "chunk_offset",
@@ -1202,7 +1225,7 @@ def zip_blocks_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFram
         from rle_array_spark.codecs.reduce import payload_stats
         from rle_array_spark.codecs.zip_ops import zip_blocks
 
-        base_fn = ZIP_OPS[op]
+        base_fn = zip_fn
 
         for batch in batches:
             if not batch.num_rows:
@@ -2032,14 +2055,23 @@ def decode_frame_df(blocks: DataFrame, token_cols: list[str]) -> DataFrame:
 
 
 def zip_frame_df(
-    blocks: DataFrame, col_a: str, col_b: str, op: str, out_col: str = "z"
+    blocks: DataFrame, col_a: str, col_b: str, op: str, out_col: str = "z",
+    post=None,
 ) -> DataFrame:
     """Elementwise ``op`` between two encoded columns OF THE SAME wide row —
     zero joins, zero shuffles (the columns were co-located by
     encode_frame_df). RLE⊕RLE rows use the union-grid merge; the result is
-    appended as a new encoded column ``out_col`` with exact metadata."""
+    appended as a new encoded column ``out_col`` with exact metadata.
+    ``post`` fuses a ``TRANSFORM_OPS`` chain into the same pass (see
+    ``zip_blocks_df``)."""
     if op not in ZIP_OPS:
         raise ValueError(f"unsupported zip op {op!r}; one of {sorted(ZIP_OPS)}")
+    zip_fn = ZIP_OPS[op]
+    if post is not None:
+        post_chain = _resolve_token_chain(post)
+
+        def zip_fn(a_, b_, _z=ZIP_OPS[op], _c=post_chain):
+            return _c(_z(a_, b_))
 
     in_cols = list(blocks.columns)
     out_schema = ", ".join(
@@ -2051,7 +2083,7 @@ def zip_frame_df(
         from rle_array_spark.codecs.reduce import payload_stats
         from rle_array_spark.codecs.zip_ops import zip_blocks
 
-        base_fn = ZIP_OPS[op]
+        base_fn = zip_fn
         for batch in batches:
             if not batch.num_rows:
                 continue

@@ -255,20 +255,34 @@ def zip_blocks_pairwise_df(blocks_a: DataFrame, blocks_b: DataFrame, row_op) -> 
     return joined.mapInArrow(kernel, TYPED_BLOCKS_SCHEMA)
 
 
-def zip_typed_df(blocks_a: DataFrame, blocks_b: DataFrame, op: str) -> DataFrame:
+def zip_typed_df(
+    blocks_a: DataFrame, blocks_b: DataFrame, op: str, post=None
+) -> DataFrame:
     """Elementwise ``op`` over two typed encoded columns aligned on
     (doc_id, source), on the run-boundary union grid (codecs/typed_zip.py)
     — the reference's any-dtype binary operators with null propagation
     (/root/reference/tests/test_operators.py over dtype fixtures).
     Comparisons produce bool blocks. Metadata (n_runs, null_count,
-    val_min/val_max) is recomputed exactly from the new payload."""
+    val_min/val_max) is recomputed exactly from the new payload.
+
+    ``post`` is an optional scalar/unary chain (the
+    :func:`transform_typed_chain_df` steps format) FUSED into the zip
+    kernel: ``(a + b) * 3 - 100`` or ``(a - b) >= t`` runs as one pass —
+    one union-grid evaluation + one emit instead of a zip stage followed
+    by N transform stages. Decode-identical to composing the steps after
+    the zip (differential-tested); a comparison is only legal as the
+    last post step, and a comparison zip op only takes bool-domain post
+    steps (e.g. ``invert``)."""
     from rle_array_spark.codecs.typed_zip import TYPED_ZIP_OPS, zip_typed_blocks
 
     if op not in TYPED_ZIP_OPS:
         raise ValueError(f"unsupported typed zip op {op!r}; one of {sorted(TYPED_ZIP_OPS)}")
+    post_fn, post_bool = (None, False) if post is None else _resolve_typed_chain(post)
 
     def row_op(ca, pa_, cb, pb_, nv):
-        return zip_typed_blocks(ca, pa_, cb, pb_, nv, op)
+        return zip_typed_blocks(
+            ca, pa_, cb, pb_, nv, op, post_fn=post_fn, post_bool=post_bool
+        )
 
     return zip_blocks_pairwise_df(blocks_a, blocks_b, row_op)
 
@@ -380,21 +394,9 @@ def transform_typed_df(blocks: DataFrame, op: str, operand=None) -> DataFrame:
     return _block_transform_df(blocks, row_fn)
 
 
-def transform_typed_chain_df(blocks: DataFrame, steps) -> DataFrame:
-    """Fused chain of scalar/unary operators in ONE kernel pass — the
-    expression-evaluation shape for chained dunders like
-    ``abs(-a) * 3 - 100`` (reference chains in tests/test_operators.py).
-    ``steps`` is a list of ``op`` / ``(op, operand)`` items resolved
-    exactly like :func:`transform_typed_df`; the composed value map runs
-    over each block's run values once, so an N-op chain pays one payload
-    parse + one emit + one Arrow pass instead of N (N mapInArrow stages
-    collapse to one — at cluster scale that is N× less Arrow
-    (de)serialization and task-launch overhead on the hot expression
-    path). A comparison is only allowed as the LAST step (its bool output
-    leaves the arithmetic domain); results are bit-identical to the
-    step-by-step chain (differential-tested)."""
-    from rle_array_spark.codecs.typed_zip import transform_typed
-
+def _resolve_typed_chain(steps):
+    """→ (composed fn, to_bool) for a list of ``op`` / ``(op, operand)``
+    steps; a comparison is only legal as the LAST step."""
     if not steps:
         raise ValueError("empty transform chain")
     fns: list = []
@@ -413,6 +415,26 @@ def transform_typed_chain_df(blocks: DataFrame, steps) -> DataFrame:
         for f in fns:
             v = f(v)
         return v
+
+    return fused, to_bool
+
+
+def transform_typed_chain_df(blocks: DataFrame, steps) -> DataFrame:
+    """Fused chain of scalar/unary operators in ONE kernel pass — the
+    expression-evaluation shape for chained dunders like
+    ``abs(-a) * 3 - 100`` (reference chains in tests/test_operators.py).
+    ``steps`` is a list of ``op`` / ``(op, operand)`` items resolved
+    exactly like :func:`transform_typed_df`; the composed value map runs
+    over each block's run values once, so an N-op chain pays one payload
+    parse + one emit + one Arrow pass instead of N (N mapInArrow stages
+    collapse to one — at cluster scale that is N× less Arrow
+    (de)serialization and task-launch overhead on the hot expression
+    path). A comparison is only allowed as the LAST step (its bool output
+    leaves the arithmetic domain); results are bit-identical to the
+    step-by-step chain (differential-tested)."""
+    from rle_array_spark.codecs.typed_zip import transform_typed
+
+    fused, to_bool = _resolve_typed_chain(steps)
 
     def row_fn(c, p, n):
         nc, npay = transform_typed(c, p, n, fused, to_bool=to_bool)

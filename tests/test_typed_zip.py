@@ -130,6 +130,54 @@ def test_zip_typed_df_roundtrip(spark):
         assert out2[doc_id] == exp, doc_id
 
 
+def test_zip_typed_df_post_chain_differential(spark):
+    """``post`` steps fused into the zip kernel are byte-identical to
+    composing the same steps after the zip: (a+b)*3-100, (a-b)>=0 with a
+    trailing comparison, and invert over a comparison zip's bool blocks."""
+    from rle_array_spark.typed import (
+        encode_typed_df,
+        transform_typed_chain_df,
+        transform_typed_df,
+        zip_typed_df,
+    )
+
+    rng = np.random.default_rng(81)
+    rows_a, rows_b = [], []
+    for i in range(12):
+        n = int(rng.integers(0, 120))
+        reps_a = np.repeat(rng.integers(-20, 20, n // 6 + 1), 6)[:n]
+        reps_b = np.repeat(rng.integers(-20, 20, n // 4 + 1), 4)[:n]
+        ma = rng.random(n) < 0.15
+        mb = rng.random(n) < 0.15
+        rows_a.append((f"d{i}", "s", [None if m else int(v) for v, m in zip(reps_a, ma)]))
+        rows_b.append((f"d{i}", "s", [None if m else int(v) for v, m in zip(reps_b, mb)]))
+    schema = "doc_id string, source string, vals array<long>"
+    ba = encode_typed_df(spark.createDataFrame(rows_a, schema)).persist()
+    bb = encode_typed_df(spark.createDataFrame(rows_b, schema)).persist()
+
+    def payloads(df):
+        return {r["doc_id"]: (r["codec"], bytes(r["payload"])) for r in df.collect()}
+
+    cases = [
+        ("add", [("mul", 3), ("sub", 100)]),
+        ("sub", [("ge", 0)]),
+        ("lt", [("invert", None)]),
+    ]
+    for op, steps in cases:
+        fused = payloads(zip_typed_df(ba, bb, op, post=steps))
+        expected = payloads(transform_typed_chain_df(zip_typed_df(ba, bb, op), steps))
+        assert fused == expected, (op, steps)
+
+    # single-step post against the single-op transform too
+    fused = payloads(zip_typed_df(ba, bb, "add", post=[("rsub", 50)]))
+    expected = payloads(transform_typed_df(zip_typed_df(ba, bb, "add"), "rsub", 50))
+    assert fused == expected
+
+    with pytest.raises(ValueError, match="last chain step"):
+        zip_typed_df(ba, bb, "add", post=[("ge", 0), ("abs", None)])
+    ba.unpersist(); bb.unpersist()
+
+
 def test_zip_typed_fastpath_contract():
     """trle⊕trle must be silent; any non-trle input must raise
     PerformanceWarning (escalated to error here, the fastpath discipline of

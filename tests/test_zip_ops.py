@@ -152,6 +152,62 @@ def test_zip_blocks_df_spark(spark, sequences):
             )
 
 
+def test_zip_blocks_df_post_chain_differential(spark, sequences):
+    """``post`` steps fused into the token zip kernel are decode- and
+    metadata-identical to composing transform_blocks after the zip —
+    (a + (a mod 7)) * 3 % 251 as ONE pass; operand validation up front."""
+    import pytest as _pytest
+
+    from rle_array_spark.engine import (
+        decode_df,
+        encode_df,
+        transform_blocks,
+        zip_blocks_df,
+    )
+
+    a = encode_df(sequences, codec="auto").persist()
+    b = transform_blocks(a, "mod", 7).persist()
+    steps = [("mul", 3), ("mod", 251)]
+    fused_df = zip_blocks_df(a, b, "add", post=steps)
+    step = zip_blocks_df(a, b, "add")
+    for op, k in steps:
+        step = transform_blocks(step, op, k)
+    fused_tok = {r["doc_id"]: r["tokens"] for r in decode_df(fused_df).collect()}
+    step_tok = {r["doc_id"]: r["tokens"] for r in decode_df(step).collect()}
+    assert fused_tok == step_tok
+    meta = ["tok_sum", "tok_min", "tok_max", "n_runs"]
+    step_meta = {r["doc_id"]: [r[m] for m in meta] for r in step.collect()}
+    for r in fused_df.collect():
+        assert [r[m] for m in meta] == step_meta[r["doc_id"]], r["doc_id"]
+    with _pytest.raises(ValueError, match="invalid operand"):
+        zip_blocks_df(a, b, "add", post=[("mod", 0)])
+    a.unpersist(); b.unpersist()
+
+
+def test_zip_frame_df_post_chain(spark, sequences):
+    """frame zip with fused post chain stays join-free and equals numpy."""
+    import pyspark.sql.functions as F
+
+    from rle_array_spark.engine import decode_frame_df, encode_frame_df, zip_frame_df
+    from tests.test_plans import explain_str
+
+    two = sequences.select(
+        "doc_id", "source", "tokens",
+        F.expr("transform(tokens, x -> x % 7)").alias("mods"),
+    )
+    wide = encode_frame_df(two, ["tokens", "mods"])
+    zipped = zip_frame_df(wide, "tokens", "mods", "add", out_col="z",
+                          post=[("mul", 3), ("mod", 251)])
+    assert "Exchange" not in explain_str(zipped)
+    got = {r["doc_id"]: r["z"] for r in decode_frame_df(zipped, ["z"]).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in sequences.select("doc_id", "tokens").collect()}
+    for doc_id, tokens in raw.items():
+        v = np.array(tokens, dtype=np.int64)
+        np.testing.assert_array_equal(
+            np.array(got[doc_id], dtype=np.int64), (v + v % 7) * 3 % 251
+        )
+
+
 def test_zip_blocks_df_length_mismatch_raises(spark, sequences):
     import pytest as _pytest
 
