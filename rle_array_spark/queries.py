@@ -1122,7 +1122,8 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover ``__invert__`` (array.py:835-836) on both of its domains:
     bitwise not over int blocks (sum of ~a = -a-1) and logical not over
     the bool mask blocks (count of ~(a < b) — the reference's
-    mask-complement idiom). The ``rscalar_sum`` arm chains the reflected
+    mask-complement idiom, computed via the fused zip post-chain:
+    comparison + invert in one kernel pass). The ``rscalar_sum`` arm chains the reflected
     scalar forms (__rfloordiv__/__rsub__, array.py:769-807):
     500 − (100000 // (a+1)), all compressed-domain."""
     from rle_array_spark.typed import (
@@ -1218,7 +1219,11 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .join(
-            decode_typed_df(transform_typed_df(ltb, "invert"), "boolean").select(
+            # ~(a < b) via the fused zip post-chain: comparison + invert in
+            # ONE kernel pass (zip_typed_df post= steps)
+            decode_typed_df(
+                zip_typed_df(ba, bb, "lt", post=[("invert", None)]), "boolean"
+            ).select(
                 "doc_id",
                 F.size(F.filter("vals", lambda x: x)).alias("inv_ge_count"),
             ),
