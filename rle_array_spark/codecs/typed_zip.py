@@ -403,7 +403,7 @@ def mask_typed(
 
 
 def filter_typed(
-    name: str, payload, n: int, op: str, operand
+    name: str, payload, n: int, op: str, operand, pre_fn=None
 ) -> tuple[str, bytes, int]:
     """Fused scalar-comparison filter ``values[values op operand]`` over
     one typed block — the self-mask special case of mask_typed
@@ -421,7 +421,13 @@ def filter_typed(
 
     Null slots DROP (SQL WHERE — a comparison with null is null); NaN
     obeys numpy comparison semantics (NaN op x → False → dropped, except
-    ne). Returns (codec, payload, new_n)."""
+    ne). Returns (codec, payload, new_n).
+
+    ``pre_fn`` is an optional value map applied to the PREDICATE input
+    only — ``values[pre_fn(values) op operand]`` keeps the ORIGINAL
+    values, so a filter on a derived quantity (``a[abs(a) > c]``) never
+    materializes the derived column; the operand then compares in
+    ``pre_fn``'s output domain, not the block dtype."""
     if op not in COMPARISON_OPS:
         raise ValueError(f"filter op must be a comparison, got {op!r}")
     fn = TYPED_ZIP_OPS[op]
@@ -432,10 +438,19 @@ def filter_typed(
         return "trle", header + struct.pack("<I", 0), 0
     from rle_array_spark.codecs.typed import encode_typed
 
-    scalar = np.asarray(operand, dtype=dtype)[()] if dtype.kind != "M" else operand
+    if pre_fn is None:
+        scalar = np.asarray(operand, dtype=dtype)[()] if dtype.kind != "M" else operand
+
+        def pred(x):
+            return fn(x, scalar)
+    else:
+        pre_scalar = np.asarray(operand)[()]
+
+        def pred(x):
+            return fn(pre_fn(x), pre_scalar)
     if name == "trle":
         ends, run_vals, _ = _typed_run_form(name, payload, n)
-        keep_runs = np.asarray(fn(run_vals, scalar), dtype=bool)
+        keep_runs = np.asarray(pred(run_vals), dtype=bool)
         lens = np.diff(np.concatenate(([0], ends)))
         if valid is None:
             out_vals = np.ascontiguousarray(run_vals[keep_runs])
@@ -473,7 +488,7 @@ def filter_typed(
             if width
             else np.zeros(n, dtype=np.int64)
         )
-        keep_code = np.asarray(fn(table, scalar), dtype=bool)
+        keep_code = np.asarray(pred(table), dtype=bool)
         keep_slots = keep_code[codes]
         if valid is not None:
             keep_slots = keep_slots & valid
@@ -488,7 +503,7 @@ def filter_typed(
         codec, pl = encode_typed(vals, new_valid, "tdict")
         return codec, pl, int(vals.size)
     vals, _ = decode_typed(name, buf, n)
-    keep_slots = np.asarray(fn(vals, scalar), dtype=bool)
+    keep_slots = np.asarray(pred(vals), dtype=bool)
     if valid is not None:
         keep_slots = keep_slots & valid
     kept = np.ascontiguousarray(vals[keep_slots])

@@ -1115,7 +1115,8 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mask_typed_df — reference boolean ``__getitem__``, array.py:655-668)
     so a[a < b] is verified in the same slot, and the fused scalar filter
     (filter_typed_df, value-domain, no mask payload) verifies a[a < 500]
-    alongside. The r4 ``scalar_sum`` arm chains the typed unary + scalar
+    alongside, with the ``prefilt_sum`` arm fusing a derived-value
+    predicate into the same pass (a[abs(a-500) > 200], pre= chain). The r4 ``scalar_sum`` arm chains the typed unary + scalar
     operators (transform_typed_df — reference __neg__/__abs__ and scalar
     dunders on arbitrary dtypes, array.py:748-849): abs(neg(a))·3 − 100,
     all in the compressed domain. The ``inv_sum``/``inv_ge_count`` arms
@@ -1171,6 +1172,20 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias(
                     "sfilt_sum"
+                ),
+            ),
+            "doc_id",
+        )
+        .join(
+            # derived-value predicate fused into the filter: keep a where
+            # abs(a - 500) > 200, original values, one kernel pass
+            decode_typed_df(
+                filter_typed_df(ba, "gt", 200, pre=[("sub", 500), ("abs", None)]),
+                "long",
+            ).select(
+                "doc_id",
+                F.expr("aggregate(vals, 0L, (acc, x) -> acc + x)").alias(
+                    "prefilt_sum"
                 ),
             ),
             "doc_id",
@@ -1245,6 +1260,7 @@ SELECT doc_id,
        CAST(COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS mask_n,
        CAST(COALESCE(list_sum(list_transform(list_filter(range(1, length(a) + 1), i -> a[i] < b[i]), i -> a[i])), 0) AS BIGINT) AS mask_sum,
        CAST(COALESCE(list_sum(list_filter(a, x -> x < 500)), 0) AS BIGINT) AS sfilt_sum,
+       CAST(COALESCE(list_sum(list_filter(a, x -> abs(x - 500) > 200)), 0) AS BIGINT) AS prefilt_sum,
        CAST(list_sum(list_transform(a, x -> abs(-x) * 3 - 100)) AS BIGINT) AS scalar_sum,
        CAST(list_sum(list_transform(a, x -> -x - 1)) AS BIGINT) AS inv_sum,
        CAST(list_sum(list_transform(a, x -> 500 - 100000 // (x + 1))) AS BIGINT) AS rscalar_sum,

@@ -300,17 +300,33 @@ def mask_typed_df(value_blocks: DataFrame, mask_blocks: DataFrame) -> DataFrame:
     return zip_blocks_pairwise_df(value_blocks, mask_blocks, mask_typed)
 
 
-def filter_typed_df(blocks: DataFrame, op: str, operand) -> DataFrame:
+def filter_typed_df(blocks: DataFrame, op: str, operand, pre=None) -> DataFrame:
     """Fused scalar-comparison filter ``values[values op operand]`` over a
     typed encoded column — ``df[df.x < c]`` for any dtype — in ONE
     shuffle-free mapInArrow pass with no mask payload
     (codecs/typed_zip.filter_typed: comparison on run values for trle /
     the table for tdict; null slots drop, SQL WHERE). Metadata reflects
-    the post-filter blocks exactly."""
+    the post-filter blocks exactly.
+
+    ``pre`` is an optional scalar/unary chain (the
+    :func:`transform_typed_chain_df` steps format, arithmetic only) fused
+    into the PREDICATE: ``filter_typed_df(b, 'gt', c, pre=[('abs',
+    None)])`` keeps the ORIGINAL values where ``abs(v) > c`` — a filter
+    on a derived quantity with no derived column materialized and still
+    one kernel pass; ``operand`` compares in the chain's output domain."""
     from rle_array_spark.codecs.typed_zip import filter_typed
 
+    pre_fn = None
+    if pre is not None:
+        pre_fn, pre_bool = _resolve_typed_chain(pre)
+        if pre_bool:
+            raise ValueError(
+                "pre chain must be arithmetic (no comparisons) — the "
+                "filter op is the comparison"
+            )
+
     def row_fn(c, p, n):
-        return filter_typed(c, p, n, op, operand)
+        return filter_typed(c, p, n, op, operand, pre_fn=pre_fn)
 
     return _block_transform_df(blocks, row_fn)
 

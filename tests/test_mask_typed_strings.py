@@ -386,6 +386,51 @@ def test_filter_typed_df_and_filter_strings_df(spark):
     assert sgot["a"] == ["x", "x"] and sgot["b"] == []
 
 
+def test_filter_typed_df_pre_chain(spark):
+    """Derived-value predicate fused into the typed filter:
+    a[abs(a) > c] and a[(a mod k) == r] keep ORIGINAL values, one kernel
+    pass, across trle/tdict/traw inputs; null slots drop; a comparison in
+    the pre chain raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        filter_typed_df,
+    )
+
+    rng = np.random.default_rng(82)
+    rows = []
+    raw = {}
+    for d in range(12):
+        n = int(rng.integers(0, 140))
+        vals = np.repeat(rng.integers(-40, 40, n // 5 + 1), 5)[:n]
+        mask = rng.random(n) < 0.2
+        rows.append(
+            (f"d{d:02d}", "s", [None if m else int(v) for v, m in zip(vals, mask)])
+        )
+        raw[f"d{d:02d}"] = (vals, mask)
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<long>")
+    blocks = encode_typed_df(df, "vals").persist()
+
+    cases = [
+        ([("abs", None)], "gt", 20, lambda v: np.abs(v) > 20),
+        ([("mod", 7)], "eq", 3, lambda v: v % 7 == 3),
+        ([("mul", 2), ("sub", 5)], "le", 0, lambda v: v * 2 - 5 <= 0),
+    ]
+    for pre, op, c, npref in cases:
+        out = filter_typed_df(blocks, op, c, pre=pre)
+        got = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, "long").collect()}
+        for d, (vals, mask) in raw.items():
+            keep = npref(vals.astype(np.int64)) & ~mask
+            assert got[d] == [int(v) for v in vals[keep]], (pre, op, c, d)
+
+    with _pytest.raises(ValueError, match="pre chain must be arithmetic"):
+        filter_typed_df(blocks, "gt", 0, pre=[("ge", 0)])
+    blocks.unpersist()
+
+
 # ---- compressed-domain value_counts for typed/string families ----
 
 
