@@ -555,3 +555,124 @@ def test_choose_codec_batch_property(rows):
 
     solo = [choose_codec(r.copy()) for r in rows]
     assert choose_codec_batch([r.copy() for r in rows]) == solo
+
+
+# ---- fused chain properties (token + typed kernels) ----
+
+_CHAIN_STEP = st.one_of(
+    st.tuples(st.just("add"), st.integers(0, 1000)),
+    st.tuples(st.just("mul"), st.integers(0, 4)),
+    st.tuples(st.just("sub_floor"), st.integers(0, 1000)),
+    st.tuples(st.just("floordiv"), st.integers(1, 9)),
+    st.tuples(st.just("mod"), st.integers(1, 997)),
+    st.tuples(st.just("bitand"), st.integers(0, 0xFFFF)),
+    st.tuples(st.just("bitor"), st.integers(0, 0xFFFF)),
+    st.tuples(st.just("bitxor"), st.integers(0, 0xFFFF)),
+)
+
+small_tokens = arrays(
+    dtype=np.int32,
+    shape=st.integers(0, 300),
+    elements=st.one_of(st.integers(0, 3), st.integers(0, 65535)),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    arr=st.one_of(small_tokens, run_arrays),
+    codec=st.sampled_from(sorted(CODECS)),
+    steps=st.lists(_CHAIN_STEP, min_size=1, max_size=4),
+)
+def test_token_chain_fused_equals_stepwise(arr, codec, steps):
+    """For ANY codec, array and 1-4-step TRANSFORM_OPS chain (operands
+    bounded so no path overflows int32), the fused composed map through
+    transform_block decodes exactly like applying the steps one at a
+    time, and both equal numpy."""
+    from rle_array_spark.engine import TRANSFORM_OPS
+
+    payload = encode_block(arr, codec)
+    fns = [TRANSFORM_OPS[op][0] for op, _ in steps]
+    ks = [k for _, k in steps]
+
+    def fused_fn(v):
+        v = v.astype(np.int64)
+        for f, k in zip(fns, ks):
+            v = f(v, k)
+        return v
+
+    c_f, p_f = transform_block(codec, payload, arr.size, fused_fn)
+    c_s, p_s = codec, payload
+    for f, k in zip(fns, ks):
+        c_s, p_s = transform_block(
+            c_s, p_s, arr.size, lambda v, _f=f, _k=k: _f(v.astype(np.int64), _k)
+        )
+    out_f = decode_block(p_f, c_f, arr.size)
+    out_s = decode_block(p_s, c_s, arr.size)
+    np.testing.assert_array_equal(out_f, out_s)
+    np.testing.assert_array_equal(out_f, fused_fn(arr).astype(np.int32))
+
+
+_TYPED_STEP = st.one_of(
+    st.tuples(st.just("neg"), st.none()),
+    st.tuples(st.just("abs"), st.none()),
+    st.tuples(st.just("add"), st.integers(-50, 50)),
+    st.tuples(st.just("mul"), st.integers(-3, 3)),
+    st.tuples(st.just("sub"), st.integers(-50, 50)),
+    st.tuples(st.just("rsub"), st.integers(-50, 50)),
+    st.tuples(st.just("min"), st.integers(-100, 100)),
+    st.tuples(st.just("max"), st.integers(-100, 100)),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    vals=arrays(dtype=np.int64, shape=st.integers(0, 200),
+                elements=st.integers(-1000, 1000)),
+    nulls=st.data(),
+    codec=st.sampled_from(["trle", "tdict", "traw", "auto"]),
+    steps=st.lists(_TYPED_STEP, min_size=1, max_size=4),
+)
+def test_typed_chain_fused_equals_stepwise(vals, nulls, codec, steps):
+    """Typed kernel: fused composed chain through transform_typed equals
+    the stepwise hops bit-for-bit on live slots, null slots keep their
+    validity, for ANY codec/chain draw."""
+    import warnings
+
+    from rle_array_spark.codecs.typed import decode_typed, encode_typed
+    from rle_array_spark.codecs.typed_zip import transform_typed
+    from rle_array_spark.typed import _resolve_typed_op
+
+    valid = (
+        np.array(
+            nulls.draw(st.lists(st.booleans(), min_size=vals.size,
+                                max_size=vals.size)),
+            dtype=bool,
+        )
+        if vals.size
+        else None
+    )
+    if valid is not None and valid.all():
+        valid = None
+    name, payload = encode_typed(vals, valid, codec)
+    fns = [_resolve_typed_op(op, k)[0] for op, k in steps]
+
+    def fused_fn(v):
+        for f in fns:
+            v = f(v)
+        return v
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c_f, p_f = transform_typed(name, payload, vals.size, fused_fn)
+        c_s, p_s = name, payload
+        for f in fns:
+            c_s, p_s = transform_typed(c_s, p_s, vals.size, f)
+    out_f, valid_f = decode_typed(c_f, memoryview(p_f), vals.size)
+    out_s, valid_s = decode_typed(c_s, memoryview(p_s), vals.size)
+    live = valid if valid is not None else np.ones(vals.size, dtype=bool)
+    np.testing.assert_array_equal(out_f[live], out_s[live])
+    np.testing.assert_array_equal(out_f[live], fused_fn(vals.copy())[live])
+    np.testing.assert_array_equal(
+        valid_f if valid_f is not None else np.ones(vals.size, bool),
+        valid_s if valid_s is not None else np.ones(vals.size, bool),
+    )
