@@ -692,14 +692,20 @@ def mask_strings(
 
 
 def filter_strings(
-    name: str, payload, n: int, op: str, value: str
+    name: str, payload, n: int, op: str, value: str, pre_fn=None
 ) -> tuple[str, bytes, int]:
     """Fused scalar eq/ne filter ``values[values op value]`` over one
     string block — ``s[s == "x"]`` in the CODE domain for the
     dictionary-backed codecs (the comparison touches only the table,
     O(cardinality) string compares; kept codes gather and re-emit without
     ever touching token bytes). sraw/sfsst decode, filter, re-choose.
-    Null slots DROP (SQL WHERE). Returns (codec, payload, new_n)."""
+    Null slots DROP (SQL WHERE). Returns (codec, payload, new_n).
+
+    ``pre_fn`` (str → str) maps the PREDICATE input only —
+    ``s[pre_fn(s) op value]`` keeps the ORIGINAL strings; like
+    transform_strings, it runs once per DISTINCT table value on the
+    dictionary-backed codecs (and once per distinct decoded value on
+    sraw/sfsst), so ``s[upper(s) == 'X']`` costs O(cardinality) calls."""
     if op not in ("eq", "ne"):
         raise ValueError(f"string filter supports eq/ne, got {op!r}")
     if n == 0:
@@ -709,7 +715,12 @@ def filter_strings(
     valid, _ = _decode_flags(buf, n)
     if name in ("srle", "sdict"):
         table, codes, _ = _codes_form(name, payload, n)
-        keep_code = table == value
+        cmp_tab = (
+            table
+            if pre_fn is None
+            else np.array([pre_fn(x) for x in table], dtype=object)
+        )
+        keep_code = cmp_tab == value
         if op == "ne":
             keep_code = ~keep_code
         keep_slots = keep_code[codes]
@@ -728,7 +739,12 @@ def filter_strings(
         c, p = _emit_codes(table[uniq[order]], rank[inv], None)
         return c, p, int(kept.size)
     vals, valid2 = decode_strings(name, payload, n)
-    eqm = vals == value
+    if pre_fn is None:
+        eqm = vals == value
+    else:
+        # per-DISTINCT-value discipline on the decode path too
+        uniq, inv = np.unique(vals, return_inverse=True)
+        eqm = np.array([pre_fn(x) == value for x in uniq], dtype=bool)[inv]
     keep_slots = eqm if op == "eq" else ~eqm
     if valid2 is not None:
         keep_slots = keep_slots & valid2

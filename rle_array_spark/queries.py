@@ -1329,6 +1329,13 @@ def q_string_eq_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select("doc_id", F.size("vals").alias("upper_n")),
         "doc_id",
+    ).join(
+        # same predicate FUSED into the filter (pre= map, one pass,
+        # original strings kept) — must agree with the two-pass upper_n
+        decode_strings_df(
+            filter_strings_df(ba, "eq", "CLICK", pre=lambda s: s.upper())
+        ).select("doc_id", F.size("vals").alias("preupper_n")),
+        "doc_id",
     )
 
 
@@ -1349,7 +1356,9 @@ SELECT doc_id,
        CAST(COALESCE(length(list_filter(a, x -> x = 'click')), 0) AS INT)
            AS sfilt_n,
        CAST(COALESCE(length(list_filter(a, x -> upper(x) = 'CLICK')), 0) AS INT)
-           AS upper_n
+           AS upper_n,
+       CAST(COALESCE(length(list_filter(a, x -> upper(x) = 'CLICK')), 0) AS INT)
+           AS preupper_n
 FROM seq"""
 
 

@@ -381,16 +381,22 @@ def mask_strings_df(value_blocks: DataFrame, mask_blocks: DataFrame) -> DataFram
     return joined.mapInArrow(kernel, STRING_BLOCKS_SCHEMA)
 
 
-def filter_strings_df(blocks: DataFrame, op: str, value: str) -> DataFrame:
+def filter_strings_df(blocks: DataFrame, op: str, value: str, pre=None) -> DataFrame:
     """Fused scalar eq/ne filter ``values[values op value]`` over a string
     encoded column — ``df[df.s == "x"]`` — in ONE shuffle-free mapInArrow
     pass, code-domain for dictionary-backed codecs
     (codecs/strings.filter_strings; the comparison touches only the
-    table). Null slots drop (SQL WHERE); metadata recomputed exactly."""
+    table). Null slots drop (SQL WHERE); metadata recomputed exactly.
+
+    ``pre`` is an optional ``str -> str`` map fused into the PREDICATE —
+    ``filter_strings_df(b, 'eq', 'CLICK', pre=str.upper)`` keeps the
+    ORIGINAL strings where ``pre(s) == value``, with ``pre`` running once
+    per DISTINCT table value (the transform_strings_df discipline); must
+    be deterministic and picklable."""
     from rle_array_spark.codecs.strings import filter_strings
 
     def row_fn(c, p, n):
-        return filter_strings(c, p, n, op, value)
+        return filter_strings(c, p, n, op, value, pre_fn=pre)
 
     return _strings_rewrite_df(blocks, row_fn)
 

@@ -386,6 +386,43 @@ def test_filter_typed_df_and_filter_strings_df(spark):
     assert sgot["a"] == ["x", "x"] and sgot["b"] == []
 
 
+def test_filter_strings_df_pre_map(spark):
+    """Predicate-domain str map fused into the string filter:
+    s[upper(s) == 'X'] keeps ORIGINAL strings across codecs; ne inverts;
+    nulls drop; equals composing transform → filter."""
+    from rle_array_spark.strings import (
+        decode_strings_df,
+        encode_strings_df,
+        filter_strings_df,
+        transform_strings_df,
+    )
+
+    rows = [
+        ("a", "s", ["x", "X", None, "y", "x"]),
+        ("b", "s", []),
+        ("c", "s", ["y"] * 80 + ["X"] * 3),
+        ("d", "s", ["click", "CLICK", "Click", "other"]),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id string, source string, vals array<string>")
+    blocks = encode_strings_df(sdf, "vals").persist()
+
+    out = filter_strings_df(blocks, "eq", "X", pre=str.upper)
+    got = {r["doc_id"]: r["vals"] for r in decode_strings_df(out).collect()}
+    assert got["a"] == ["x", "X", "x"] and got["b"] == []
+    assert got["c"] == ["X"] * 3
+    assert got["d"] == []
+
+    out_ne = filter_strings_df(blocks, "ne", "CLICK", pre=str.upper)
+    got_ne = {r["doc_id"]: r["vals"] for r in decode_strings_df(out_ne).collect()}
+    assert got_ne["d"] == ["other"]
+
+    # equals the two-pass composition (transform upper, then plain filter)
+    comp = filter_strings_df(transform_strings_df(blocks, str.upper), "eq", "X")
+    got_comp = {r["doc_id"]: len(r["vals"]) for r in decode_strings_df(comp).collect()}
+    assert {d: len(v) for d, v in got.items()} == got_comp
+    blocks.unpersist()
+
+
 def test_filter_typed_df_pre_chain(spark):
     """Derived-value predicate fused into the typed filter:
     a[abs(a) > c] and a[(a mod k) == r] keep ORIGINAL values, one kernel
