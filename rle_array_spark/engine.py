@@ -2134,6 +2134,85 @@ def _frame_types(blocks: DataFrame) -> list[str]:
     return [f.dataType.simpleString() for f in blocks.schema.fields]
 
 
+def transform_frame_df(
+    blocks: DataFrame, col: str, steps, out_col: str | None = None
+) -> DataFrame:
+    """Scalar ``TRANSFORM_OPS`` chain over ONE encoded column of a wide
+    frame row — the reference's scalar dunders applied to a single frame
+    column (``df.x * 3 % 251``) without unpacking the frame: zero joins,
+    zero shuffles (columns stay co-located), the chain fused into one
+    kernel pass per block (compressed-domain where the codec allows, via
+    transform_block_stats). ``out_col=None`` rewrites ``col`` in place;
+    a name appends the result as a new encoded column, leaving the
+    source column untouched (the ``df['y'] = df.x * 3`` shape). All
+    metadata recomputed exactly; n_values unchanged (value map)."""
+    enc_cols = {c[: -len("__codec")] for c in blocks.columns if c.endswith("__codec")}
+    if col not in enc_cols:
+        raise ValueError(f"column {col!r} not in frame ({sorted(enc_cols)})")
+    if out_col is not None and out_col in enc_cols:
+        raise ValueError(f"out_col {out_col!r} already in frame")
+    fn = _resolve_token_chain(steps)
+    in_cols = list(blocks.columns)
+    target = col if out_col is None else out_col
+    if out_col is None:
+        out_names = in_cols
+        out_schema = ", ".join(
+            f"`{c}` {t}" for c, t in zip(in_cols, _frame_types(blocks))
+        )
+    else:
+        out_names = in_cols + [f"{out_col}__{f}" for f, _ in _FRAME_COL_FIELDS]
+        out_schema = ", ".join(
+            [f"`{c}` {t}" for c, t in zip(in_cols, _frame_types(blocks))]
+            + [f"{out_col}__{f} {t}" for f, t in _FRAME_COL_FIELDS]
+        )
+
+    def kernel(batches):
+        from rle_array_spark.codecs.transform import transform_block_stats
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            n_rows = batch.num_rows
+            cv = batch.column(f"{col}__codec").to_pylist()
+            pv_col = batch.column(f"{col}__payload")
+            nv_col = batch.column(f"{col}__n_values").to_numpy(zero_copy_only=False)
+            codecs_out: list[str] = []
+            payloads: list[bytes] = []
+            n_runs = np.empty(n_rows, dtype=np.int32)
+            tok_sum = np.empty(n_rows, dtype=np.int64)
+            tok_min = np.empty(n_rows, dtype=np.int32)
+            tok_max = np.empty(n_rows, dtype=np.int32)
+            for i in range(n_rows):
+                c, p, r, s, lo, hi = transform_block_stats(
+                    cv[i], memoryview(pv_col[i].as_buffer()), int(nv_col[i]), fn
+                )
+                codecs_out.append(c)
+                payloads.append(p)
+                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = r, s, lo, hi
+            new_fields = {
+                "codec": pa.array(codecs_out, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "n_values": batch.column(f"{col}__n_values"),
+                "n_runs": pa.array(n_runs),
+                "tok_sum": pa.array(tok_sum),
+                "tok_min": pa.array(tok_min),
+                "tok_max": pa.array(tok_max),
+                "encoded_bytes": pa.array(
+                    np.array([len(p) for p in payloads], dtype=np.int64)
+                ),
+            }
+            arrays = []
+            for name in out_names:
+                cname, _, field = name.rpartition("__")
+                if cname == target and field in new_fields:
+                    arrays.append(new_fields[field])
+                else:
+                    arrays.append(batch.column(name))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return blocks.mapInArrow(kernel, out_schema)
+
+
 def filter_frame_df(
     blocks: DataFrame, mask_col: str, drop_mask: bool = True
 ) -> DataFrame:

@@ -502,6 +502,38 @@ def q_frame_zip_join_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column scalar chain over a wide frame row (transform_frame_df):
+    (x + 11) * 3 % 251 appended as a new encoded column with zero
+    joins/shuffles, the chain fused into one kernel pass; the source
+    column stays untouched. Output = per-doc stats of the decoded new
+    column."""
+    from rle_array_spark.engine import (
+        decode_frame_df,
+        encode_frame_df,
+        tokens_stats_df,
+        transform_frame_df,
+    )
+
+    seq = _sequences(spark, sf_dir)
+    wide = encode_frame_df(seq, ["tokens"])
+    chained = transform_frame_df(
+        wide, "tokens", [("add", 11), ("mul", 3), ("mod", 251)], out_col="t3"
+    )
+    decoded = decode_frame_df(
+        chained.select(
+            "doc_id", "source",
+            F.col("t3__codec").alias("tokens__codec"),
+            F.col("t3__payload").alias("tokens__payload"),
+            F.col("t3__n_values").alias("tokens__n_values"),
+        ),
+        ["tokens"],
+    )
+    return tokens_stats_df(decoded).select(
+        "doc_id", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_wsum"
+    )
+
+
 def q_zip_add_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE⊕RLE-style zip of two encoded columns, all in the compressed
     domain: b = a mod 7 via transform_blocks, zipped = a + b via
@@ -1559,19 +1591,25 @@ def q_zip_add_mod_both_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip (zip_frame_df), mask_blocks_df's run-domain ``x[x % 7 >= 3]``,
     filter_frame_df's whole-frame row filter, and filter_blocks_df's fused
     value-domain filter of the same predicate — each labeled, each
-    required to match its oracle arm."""
+    required to match its oracle arm. The ``frame_transform`` path adds
+    transform_frame_df: a fused scalar chain over one frame column,
+    appended as a new encoded column, join- and shuffle-free."""
     block = q_zip_add_mod(spark, sf_dir).withColumn("path", F.lit("block"))
     frame = q_frame_zip_join_free(spark, sf_dir).withColumn("path", F.lit("frame"))
     mask = q_mask_gather(spark, sf_dir).withColumn("path", F.lit("mask"))
     ffilt = q_frame_filter(spark, sf_dir).withColumn("path", F.lit("frame_filter"))
     fused = q_fused_filter(spark, sf_dir).withColumn("path", F.lit("fused_filter"))
     powed = q_zip_pow(spark, sf_dir).withColumn("path", F.lit("pow"))
+    ftrans = q_frame_transform(spark, sf_dir).withColumn(
+        "path", F.lit("frame_transform")
+    )
     return (
         block.unionByName(frame)
         .unionByName(mask)
         .unionByName(ffilt)
         .unionByName(fused)
         .unionByName(powed)
+        .unionByName(ftrans)
     )
 
 
@@ -1620,6 +1658,21 @@ FROM (
                string_split(text, ''),
                c -> CAST(pow(pow(unicode(c) % 5, unicode(c) % 3), 2) AS BIGINT)
            ) AS tokens
+    FROM documents
+    WHERE length(text) > 0
+)
+UNION ALL
+SELECT doc_id,
+       CAST(length(tokens) AS INT) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST(list_min(tokens) AS INT) AS tok_min,
+       CAST(list_max(tokens) AS INT) AS tok_max,
+       CAST(list_sum(list_transform(tokens, (x, i) -> x * i)) AS BIGINT) AS tok_wsum,
+       'frame_transform' AS path
+FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(string_split(text, ''),
+                          c -> (unicode(c) + 11) * 3 % 251) AS tokens
     FROM documents
     WHERE length(text) > 0
 )"""

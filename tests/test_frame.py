@@ -163,3 +163,53 @@ def test_filter_frame_keep_mask_and_errors(spark, two_col_df):
         if row["m__n_values"]:
             assert row["m__tok_min"] == 1 and row["m__tok_max"] == 1
         assert row["m__n_values"] == row["tokens__n_values"]
+
+
+def test_transform_frame_df_inplace_and_append(spark, two_col_df):
+    """Per-column scalar chain over a wide frame row: in-place rewrite and
+    appended column both equal numpy, stay Exchange-free, and leave the
+    other columns' bytes untouched."""
+    import numpy as np
+
+    from rle_array_spark.engine import transform_frame_df
+    from tests.test_plans import explain_str
+
+    wide = encode_frame_df(two_col_df, ["tokens", "mods"]).cache()
+    steps = [("mul", 3), ("mod", 251)]
+
+    out = transform_frame_df(wide, "mods", steps)
+    assert "Exchange" not in explain_str(out)
+    assert set(out.columns) == set(wide.columns)
+    got = {r["doc_id"]: r["mods"] for r in decode_frame_df(out, ["mods"]).collect()}
+    raw = {r["doc_id"]: r["tokens"] for r in two_col_df.select("doc_id", "tokens").collect()}
+    for doc_id, tokens in raw.items():
+        v = np.array(tokens, dtype=np.int64)
+        np.testing.assert_array_equal(
+            np.array(got[doc_id], dtype=np.int64), (v % 7) * 3 % 251
+        )
+    # untouched column passes through byte-identical
+    before = {r["doc_id"]: bytes(r["tokens__payload"]) for r in wide.collect()}
+    after = {r["doc_id"]: bytes(r["tokens__payload"]) for r in out.collect()}
+    assert before == after
+
+    out2 = transform_frame_df(wide, "mods", steps, out_col="m3")
+    assert "m3__codec" in out2.columns and "mods__codec" in out2.columns
+    got2 = {
+        r["doc_id"]: (r["mods"], r["m3"])
+        for r in decode_frame_df(out2, ["mods", "m3"]).collect()
+    }
+    for doc_id, tokens in raw.items():
+        v = np.array(tokens, dtype=np.int64)
+        m, m3 = got2[doc_id]
+        np.testing.assert_array_equal(np.array(m, dtype=np.int64), v % 7)
+        np.testing.assert_array_equal(np.array(m3, dtype=np.int64), (v % 7) * 3 % 251)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in frame"):
+        transform_frame_df(wide, "nope", steps)
+    with _pytest.raises(ValueError, match="already in frame"):
+        transform_frame_df(wide, "mods", steps, out_col="tokens")
+    with _pytest.raises(ValueError, match="invalid operand"):
+        transform_frame_df(wide, "mods", [("mod", 0)])
+    wide.unpersist()
