@@ -568,37 +568,51 @@ TRANSFORM_OPS = {
 }
 
 
+def _transform_column_arrays(codecs_col, payload_col, n_col, fn):
+    """Apply transform_block_stats to one (codec, payload, n_values)
+    column triple of an Arrow batch → (codecs list, payloads list,
+    n_runs, tok_sum, tok_min, tok_max arrays) — the per-row stats loop
+    shared by ``_transform_kernel`` (token blocks) and
+    ``transform_frame_df`` (one column of a wide frame row)."""
+    from rle_array_spark.codecs.transform import transform_block_stats
+
+    n_rows = len(codecs_col)
+    new_codecs: list[str] = []
+    new_payloads: list[bytes] = []
+    n_runs = np.empty(n_rows, dtype=np.int32)
+    tok_sum = np.empty(n_rows, dtype=np.int64)
+    tok_min = np.empty(n_rows, dtype=np.int32)
+    tok_max = np.empty(n_rows, dtype=np.int32)
+    for i in range(n_rows):
+        c, p, r, s, lo, hi = transform_block_stats(
+            codecs_col[i],
+            memoryview(payload_col[i].as_buffer()),
+            int(n_col[i]),
+            fn,
+        )
+        new_codecs.append(c)
+        new_payloads.append(p)
+        n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = r, s, lo, hi
+    return new_codecs, new_payloads, n_runs, tok_sum, tok_min, tok_max
+
+
 def _transform_kernel(fn):
     """Build the mapInArrow kernel applying value-map ``fn`` to every block
     via transform_block_stats (compressed-domain where the codec allows,
     decode+re-choose fallback otherwise) with exact metadata recompute."""
 
     def kernel(batches):
-        from rle_array_spark.codecs.transform import transform_block_stats
-
         for batch in batches:
             if not batch.num_rows:
                 continue
-            codecs_col = batch.column("codec").to_pylist()
-            n_col = batch.column("n_values").to_numpy(zero_copy_only=False)
-            payload_col = batch.column("payload")
-            n_rows = batch.num_rows
-            new_codecs: list[str] = []
-            new_payloads: list[bytes] = []
-            n_runs = np.empty(n_rows, dtype=np.int32)
-            tok_sum = np.empty(n_rows, dtype=np.int64)
-            tok_min = np.empty(n_rows, dtype=np.int32)
-            tok_max = np.empty(n_rows, dtype=np.int32)
-            for i in range(n_rows):
-                c, p, r, s, lo, hi = transform_block_stats(
-                    codecs_col[i],
-                    memoryview(payload_col[i].as_buffer()),
-                    int(n_col[i]),
-                    fn,
-                )
-                new_codecs.append(c)
-                new_payloads.append(p)
-                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = r, s, lo, hi
+            (
+                new_codecs, new_payloads, n_runs, tok_sum, tok_min, tok_max
+            ) = _transform_column_arrays(
+                batch.column("codec").to_pylist(),
+                batch.column("payload"),
+                batch.column("n_values").to_numpy(zero_copy_only=False),
+                fn,
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
@@ -687,12 +701,30 @@ def _resolve_token_chain(steps):
         resolved.append((base_fn, operand))
 
     def fn(v: np.ndarray) -> np.ndarray:
-        v = v.astype(np.int64)
+        # no-copy when the caller already hands int64 (transform_block_stats
+        # and the rle/decode zip paths do); the dict path's int32 table
+        # still gets its cast
+        v = np.asarray(v, dtype=np.int64)
         for base_fn, k in resolved:
             v = base_fn(v, k)
         return v
 
     return fn
+
+
+def _fuse_post(op: str, post):
+    """→ the zip callable for ``op`` with an optional ``TRANSFORM_OPS``
+    post chain composed onto its output — shared by ``zip_blocks_df`` and
+    ``zip_frame_df`` so chain semantics can't drift between the two."""
+    base = ZIP_OPS[op]
+    if post is None:
+        return base
+    chain = _resolve_token_chain(post)
+
+    def fused(a_, b_):
+        return chain(base(a_, b_))
+
+    return fused
 
 
 def transform_blocks_fn(blocks: DataFrame, fn) -> DataFrame:
@@ -1202,12 +1234,7 @@ def zip_blocks_df(
     and only the final values hit the ``_checked_int32`` contract."""
     if op not in ZIP_OPS:
         raise ValueError(f"unsupported zip op {op!r}; one of {sorted(ZIP_OPS)}")
-    zip_fn = ZIP_OPS[op]
-    if post is not None:
-        post_chain = _resolve_token_chain(post)
-
-        def zip_fn(a_, b_, _z=ZIP_OPS[op], _c=post_chain):
-            return _c(_z(a_, b_))
+    zip_fn = _fuse_post(op, post)
 
     a = blocks_a.select(
         "doc_id", "source", "chunk_idx", "n_chunks", "chunk_offset",
@@ -2066,12 +2093,7 @@ def zip_frame_df(
     ``zip_blocks_df``)."""
     if op not in ZIP_OPS:
         raise ValueError(f"unsupported zip op {op!r}; one of {sorted(ZIP_OPS)}")
-    zip_fn = ZIP_OPS[op]
-    if post is not None:
-        post_chain = _resolve_token_chain(post)
-
-        def zip_fn(a_, b_, _z=ZIP_OPS[op], _c=post_chain):
-            return _c(_z(a_, b_))
+    zip_fn = _fuse_post(op, post)
 
     in_cols = list(blocks.columns)
     out_schema = ", ".join(
@@ -2167,28 +2189,17 @@ def transform_frame_df(
         )
 
     def kernel(batches):
-        from rle_array_spark.codecs.transform import transform_block_stats
-
         for batch in batches:
             if not batch.num_rows:
                 continue
-            n_rows = batch.num_rows
-            cv = batch.column(f"{col}__codec").to_pylist()
-            pv_col = batch.column(f"{col}__payload")
-            nv_col = batch.column(f"{col}__n_values").to_numpy(zero_copy_only=False)
-            codecs_out: list[str] = []
-            payloads: list[bytes] = []
-            n_runs = np.empty(n_rows, dtype=np.int32)
-            tok_sum = np.empty(n_rows, dtype=np.int64)
-            tok_min = np.empty(n_rows, dtype=np.int32)
-            tok_max = np.empty(n_rows, dtype=np.int32)
-            for i in range(n_rows):
-                c, p, r, s, lo, hi = transform_block_stats(
-                    cv[i], memoryview(pv_col[i].as_buffer()), int(nv_col[i]), fn
-                )
-                codecs_out.append(c)
-                payloads.append(p)
-                n_runs[i], tok_sum[i], tok_min[i], tok_max[i] = r, s, lo, hi
+            (
+                codecs_out, payloads, n_runs, tok_sum, tok_min, tok_max
+            ) = _transform_column_arrays(
+                batch.column(f"{col}__codec").to_pylist(),
+                batch.column(f"{col}__payload"),
+                batch.column(f"{col}__n_values").to_numpy(zero_copy_only=False),
+                fn,
+            )
             new_fields = {
                 "codec": pa.array(codecs_out, type=pa.string()),
                 "payload": pa.array(payloads, type=pa.binary()),

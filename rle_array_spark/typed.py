@@ -273,10 +273,25 @@ def zip_typed_df(
     the zip (differential-tested); a comparison is only legal as the
     last post step, and a comparison zip op only takes bool-domain post
     steps (e.g. ``invert``)."""
-    from rle_array_spark.codecs.typed_zip import TYPED_ZIP_OPS, zip_typed_blocks
+    from rle_array_spark.codecs.typed_zip import (
+        COMPARISON_OPS,
+        TYPED_ZIP_OPS,
+        zip_typed_blocks,
+    )
 
     if op not in TYPED_ZIP_OPS:
         raise ValueError(f"unsupported typed zip op {op!r}; one of {sorted(TYPED_ZIP_OPS)}")
+    if post is not None and op in COMPARISON_OPS:
+        # the zip output is a bool mask — arithmetic post steps would
+        # silently emit non-bool blocks that mask_typed_df later rejects
+        # deep in an executor; fail at the driver instead
+        for step in post:
+            name = step[0] if isinstance(step, (tuple, list)) else step
+            if name not in ("invert", "eq", "ne"):
+                raise ValueError(
+                    f"post step {name!r} on a comparison zip must stay in "
+                    "the bool domain (invert/eq/ne)"
+                )
     post_fn, post_bool = (None, False) if post is None else _resolve_typed_chain(post)
 
     def row_op(ca, pa_, cb, pb_, nv):

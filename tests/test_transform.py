@@ -180,8 +180,6 @@ def test_transform_blocks_chain_differential(sequences):
 
     # intermediate leaves int32, final mod brings it back: fused accepts
     big = transform_blocks_chain(blocks, [("mul", 70000), ("mod", 1009)])
-    from rle_array_spark.engine import decode_df
-
     decoded = {r["doc_id"]: r["tokens"] for r in decode_df(big).collect()}
     raw = {
         r["doc_id"]: r["tokens"]

@@ -175,6 +175,10 @@ def test_zip_typed_df_post_chain_differential(spark):
 
     with pytest.raises(ValueError, match="last chain step"):
         zip_typed_df(ba, bb, "add", post=[("ge", 0), ("abs", None)])
+    # arithmetic post on a comparison zip would silently emit non-bool
+    # blocks — must fail at the driver
+    with pytest.raises(ValueError, match="bool domain"):
+        zip_typed_df(ba, bb, "lt", post=[("add", 1)])
     ba.unpersist(); bb.unpersist()
 
 
