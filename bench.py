@@ -308,6 +308,30 @@ def main() -> None:
         queries["filter_decode_reencode"] = timed(
             filter_decode_reencode_job, name="filter_decode_reencode"
         )
+
+        # fused-chain A/B — 3-op scalar chain (x+7)*3 % 251 over the
+        # cached encoded corpus: one kernel pass (transform_blocks_chain)
+        # vs three transform_blocks hops (3.65x on the billion-token
+        # corpus; BASELINE.md round-4)
+        from rle_array_spark.engine import transform_blocks, transform_blocks_chain
+
+        CHAIN = [("add", 7), ("mul", 3), ("mod", 251)]
+        queries["chain_fused_3op"] = timed(
+            lambda: transform_blocks_chain(blocks_cached, CHAIN)
+            .agg(F.sum("tok_sum"))
+            .collect(),
+            name="chain_fused_3op",
+        )
+
+        def chain_stepwise_job():
+            b = blocks_cached
+            for _op, _k in CHAIN:
+                b = transform_blocks(b, _op, _k)
+            return b.agg(F.sum("tok_sum")).collect()
+
+        queries["chain_stepwise_3op"] = timed(
+            chain_stepwise_job, name="chain_stepwise_3op"
+        )
         blocks_cached.unpersist()
 
         # whole-table checkpointed writer over a mixed int/double/string
