@@ -535,6 +535,11 @@ TRANSFORM_OPS = {
     "bitand": (lambda v, k: v & k, lambda k: k >= 0),
     "bitor": (lambda v, k: v | k, lambda k: k >= 0),
     "bitxor": (lambda v, k: v ^ k, lambda k: k >= 0),
+    # np.minimum/np.maximum vs a scalar (reference reaches these through
+    # __array_ufunc__, array.py:698-746); with the chain they make clip
+    # expressible compressed-domain: [("min", hi), ("max", lo)]
+    "min": (np.minimum, lambda k: k >= 0),
+    "max": (np.maximum, lambda k: k >= 0),
     # ``**`` (reference array.py:748-824, tests/test_operators.py:161-341):
     # computed in float64 — exact for any result < 2^53, and every result
     # that survives must fit int32 anyway (_checked_int32 raises on the

@@ -21,7 +21,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rle_array_spark.engine import decode_df, decode_stats_df, encode_df, transform_blocks
+from rle_array_spark.engine import (
+    decode_df,
+    decode_stats_df,
+    encode_df,
+    transform_blocks,
+    transform_blocks_chain,
+)
 from rle_array_spark.tokenize import tokenize_documents
 
 # ---------------------------------------------------------------------------
@@ -266,12 +272,13 @@ LIMIT 20"""
 
 
 def q_compressed_add_const(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compute-on-compressed scalar operators, four labeled arms (reference
+    """Compute-on-compressed scalar operators, five labeled arms (reference
     scalar-op semantics incl. the REFLECTED dunders, array.py:748-824):
     ``add`` = x+7, ``rsub`` = max(1200−x, 0) (__rsub__, token-domain
     clamp), ``rmod`` = 997 mod x zero-safe (__rmod__), ``rpow`` =
     2**(x mod 20) (__rpow__, rint'ed float64 under the int32 overflow
-    contract). All applied to run values / dict tables inside the encoded
+    contract), ``clip`` = clip(60, 120) as a fused min/max chain
+    (np.minimum/np.maximum via __array_ufunc__, one kernel pass). All applied to run values / dict tables inside the encoded
     payloads, then decoded; the oracle transforms raw tokens and never
     sees a codec."""
     seq = _sequences(spark, sf_dir)
@@ -281,6 +288,10 @@ def q_compressed_add_const(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rsub", transform_blocks(blocks, "rsub_floor", 1200)),
         ("rmod", transform_blocks(blocks, "rmod", 997)),
         ("rpow", transform_blocks(transform_blocks(blocks, "mod", 20), "rpow", 2)),
+        # clip(60, 120) as a fused min/max chain (reference np.minimum/
+        # np.maximum via __array_ufunc__, array.py:698-746) — one kernel
+        # pass via transform_blocks_chain
+        ("clip", transform_blocks_chain(blocks, [("min", 120), ("max", 60)])),
     ]
     out = None
     for name, shifted in arms:
@@ -306,6 +317,9 @@ ORACLE_COMPRESSED_ADD = f"""WITH docs0 AS (
     UNION ALL
     SELECT doc_id, source,
            list_transform(xs, x -> CAST(pow(2, x % 20) AS BIGINT)), 'rpow' FROM docs0
+    UNION ALL
+    SELECT doc_id, source,
+           list_transform(xs, x -> greatest(least(x, 120), 60)), 'clip' FROM docs0
 )
 SELECT doc_id,
        source,

@@ -88,9 +88,14 @@ NUMPY_OPS = {
 }
 
 
+NUMPY_OPS["min"] = np.minimum
+NUMPY_OPS["max"] = np.maximum
+
+
 @pytest.mark.parametrize("op,operand", [
     ("add", 11), ("mul", 3), ("sub_floor", 900), ("floordiv", 5),
     ("mod", 17), ("bitand", 0xFF), ("bitor", 0x40), ("bitxor", 0x155),
+    ("min", 700), ("max", 300),
 ])
 def test_transform_blocks_full_op_set(sequences, op, operand):
     """Every reference scalar operator (array.py:748-824, int-domain subset):
@@ -156,6 +161,7 @@ def test_transform_blocks_chain_differential(sequences):
     chains = [
         [("add", 7), ("mul", 3), ("mod", 251)],
         [("rsub_floor", 900), ("floordiv", 2), ("bitxor", 0x55)],
+        [("min", 500), ("max", 100)],  # clip(100, 500) as a chain
     ]
     meta = ["tok_sum", "tok_min", "tok_max", "n_runs"]
     for steps in chains:
