@@ -2162,66 +2162,90 @@ def _frame_types(blocks: DataFrame) -> list[str]:
 
 
 def transform_frame_df(
-    blocks: DataFrame, col: str, steps, out_col: str | None = None
+    blocks: DataFrame, col, steps=None, out_col: str | None = None
 ) -> DataFrame:
-    """Scalar ``TRANSFORM_OPS`` chain over ONE encoded column of a wide
-    frame row — the reference's scalar dunders applied to a single frame
-    column (``df.x * 3 % 251``) without unpacking the frame: zero joins,
-    zero shuffles (columns stay co-located), the chain fused into one
-    kernel pass per block (compressed-domain where the codec allows, via
-    transform_block_stats). ``out_col=None`` rewrites ``col`` in place;
-    a name appends the result as a new encoded column, leaving the
-    source column untouched (the ``df['y'] = df.x * 3`` shape). All
-    metadata recomputed exactly; n_values unchanged (value map)."""
+    """Scalar ``TRANSFORM_OPS`` chain(s) over encoded columns of a wide
+    frame row — the reference's scalar dunders applied to frame columns
+    (``df.x * 3 % 251``) without unpacking the frame: zero joins, zero
+    shuffles (columns stay co-located), every chain fused into one kernel
+    pass per block (compressed-domain where the codec allows, via
+    transform_block_stats). Shapes:
+
+    * ``transform_frame_df(wide, 'x', steps)`` — rewrite ``x`` in place;
+    * ``transform_frame_df(wide, 'x', steps, out_col='y')`` — append the
+      result as a new encoded column ``y``, source untouched (the
+      ``df['y'] = df.x * 3`` shape);
+    * ``transform_frame_df(wide, {'x': steps_x, 'y': steps_y})`` — N
+      in-place chains in the SAME kernel pass (one task launch and one
+      Arrow transfer for the whole batch of columns).
+
+    All metadata recomputed exactly; n_values unchanged (value map)."""
     enc_cols = {c[: -len("__codec")] for c in blocks.columns if c.endswith("__codec")}
-    if col not in enc_cols:
-        raise ValueError(f"column {col!r} not in frame ({sorted(enc_cols)})")
-    if out_col is not None and out_col in enc_cols:
-        raise ValueError(f"out_col {out_col!r} already in frame")
-    fn = _resolve_token_chain(steps)
+    if isinstance(col, dict):
+        if steps is not None or out_col is not None:
+            raise ValueError(
+                "dict form takes per-column steps; steps/out_col must be None"
+            )
+        if not col:
+            raise ValueError("empty column->steps mapping")
+        plans = []  # (source col, target col, fn)
+        for c, s in col.items():
+            if c not in enc_cols:
+                raise ValueError(f"column {c!r} not in frame ({sorted(enc_cols)})")
+            plans.append((c, c, _resolve_token_chain(s)))
+        append_col = None
+    else:
+        if col not in enc_cols:
+            raise ValueError(f"column {col!r} not in frame ({sorted(enc_cols)})")
+        if out_col is not None and out_col in enc_cols:
+            raise ValueError(f"out_col {out_col!r} already in frame")
+        plans = [(col, col if out_col is None else out_col, _resolve_token_chain(steps))]
+        append_col = out_col
+
     in_cols = list(blocks.columns)
-    target = col if out_col is None else out_col
-    if out_col is None:
+    if append_col is None:
         out_names = in_cols
         out_schema = ", ".join(
             f"`{c}` {t}" for c, t in zip(in_cols, _frame_types(blocks))
         )
     else:
-        out_names = in_cols + [f"{out_col}__{f}" for f, _ in _FRAME_COL_FIELDS]
+        out_names = in_cols + [f"{append_col}__{f}" for f, _ in _FRAME_COL_FIELDS]
         out_schema = ", ".join(
             [f"`{c}` {t}" for c, t in zip(in_cols, _frame_types(blocks))]
-            + [f"{out_col}__{f} {t}" for f, t in _FRAME_COL_FIELDS]
+            + [f"{append_col}__{f} {t}" for f, t in _FRAME_COL_FIELDS]
         )
 
     def kernel(batches):
         for batch in batches:
             if not batch.num_rows:
                 continue
-            (
-                codecs_out, payloads, n_runs, tok_sum, tok_min, tok_max
-            ) = _transform_column_arrays(
-                batch.column(f"{col}__codec").to_pylist(),
-                batch.column(f"{col}__payload"),
-                batch.column(f"{col}__n_values").to_numpy(zero_copy_only=False),
-                fn,
-            )
-            new_fields = {
-                "codec": pa.array(codecs_out, type=pa.string()),
-                "payload": pa.array(payloads, type=pa.binary()),
-                "n_values": batch.column(f"{col}__n_values"),
-                "n_runs": pa.array(n_runs),
-                "tok_sum": pa.array(tok_sum),
-                "tok_min": pa.array(tok_min),
-                "tok_max": pa.array(tok_max),
-                "encoded_bytes": pa.array(
-                    np.array([len(p) for p in payloads], dtype=np.int64)
-                ),
-            }
+            new_by_target: dict[str, dict] = {}
+            for src, target, fn in plans:
+                (
+                    codecs_out, payloads, n_runs, tok_sum, tok_min, tok_max
+                ) = _transform_column_arrays(
+                    batch.column(f"{src}__codec").to_pylist(),
+                    batch.column(f"{src}__payload"),
+                    batch.column(f"{src}__n_values").to_numpy(zero_copy_only=False),
+                    fn,
+                )
+                new_by_target[target] = {
+                    "codec": pa.array(codecs_out, type=pa.string()),
+                    "payload": pa.array(payloads, type=pa.binary()),
+                    "n_values": batch.column(f"{src}__n_values"),
+                    "n_runs": pa.array(n_runs),
+                    "tok_sum": pa.array(tok_sum),
+                    "tok_min": pa.array(tok_min),
+                    "tok_max": pa.array(tok_max),
+                    "encoded_bytes": pa.array(
+                        np.array([len(p) for p in payloads], dtype=np.int64)
+                    ),
+                }
             arrays = []
             for name in out_names:
                 cname, _, field = name.rpartition("__")
-                if cname == target and field in new_fields:
-                    arrays.append(new_fields[field])
+                if cname in new_by_target and field in new_by_target[cname]:
+                    arrays.append(new_by_target[cname][field])
                 else:
                     arrays.append(batch.column(name))
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)

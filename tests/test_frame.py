@@ -212,4 +212,26 @@ def test_transform_frame_df_inplace_and_append(spark, two_col_df):
         transform_frame_df(wide, "mods", steps, out_col="tokens")
     with _pytest.raises(ValueError, match="invalid operand"):
         transform_frame_df(wide, "mods", [("mod", 0)])
+
+    # dict form: N in-place chains in ONE kernel pass
+    multi = transform_frame_df(
+        wide, {"tokens": [("add", 5)], "mods": [("mul", 2), ("max", 3)]}
+    )
+    assert "Exchange" not in explain_str(multi)
+    gotm = {
+        r["doc_id"]: r for r in decode_frame_df(multi, ["tokens", "mods"]).collect()
+    }
+    for doc_id, tokens in raw.items():
+        v = np.array(tokens, dtype=np.int64)
+        np.testing.assert_array_equal(
+            np.array(gotm[doc_id]["tokens"], dtype=np.int64), v + 5
+        )
+        np.testing.assert_array_equal(
+            np.array(gotm[doc_id]["mods"], dtype=np.int64),
+            np.maximum(v % 7 * 2, 3),
+        )
+    with _pytest.raises(ValueError, match="steps/out_col must be None"):
+        transform_frame_df(wide, {"mods": steps}, steps)
+    with _pytest.raises(ValueError, match="empty column"):
+        transform_frame_df(wide, {})
     wide.unpersist()
