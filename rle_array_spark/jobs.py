@@ -185,6 +185,42 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_transform(args) -> int:
+    """Re-map an encoded corpus ON DISK without decode: read a blocks dir
+    (plain parquet or checkpointed-writer layout), apply a fused
+    ``TRANSFORM_OPS`` chain (one kernel pass however many steps), write
+    the transformed blocks as a new parquet dir — value re-mapping of a
+    stored corpus (clip, re-bucket, redact-by-mask) that never
+    materializes a token."""
+    from rle_array_spark.engine import transform_blocks_chain
+
+    steps = []
+    for spec in args.step:
+        op, sep, k = spec.partition(":")
+        if not sep:
+            raise SystemExit(f"--step must be op:operand, got {spec!r}")
+        steps.append((op, int(k)))
+    spark = _session(args)
+    blocks = _read_blocks_any(spark, args.blocks)
+    transform_blocks_chain(blocks, steps).write.mode(args.mode).parquet(args.output)
+    import pyspark.sql.functions as F
+
+    row = (
+        spark.read.parquet(args.output)
+        .agg(F.count("*"), F.sum("tok_sum"), F.sum("encoded_bytes"))
+        .collect()[0]
+    )
+    print(json.dumps({
+        "job": "transform",
+        "steps": args.step,
+        "blocks": int(row[0]),
+        "tok_sum": int(row[1] or 0),
+        "encoded_bytes": int(row[2] or 0),
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rle_array_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -260,6 +296,17 @@ def main(argv: list[str] | None = None) -> int:
         "compressed occurrence count)",
     )
 
+    tr = sub.add_parser("transform")
+    tr.add_argument("--blocks", required=True)
+    tr.add_argument("--output", required=True)
+    tr.add_argument(
+        "--step", action="append", required=True,
+        help="op:operand, repeatable — applied in order as ONE fused "
+        "kernel pass (e.g. --step add:7 --step mul:3 --step mod:251; "
+        "clip 60..120 is --step min:120 --step max:60)",
+    )
+    tr.add_argument("--mode", default="overwrite")
+
     for s in sub.choices.values():
         s.add_argument("--cores", default="*")
 
@@ -270,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
         "verify": cmd_verify,
         "stream": cmd_stream,
         "stats": cmd_stats,
+        "transform": cmd_transform,
     }[args.cmd](args)
 
 

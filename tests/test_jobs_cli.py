@@ -74,6 +74,39 @@ def test_cli_salted_encode_resume(tmp_path):
     assert dec["rows"] > 0
 
 
+def test_cli_transform_chain(tmp_path):
+    """transform job: encoded dir → fused chain → new encoded dir, with
+    the decoded result equal to numpy over the raw tokens."""
+    import numpy as np
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    pq.write_table(
+        pa.Table.from_batches([generate_block(2, 8)]), os.path.join(input_dir, "p.parquet")
+    )
+    enc_dir = str(tmp_path / "enc")
+    tr_dir = str(tmp_path / "tr")
+    dec_dir = str(tmp_path / "dec")
+
+    _run(["encode", "--input", input_dir, "--output", enc_dir])
+    tr = _run([
+        "transform", "--blocks", enc_dir, "--output", tr_dir,
+        "--step", "add:7", "--step", "mul:3", "--step", "mod:251",
+    ])
+    assert tr["blocks"] > 0
+    _run(["decode", "--blocks", tr_dir, "--output", dec_dir])
+
+    raw = pq.read_table(os.path.join(input_dir, "p.parquet")).to_pydict()
+    exp = {
+        d: ((np.array(t, dtype=np.int64) + 7) * 3 % 251).tolist()
+        for d, t in zip(raw["doc_id"], raw["tokens"])
+    }
+    got_tab = pq.ParquetDataset(dec_dir).read().to_pydict()
+    got = dict(zip(got_tab["doc_id"], got_tab["tokens"]))
+    assert {d: list(v) for d, v in got.items()} == exp
+    assert tr["tok_sum"] == sum(sum(v) for v in exp.values())
+
+
 def test_cli_stats(tmp_path):
     input_dir = str(tmp_path / "in")
     os.makedirs(input_dir)
