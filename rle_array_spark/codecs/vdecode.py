@@ -80,7 +80,26 @@ def _segment_index_strided(starts: np.ndarray, counts: np.ndarray, step: int) ->
 
 
 def _gather_bytes(buf: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenate buf[starts[j] : starts[j]+counts[j]] for all j (uint8)."""
+    """Concatenate buf[starts[j] : starts[j]+counts[j]] for all j (uint8).
+
+    Two regimes: for FEW, LARGE segments (the exact-width bitpack/FOR row
+    gather: thousands of rows, KB payloads) a per-segment slice loop is a
+    handful of memcpys, while the index path would build an 8-byte index
+    per PAYLOAD BYTE (192 MB of index for a 24 MB gather) — measured 2.1×
+    on the whole decode kernel (BASELINE.md round 4). For MANY, SMALL
+    segments the fused repeat+arange index amortizes better than a Python
+    loop; 64 B mean length is the crossover ballpark."""
+    counts = counts.astype(np.int64, copy=False)
+    n_seg = counts.size
+    if n_seg and n_seg <= 262144:
+        total = int(counts.sum())
+        if total >= n_seg * 64:
+            out = np.empty(total, dtype=np.uint8)
+            pos = 0
+            for s, c in zip(starts.tolist(), counts.tolist()):
+                out[pos : pos + c] = buf[s : s + c]
+                pos += c
+            return out
     return buf[_segment_index(starts, counts)]
 
 
@@ -109,9 +128,31 @@ def _unpack_many(
         itemsize = width // 8
         raw = _gather_bytes(buf, byte_starts, ns * itemsize)
         return raw.view(exact).astype(np.uint64)
-    # Bound the per-call bit-index matrix (total × width bytes) by splitting
-    # oversized groups on row boundaries; rows are byte-aligned so splits
-    # are free.
+    if width <= 57:
+        # Absolute-bit-position window gather: value k of row j starts at
+        # bit byte_starts[j]*8 + k*width of buf (bitorder little = exactly
+        # the little-endian uint64 layout), and with width+shift ≤ 64 the
+        # whole value fits one 8-byte window. One per-value int64 bit base
+        # (repeat+arange), one (total, 8) window gather off a zero-copy
+        # sliding view, then shift+mask — ~16 B/value of traffic vs the
+        # ~8·width B/value bit-index matrix of the unpackbits fallback
+        # (measured 3.5× on the bench corpus mix; BASELINE.md round 4).
+        value_bit = _segment_index_strided(byte_starts * 8, ns, width)
+        byte_off = value_bit >> 3
+        shift = (value_bit & 7).astype(np.uint64)
+        padded = np.concatenate((buf, np.zeros(8, dtype=np.uint8)))
+        words = (
+            np.lib.stride_tricks.sliding_window_view(padded, 8)[byte_off]
+            .reshape(-1, 8)
+            .copy()
+            .view(np.uint64)
+            .ravel()
+        )
+        return (words >> shift) & np.uint64((1 << width) - 1)
+    # widths 58..63 (unreachable for int32 token payloads): the original
+    # unpackbits path. Bound the per-call bit-index matrix (total × width
+    # bytes) by splitting oversized groups on row boundaries; rows are
+    # byte-aligned so splits are free.
     if total > _UNPACK_CHUNK_VALUES:
         if ns.size > 1:
             half = ns.size // 2
