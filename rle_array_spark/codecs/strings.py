@@ -239,6 +239,53 @@ def decode_strings(name: str, payload, n: int) -> tuple[np.ndarray, np.ndarray |
     raise ValueError(f"unknown string codec {name!r}")
 
 
+def decode_strings_arrow(name: str, payload, n: int) -> pa.Array:
+    """→ ``pa.StringArray`` with nulls applied — the Arrow-native sibling
+    of :func:`decode_strings`. sraw/sfsst build the array straight from
+    the stored (offsets, utf-8 data) buffers — zero per-value Python
+    (5.5× on the sraw high-cardinality-text regime, 1.3× on sfsst where
+    the ngram stream decode dominates); srle/sdict keep the object-table
+    gather (Arrow take measured slower there — see inline note). Values
+    identical to decode_strings + its mask (differential-tested)."""
+    buf = memoryview(payload)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    if name in ("srle", "sdict"):
+        # dictionary codecs keep the object gather: per-block Arrow-take
+        # (table→pa.array conversion + take + bitmap rebuild) measured
+        # 0.75× AGAINST it — the O(cardinality) table is tiny and the
+        # object→Arrow conversion cost is identical either way
+        vals, valid2 = decode_strings(name, payload, n)
+        return pa.array(
+            vals, type=pa.string(), mask=None if valid2 is None else ~valid2
+        )
+    valid, off = _decode_flags(buf, n)
+    null_buf = None
+    null_count = 0
+    if valid is not None:
+        null_count = int(n - np.count_nonzero(valid))
+        null_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    if name == "sfsst":
+        from rle_array_spark.codecs.ngram import NgramCodec
+
+        offs = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=off)
+        off += 4 * (n + 1)
+        stream = NgramCodec().decode(buf[off:], int(offs[-1]))
+        data_buf = pa.py_buffer(stream.astype(np.uint8).tobytes())
+    elif name == "sraw":
+        offs = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=off)
+        off += 4 * (n + 1)
+        data_buf = pa.py_buffer(bytes(buf[off : off + int(offs[-1])]))
+    else:
+        raise ValueError(f"unknown string codec {name!r}")
+    # stored offsets are <u4; Arrow string offsets are int32 (payload sizes
+    # are far below 2^31, enforced by the block-size bound)
+    offs_buf = pa.py_buffer(offs.astype(np.int32).tobytes())
+    return pa.Array.from_buffers(
+        pa.string(), n, [null_buf, offs_buf, data_buf], null_count=null_count
+    )
+
+
 def encode_string_block(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]:
     """Encode one string sequence; ``auto`` runs the cost-based choice."""
     return encode_string_block_stats(arr, codec)[:2]

@@ -155,7 +155,14 @@ def encode_strings_df(df: DataFrame, col: str = "vals", codec: str = "auto") -> 
 
 def decode_strings_df(blocks: DataFrame) -> DataFrame:
     """String blocks → (doc_id, source, vals array<string>) with element
-    nulls restored; values identical to the encoded input."""
+    nulls restored; values identical to the encoded input. Per-row arrays
+    come from ``decode_strings_arrow`` — sraw/sfsst payload buffers become
+    Arrow string arrays directly (offsets + utf-8 data, no per-value
+    Python objects) and dictionary codecs gather their table with Arrow
+    nulls via its mask (Arrow-take on the tiny tables measured slower and
+    was reverted), so decode stays object-free exactly where objects were
+    the cost (5.5× on the sraw text regime; BASELINE.md round 4)."""
+    from rle_array_spark.codecs.strings import decode_strings_arrow
 
     def kernel(batches):
         for batch in batches:
@@ -164,30 +171,20 @@ def decode_strings_df(blocks: DataFrame) -> DataFrame:
             codecs_col = batch.column("codec").to_pylist()
             n_col = batch.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
             payload_col = batch.column("payload")
-            parts: list[np.ndarray] = []
-            any_null = False
-            masks: list[np.ndarray | None] = []
-            for i in range(batch.num_rows):
-                vals, valid = decode_strings(
+            parts = [
+                decode_strings_arrow(
                     codecs_col[i],
                     memoryview(payload_col[i].as_buffer()),
                     int(n_col[i]),
                 )
-                parts.append(vals)
-                masks.append(valid)
-                any_null = any_null or valid is not None
-            flat = (
-                np.concatenate(parts) if parts else np.zeros(0, dtype=object)
+                for i in range(batch.num_rows)
+            ]
+            child = (
+                pa.concat_arrays(parts)
+                if parts
+                else pa.array([], type=pa.string())
             )
             offsets = np.concatenate(([0], np.cumsum(n_col, dtype=np.int64)))
-            if any_null:
-                invalid = np.zeros(flat.size, dtype=bool)
-                for i, m in enumerate(masks):
-                    if m is not None:
-                        invalid[offsets[i] : offsets[i + 1]] = ~m
-                child = pa.array(flat, type=pa.string(), mask=invalid)
-            else:
-                child = pa.array(flat, type=pa.string())
             lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("doc_id"), batch.column("source"), lists],

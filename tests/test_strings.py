@@ -284,3 +284,45 @@ def test_transform_strings_df_spark(spark):
         for r in decode_strings_df(filter_strings_df(up, "eq", "CLICK")).collect()
     }
     assert len(n["a"]) == 2 and len(n["c"]) == 100
+
+
+@pytest.mark.parametrize("codec", ["srle", "sdict", "sraw", "sfsst", "auto"])
+def test_decode_strings_arrow_differential(codec):
+    """Arrow-native decode equals the object-path decode + mask across
+    codecs, null patterns, unicode, empty strings and empty blocks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rle_array_spark.codecs.strings import (
+        decode_strings,
+        decode_strings_arrow,
+        encode_string_block,
+    )
+
+    rng = np.random.default_rng(83)
+    vocab = ["click", "view", "ümläut✓", "", "a" * 40, "日本語テキスト", "x"]
+    cases = []
+    for trial in range(12):
+        n = int(rng.integers(0, 200))
+        vals = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        if trial % 3 == 0:  # high-cardinality regime (drives sraw/sfsst)
+            vals = [f"doc-{rng.integers(0, 10**9)}-{v}" for v in vals]
+        mask = rng.random(n) < 0.25 if trial % 2 else np.zeros(n, bool)
+        arr = pa.array(
+            [None if m else v for v, m in zip(vals, mask)], type=pa.string()
+        )
+        cases.append(arr)
+    cases.append(pa.array([], type=pa.string()))
+    cases.append(pa.array([None, None, None], type=pa.string()))
+
+    for arr in cases:
+        name, payload = encode_string_block(arr, codec)
+        n = len(arr)
+        obj, valid = decode_strings(name, memoryview(payload), n)
+        got = decode_strings_arrow(name, memoryview(payload), n)
+        assert len(got) == n
+        exp = [
+            None if (valid is not None and not valid[i]) else obj[i]
+            for i in range(n)
+        ]
+        assert got.to_pylist() == exp, (codec, name, n)
