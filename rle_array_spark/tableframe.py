@@ -221,28 +221,26 @@ def decode_table_df(
                         child = pa.array(flat, mask=invalid)
                     else:
                         child = pa.array(flat)
-                else:  # string
-                    parts, masks, any_null = [], [], False
-                    for i in range(n_rows):
-                        vals, mask = decode_strings(
+                else:  # string — Arrow-native per-row arrays (sraw/sfsst
+                    # come straight off their offset+data buffers, no
+                    # per-value Python; see codecs/strings.py)
+                    from rle_array_spark.codecs.strings import (
+                        decode_strings_arrow,
+                    )
+
+                    str_parts = [
+                        decode_strings_arrow(
                             codecs_col[i],
                             memoryview(payload_col[i].as_buffer()),
                             int(n_col[i]),
                         )
-                        parts.append(vals)
-                        masks.append(mask)
-                        any_null = any_null or mask is not None
-                    flat = (
-                        np.concatenate(parts) if parts else np.zeros(0, object)
+                        for i in range(n_rows)
+                    ]
+                    child = (
+                        pa.concat_arrays(str_parts)
+                        if str_parts
+                        else pa.array([], type=pa.string())
                     )
-                    if any_null:
-                        invalid = np.zeros(flat.size, dtype=bool)
-                        for i, m in enumerate(masks):
-                            if m is not None:
-                                invalid[offsets[i] : offsets[i + 1]] = ~m
-                        child = pa.array(flat, type=pa.string(), mask=invalid)
-                    else:
-                        child = pa.array(flat, type=pa.string())
                 arrays.append(
                     pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
                 )
