@@ -148,28 +148,37 @@ def encode_srle(arr: pa.Array, parts=None) -> bytes:
     )
 
 
-def _value_bytes(arr: pa.Array) -> tuple[list[bytes], np.ndarray | None]:
+def encode_sfsst(arr: pa.Array) -> bytes:
+    """FSST-path for strings: the values' concatenated utf8 byte stream is
+    compressed with the NGRAM Re-Pair grammar (codecs/ngram.py — the token
+    analog of FSST's substring symbol table), with per-value byte offsets
+    alongside. Wins when values share substrings but cardinality is too
+    high for the dictionary (URLs, paths, prefixed ids). The offsets and
+    byte stream come straight off the Arrow buffers (encode_sraw's
+    layout) — no per-value Python."""
+    from rle_array_spark.codecs.ngram import NgramCodec
+
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    n = len(arr)
     valid = None
     if arr.null_count:
         valid = ~np.asarray(arr.is_null())
         if valid.all():
             valid = None
         arr = arr.fill_null("")
-    return [s.encode("utf-8") for s in arr.to_pylist()], valid
-
-
-def encode_sfsst(arr: pa.Array) -> bytes:
-    """FSST-path for strings: the values' concatenated utf8 byte stream is
-    compressed with the NGRAM Re-Pair grammar (codecs/ngram.py — the token
-    analog of FSST's substring symbol table), with per-value byte offsets
-    alongside. Wins when values share substrings but cardinality is too
-    high for the dictionary (URLs, paths, prefixed ids)."""
-    from rle_array_spark.codecs.ngram import NgramCodec
-
-    vals, valid = _value_bytes(arr)
-    offs = np.zeros(len(vals) + 1, dtype=np.uint32)
-    np.cumsum([len(b) for b in vals], out=offs[1:])
-    stream = np.frombuffer(b"".join(vals), dtype=np.uint8).astype(np.int32)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if n == 0 or arr.buffers()[1] is None:
+        offs = np.zeros(n + 1, dtype=np.uint32)
+        stream = np.zeros(0, dtype=np.int32)
+    else:
+        abs_offs = np.frombuffer(
+            arr.buffers()[1], dtype="<i4", count=n + 1, offset=4 * arr.offset
+        ).astype(np.int64)
+        data = memoryview(arr.buffers()[2])[abs_offs[0] : abs_offs[-1]]
+        offs = (abs_offs - abs_offs[0]).astype(np.uint32)
+        stream = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
     body = NgramCodec().encode(stream)
     return (
         _encode_flags(valid)
