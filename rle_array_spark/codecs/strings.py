@@ -794,22 +794,29 @@ def filter_strings(
         rank[order] = np.arange(order.size)
         c, p = _emit_codes(table[uniq[order]], rank[inv], None)
         return c, p, int(kept.size)
-    vals, valid2 = decode_strings(name, payload, n)
+    # sraw/sfsst: Arrow-native — decode to a StringArray off the stored
+    # buffers (nulls applied), compare/filter in Arrow compute, re-encode
+    # the kept array buffer-level. Per-value Python only for the pre map,
+    # and then only once per DISTINCT value (pc.unique + index_in).
+    import pyarrow.compute as pc
+
+    arr = decode_strings_arrow(name, payload, n)
     if pre_fn is None:
-        eqm = vals == value
+        eqm = pc.equal(arr, value)  # null → null, like the SQL comparison
     else:
-        # per-DISTINCT-value discipline on the decode path too
-        uniq, inv = np.unique(vals, return_inverse=True)
-        eqm = np.array([pre_fn(x) == value for x in uniq], dtype=bool)[inv]
-    keep_slots = eqm if op == "eq" else ~eqm
-    if valid2 is not None:
-        keep_slots = keep_slots & valid2
-    kept_v = vals[keep_slots]
-    if kept_v.size == 0:
+        uniq = pc.unique(arr.drop_null())
+        match = pa.array(
+            [pre_fn(u) == value for u in uniq.to_pylist()], type=pa.bool_()
+        )
+        idx = pc.index_in(arr, uniq)  # null stays null
+        eqm = pc.take(match, idx)
+    keep = eqm if op == "eq" else pc.invert(eqm)
+    kept_arr = arr.filter(pc.fill_null(keep, False))  # null slots DROP
+    if len(kept_arr) == 0:
         c, p = encode_string_block(pa.array([], type=pa.string()), "sraw")
         return c, p, 0
-    c, p = encode_string_block(pa.array(list(kept_v), type=pa.string()), "auto")
-    return c, p, int(kept_v.size)
+    c, p = encode_string_block(kept_arr, "auto")
+    return c, p, int(len(kept_arr))
 
 
 def value_counts_strings(
