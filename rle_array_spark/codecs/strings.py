@@ -631,15 +631,18 @@ def take_strings(
         if new_valid.all():
             new_valid = None
         return _emit_codes(table, codes[gather_idx], new_valid)
-    vals, valid = decode_strings(name, payload, n)
-    gathered = vals[gather_idx]
-    if valid is not None:
-        gathered = np.where(valid[gather_idx], gathered, None)
+    # sraw/sfsst (and filled dict takes): Arrow-native — nulls are already
+    # applied by decode_strings_arrow, the gather is pc.take, fills are
+    # one if_else; no per-value Python
+    import pyarrow.compute as pc
+
+    arr = decode_strings_arrow(name, payload, n)
+    out = arr.take(pa.array(gather_idx, type=pa.int64()))
     if has_fill:
-        gathered = gathered.copy()
-        gathered[fill_mask] = fill_value
-    arr = pa.array(list(gathered), type=pa.string())
-    return encode_string_block(arr, "auto")
+        out = pc.if_else(
+            pa.array(fill_mask), pa.scalar(fill_value, type=pa.string()), out
+        )
+    return encode_string_block(out, "auto")
 
 
 def reverse_strings(name: str, payload, n: int) -> tuple[str, bytes]:
@@ -648,12 +651,9 @@ def reverse_strings(name: str, payload, n: int) -> tuple[str, bytes]:
         table, codes, valid = _codes_form(name, payload, n)
         new_valid = valid[::-1].copy() if valid is not None else None
         return _emit_codes(table, codes[::-1].copy(), new_valid)
-    vals, valid = decode_strings(name, payload, n)
-    rev = vals[::-1].copy()
-    if valid is not None:
-        rev = np.where(valid[::-1], rev, None)
-    arr = pa.array(list(rev), type=pa.string())
-    return encode_string_block(arr, "auto")
+    arr = decode_strings_arrow(name, payload, n)
+    out = arr.take(pa.array(np.arange(n - 1, -1, -1, dtype=np.int64)))
+    return encode_string_block(out, "auto")
 
 
 def zip_strings_compare(
