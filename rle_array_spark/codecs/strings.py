@@ -287,8 +287,16 @@ def decode_strings_arrow(name: str, payload, n: int) -> pa.Array:
         data_buf = pa.py_buffer(bytes(buf[off : off + int(offs[-1])]))
     else:
         raise ValueError(f"unknown string codec {name!r}")
-    # stored offsets are <u4; Arrow string offsets are int32 (payload sizes
-    # are far below 2^31, enforced by the block-size bound)
+    # stored offsets are <u4; Arrow string offsets are int32. Block sizes
+    # are bounded far below 2^31 elsewhere, but raise rather than wrap if a
+    # pathological block ever reaches it (a negative Arrow offset would
+    # silently corrupt every decoded string after it) — same
+    # raise-instead-of-wrap policy as transform._checked_int32.
+    if n and int(offs[-1]) > 2**31 - 1:
+        raise ValueError(
+            f"string block value bytes {int(offs[-1])} exceed int32 Arrow "
+            "offset range; re-encode with a smaller chunk size"
+        )
     offs_buf = pa.py_buffer(offs.astype(np.int32).tobytes())
     return pa.Array.from_buffers(
         pa.string(), n, [null_buf, offs_buf, data_buf], null_count=null_count

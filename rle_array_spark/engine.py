@@ -524,9 +524,57 @@ def encode_df(
 # + - * // % ** & | ^; true-div excluded — it leaves the integer token
 # domain; pow is integer-exact via rounded float64, see its entry).
 # Each entry: (fn(values:int64, k) -> int64, operand validator).
+#
+# Overflow contract: the four GROWTH ops (add, mul, pow, rpow) bound-check
+# their int64 intermediates and raise instead of wrapping. This matters in
+# two places: (a) fused chains run intermediates in unchecked int64 — a
+# mid-chain mul wrap or pow's float64→int64 cast artifact would otherwise
+# be mapped back into valid int32 range by a trailing mod, so
+# _checked_int32 passes and corrupt tokens are written silently; (b) even
+# single-op mul can wrap back into [0, 2^31) (v=2^31, k=2^33 → exactly
+# 2^64 → 0). Every other op is non-growing on non-negative inputs
+# (sub/rsub clamp at 0; floordiv/mod/min/max shrink; bit-ops on two
+# non-negative int64 stay ≤ max(v, k)-bit), so they need no check. The
+# pow family additionally raises above 2^53, where float64 loses integer
+# exactness — the residual chain limit: a pow intermediate must stay
+# within float64's exact-integer range for downstream mod/floordiv to
+# match true integer math.
+_INT64_MAX = np.iinfo(np.int64).max
+_POW_EXACT_MAX = float(2**53)
+
+
+def _guarded_add(v: np.ndarray, k: int) -> np.ndarray:
+    if k and v.size and int(v.max()) > _INT64_MAX - k:
+        raise ValueError(
+            f"transform overflow: add {k} on value {int(v.max())} exceeds int64"
+        )
+    return v + k
+
+
+def _guarded_mul(v: np.ndarray, k: int) -> np.ndarray:
+    if k >= 2 and v.size and int(np.abs(v).max()) > _INT64_MAX // k:
+        raise ValueError(
+            f"transform overflow: mul {k} on value {int(np.abs(v).max())} exceeds int64"
+        )
+    return v * k
+
+
+def _checked_pow(out: np.ndarray) -> np.ndarray:
+    """float64 pow result → int64, raising when any value is non-finite or
+    beyond float64's exact-integer range (2^53) — past that point the
+    rounded float is no longer the true integer power, so letting it flow
+    into a downstream mod/floordiv would silently diverge."""
+    if out.size and not bool(np.all(np.isfinite(out) & (np.abs(out) <= _POW_EXACT_MAX))):
+        raise ValueError(
+            "transform overflow: pow result exceeds float64 exact-integer "
+            "range (2^53) or is non-finite"
+        )
+    return np.rint(out).astype(np.int64)
+
+
 TRANSFORM_OPS = {
-    "add": (lambda v, k: v + k, lambda k: k >= 0),
-    "mul": (lambda v, k: v * k, lambda k: k >= 0),
+    "add": (_guarded_add, lambda k: k >= 0),
+    "mul": (_guarded_mul, lambda k: k >= 0),
     # subtraction clamped at 0 (tokens are non-negative; the unclamped form
     # would raise in _checked_int32 on any value < k)
     "sub_floor": (lambda v, k: np.maximum(v - k, 0), lambda k: k >= 0),
@@ -541,14 +589,15 @@ TRANSFORM_OPS = {
     "min": (np.minimum, lambda k: k >= 0),
     "max": (np.maximum, lambda k: k >= 0),
     # ``**`` (reference array.py:748-824, tests/test_operators.py:161-341):
-    # computed in float64 — exact for any result < 2^53, and every result
-    # that survives must fit int32 anyway (_checked_int32 raises on the
-    # rest, including the inf→INT64_MIN cast artifact of an overflowing
-    # base**k — the reference's int-overflow contract). rint before the
-    # int cast so a libm whose pow is not correctly rounded (musl, old
-    # glibc) can't truncate 124.999… to 124 while SQL CAST rounds to 125.
+    # computed in float64 — exact for any result ≤ 2^53; _checked_pow
+    # raises past that (or on inf) BEFORE the int cast, so an overflowing
+    # base**k can never smuggle a cast artifact into a downstream chain
+    # step — the reference's int-overflow contract, enforced at the op.
+    # rint before the int cast so a libm whose pow is not correctly
+    # rounded (musl, old glibc) can't truncate 124.999… to 124 while SQL
+    # CAST rounds to 125.
     "pow": (
-        lambda v, k: np.rint(np.power(v.astype(np.float64), float(k))).astype(np.int64),
+        lambda v, k: _checked_pow(np.power(v.astype(np.float64), float(k))),
         lambda k: k >= 0,
     ),
     # reflected non-commutative forms (reference __rsub__/__rfloordiv__/
@@ -567,7 +616,7 @@ TRANSFORM_OPS = {
         lambda k: k >= 0,
     ),
     "rpow": (
-        lambda v, k: np.rint(np.power(float(k), v.astype(np.float64))).astype(np.int64),
+        lambda v, k: _checked_pow(np.power(float(k), v.astype(np.float64))),
         lambda k: k >= 0,
     ),
 }
@@ -679,7 +728,10 @@ def transform_blocks_chain(blocks: DataFrame, steps) -> DataFrame:
     values hit the ``_checked_int32`` domain contract — so a chain whose
     intermediate overflows int32 but whose result fits is accepted fused
     (the step-by-step composition would reject it after the overflowing
-    step). Results are decode-identical to the step-by-step chain with
+    step). Intermediates are NOT unchecked, though: the growth ops
+    (add/mul/pow/rpow) raise before an int64 wrap or a >2^53 inexact pow
+    (see the TRANSFORM_OPS overflow contract), so a trailing mod can
+    never map wrapped garbage back into valid token range. Results are decode-identical to the step-by-step chain with
     exact metadata; the chosen CODEC may legitimately differ (each
     stepwise hop re-chooses from its input codec, the fused pass chooses
     once from the original — both choices are valid encodings of the

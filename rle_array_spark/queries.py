@@ -1815,19 +1815,39 @@ def q_stream_quantiles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land on exactly the batch answer — the oracle is the same
     quantile_disc SQL as quantiles_hist's disc arm, so the gate checks
     cross-micro-batch state merge end-to-end, not a batch re-derivation."""
+    import os
     import shutil
     import tempfile
+    import uuid
 
     from rle_array_spark.streaming import running_quantiles_stream
 
-    base = tempfile.mkdtemp(prefix="stream_qparity_")
+    # Scratch must be visible to BOTH driver and executors. A driver-local
+    # tempdir only satisfies that on local[N] masters (ADVICE r4); on a
+    # real cluster callers must point spark.rle_array_spark.scratch.dir at
+    # shared storage (HDFS/S3/NFS) — we refuse to run rather than silently
+    # misread an executor-local path.
+    scratch = spark.conf.get("spark.rle_array_spark.scratch.dir", None)
+    if scratch:
+        base = scratch.rstrip("/") + "/stream_qparity_" + uuid.uuid4().hex
+    elif spark.sparkContext.master.startswith("local"):
+        base = tempfile.mkdtemp(prefix="stream_qparity_")
+    else:
+        raise RuntimeError(
+            "stream_quantiles_parity needs driver+executor-shared scratch on "
+            f"master {spark.sparkContext.master!r}; set "
+            "spark.rle_array_spark.scratch.dir to a shared filesystem path"
+        )
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     try:
         _sequences(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(in_dir)
         running_quantiles_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
         emitted = spark.read.parquet(out_dir).collect()
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        # local-filesystem cleanup only; a URI-schemed shared scratch is the
+        # caller's to manage (we can't rmtree s3://)
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
     # final state per source = the emission with the largest running count
     # (n_toks is nondecreasing; ties have identical histograms/rows)
     final: dict[str, tuple] = {}

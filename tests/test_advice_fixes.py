@@ -155,3 +155,111 @@ def test_table_fingerprint_duplicate_pair_no_xor_cancel():
     one = _fingerprint(["a"], [5], [0], "k")
     three = _fingerprint(["a"] * 3, [5] * 3, [0, 1, 2], "k")
     assert one != three
+
+
+# ---------------------------------------------------------------------------
+# Round-4 ADVICE: fused-chain intermediate overflow must raise, never wrap
+# ---------------------------------------------------------------------------
+
+def _one_token_blocks(spark, token: int):
+    from rle_array_spark.engine import encode_df
+
+    df = spark.createDataFrame(
+        [("d1", "s0", [token] * 8)],
+        "doc_id string, source string, tokens array<int>",
+    )
+    return encode_df(df, codec="rle")
+
+
+def test_chain_mul_wrap_raises(spark):
+    """ADVICE r4 (medium): chain [mul 10^7, mul 10^7, mod 251] on token
+    100000 used to wrap int64 mid-chain and decode 229 (true value 47) —
+    the trailing mod mapped the wrap back into valid int32 range so
+    _checked_int32 passed. The growth-op guard must raise instead."""
+    from rle_array_spark.engine import transform_blocks_chain
+
+    blocks = _one_token_blocks(spark, 100000)
+    chained = transform_blocks_chain(
+        blocks, [("mul", 10**7), ("mul", 10**7), ("mod", 251)]
+    )
+    with pytest.raises(Exception, match="transform overflow"):
+        chained.collect()
+
+
+def test_chain_pow_cast_artifact_raises(spark):
+    """ADVICE r4 (medium): [pow 5, mod 251] on token 1000000 → 10^30 is
+    non-finite-adjacent in float64→int64 cast terms (INT64_MIN artifact);
+    used to decode 91 (true 149). Must raise at the pow step."""
+    from rle_array_spark.engine import transform_blocks_chain
+
+    blocks = _one_token_blocks(spark, 1000000)
+    chained = transform_blocks_chain(blocks, [("pow", 5), ("mod", 251)])
+    with pytest.raises(Exception, match="transform overflow"):
+        chained.collect()
+
+
+def test_chain_pow_inexact_above_2_53_raises(spark):
+    """pow intermediates between 2^53 and int64 wrap are castable but
+    INEXACT in float64 — a downstream mod would silently diverge from
+    true integer math, so the guard raises there too (documented residual
+    chain limit). 10^6 ** 3 = 10^18 > 2^53."""
+    from rle_array_spark.engine import transform_blocks_chain
+
+    blocks = _one_token_blocks(spark, 1000000)
+    chained = transform_blocks_chain(blocks, [("pow", 3), ("mod", 251)])
+    with pytest.raises(Exception, match="transform overflow"):
+        chained.collect()
+
+
+def test_chain_add_wrap_raises(spark):
+    """add with a near-INT64_MAX operand wraps negative; a following max(0)
+    + mod would launder it into valid range. Must raise at the add."""
+    from rle_array_spark.engine import transform_blocks_chain
+
+    blocks = _one_token_blocks(spark, 7)
+    chained = transform_blocks_chain(
+        blocks, [("add", 2**63 - 4), ("max", 0), ("mod", 251)]
+    )
+    with pytest.raises(Exception, match="transform overflow"):
+        chained.collect()
+
+
+def test_single_op_mul_exact_wrap_raises(spark):
+    """Single-op wrap that lands back in valid int32 range: 2^30 * 2^34 is
+    exactly 2^64 → wraps to 0, which _checked_int32 would happily accept.
+    The guard must raise before the wrap."""
+    from rle_array_spark.engine import transform_blocks
+
+    blocks = _one_token_blocks(spark, 2**30)
+    with pytest.raises(Exception, match="transform overflow"):
+        transform_blocks(blocks, "mul", 2**34).collect()
+
+
+def test_chain_int32_overflow_below_2_53_still_fused_ok(spark):
+    """The legitimate fused-chain capability is preserved: an intermediate
+    above int32 but below 2^53 (here 10^10 = 100000^2) composes exactly."""
+    from rle_array_spark.engine import decode_df, transform_blocks_chain
+
+    blocks = _one_token_blocks(spark, 100000)
+    out = decode_df(
+        transform_blocks_chain(blocks, [("pow", 2), ("mod", 251)])
+    ).collect()
+    expect = pow(100000, 2, 251)
+    assert all(t == expect for r in out for t in r["tokens"])
+
+
+def test_zip_post_chain_overflow_raises(spark):
+    """The zips' fused post= chains share _resolve_token_chain — the guard
+    must hold there too."""
+    from rle_array_spark.engine import encode_df, zip_blocks_df
+
+    df = spark.createDataFrame(
+        [("d1", "s0", [100000] * 8)],
+        "doc_id string, source string, tokens array<int>",
+    )
+    blocks = encode_df(df, codec="rle")
+    zipped = zip_blocks_df(
+        blocks, blocks, "add", post=[("mul", 10**7), ("mul", 10**7), ("mod", 251)]
+    )
+    with pytest.raises(Exception, match="transform overflow"):
+        zipped.collect()
