@@ -1446,18 +1446,40 @@ FROM tok CROSS JOIN (VALUES {_ORACLE_CODEC_LABELS}) AS codecs(codec)"""
 
 
 def q_compression_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec-choice histogram + compression accounting vs the reference's
-    analytic r×(4+8) formula in one audit, per (source, codec) — rows-only
-    by design (codec choice and the reference size are the engine's own
-    derived metrics)."""
+    """Compression accounting vs the reference's analytic r×(4+8) storage
+    model (reference array.py:390-393 nbytes; autoconversion.py:93-99
+    threshold-vs-raw), per source — FULLY oracle-checked since r5:
+
+    - ``raw_bytes`` = 4 B × n_tok and ``ref_rle_bytes`` = 12 B × n_runs are
+      independently re-derived by DuckDB (runs via a 1-based list lambda
+      counting value changes), so the engine's run detection and byte
+      accounting are hash-checked, not self-reported.
+    - ``bound_violations`` counts blocks where the engine's own
+      ``encoded_bytes`` exceeds min(ref_rle_bytes, raw_bytes) — the
+      self-certifying invariant arm for the one engine-specific figure:
+      the oracle expects the literal 0, so any block that stops beating
+      BOTH the reference model and raw storage turns the gate red."""
     blocks = encode_df(_sequences(spark, sf_dir), codec="auto")
-    return blocks.groupBy("source", "codec").agg(
+    return blocks.groupBy("source").agg(
         F.count("*").alias("blocks"),
         F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
         F.sum("ref_rle_bytes").alias("ref_rle_bytes"),
-        F.round(F.sum("raw_bytes") / F.sum("encoded_bytes"), 3).alias("ratio"),
+        F.sum(
+            (F.col("encoded_bytes") > F.least("ref_rle_bytes", "raw_bytes"))
+            .cast("long")
+        ).alias("bound_violations"),
     )
+
+
+ORACLE_COMPRESSION_ACCOUNTING = f"""{_ORACLE_TOK_CTE}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS blocks,
+       CAST(sum(4 * length(tokens)) AS BIGINT) AS raw_bytes,
+       CAST(sum(12 * list_sum(list_transform(tokens,
+            (x, i) -> CASE WHEN i = 1 OR x <> tokens[i - 1] THEN 1 ELSE 0 END
+       ))) AS BIGINT) AS ref_rle_bytes,
+       CAST(0 AS BIGINT) AS bound_violations
+FROM tok GROUP BY source"""
 
 
 def q_event_type_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1960,7 +1982,9 @@ def build_oracles() -> dict[str, str]:
     out["typed_fillna_dropna"] = ORACLE_TYPED_FILLNA_DROPNA
     out["roundtrip_forced_codecs"] = ORACLE_ROUNDTRIP_FORCED
     out["roundtrip_auto"] = _ROUNDTRIP_ORACLE
-    # compression_accounting: intentionally no oracle (rows-only audit).
+    # compression_accounting: full oracle since r5 — DuckDB re-derives
+    # raw/ref-RLE bytes; encoded_bytes gated as a zero-violations invariant.
+    out["compression_accounting"] = ORACLE_COMPRESSION_ACCOUNTING
     out["event_type_catalog"] = ORACLE_EVENT_TYPE_CATALOG
     out["slice_point_lookup"] = ORACLE_SLICE_POINT_LOOKUP
     out["zip_add_mod_paths"] = ORACLE_ZIP_ADD_MOD_BOTH

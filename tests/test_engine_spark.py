@@ -112,3 +112,18 @@ def test_empty_input(spark):
     blocks = encode_df(empty, codec="auto")
     assert blocks.count() == 0
     assert decode_df(blocks).count() == 0
+
+
+def test_per_block_bound_invariant(sequences):
+    """r5 gate arm for compression_accounting: EVERY block (not just the
+    total) must satisfy encoded_bytes <= min(ref_rle_bytes, raw_bytes) —
+    the self-certifying invariant the oracle checks as bound_violations=0
+    (reference autoconversion.py:93-99 threshold-vs-raw semantics)."""
+    blocks = encode_df(sequences, codec="auto")
+    viol = blocks.agg(
+        F.sum(
+            (F.col("encoded_bytes") > F.least("ref_rle_bytes", "raw_bytes"))
+            .cast("long")
+        ).alias("v")
+    ).collect()[0]["v"]
+    assert viol == 0
