@@ -35,26 +35,28 @@ _D_CTE = f"""d AS (
     FROM documents WHERE length(text) >= {SHINGLE_K}
 )"""
 
+# Shingles as 32-bit md5-prefix base hashes, positions capped at
+# SHINGLE_CAP — byte-for-byte the scheme in pipeline.shingle_sets (r5
+# scale hardening: the string never leaves the lambda).
 _SH_CTE = f"""sh AS (
     SELECT doc_id,
-           list_distinct(list_transform(range(1, length(text) - {SHINGLE_K} + 2),
-                                        i -> substring(text, i, {SHINGLE_K}))) AS shingles
+           list_distinct(list_transform(
+               range(1, least(length(text) - {SHINGLE_K} + 1, {P.SHINGLE_CAP}) + 1),
+               i -> ('0x' || substring(md5(substring(text, i, {SHINGLE_K})), 1, 8))::BIGINT
+           )) AS shingles
     FROM d
 )"""
 
-# Same universal-hash scheme as pipeline.minhash_signatures: one md5 per
-# shingle -> 32-bit base hash -> per-slot (a_j*h + b_j) mod (2^31-1), all
-# int64 arithmetic DuckDB reproduces bit-identically.
+# Same universal-hash scheme as pipeline.minhash_signatures: the shingle
+# base hash h -> per-slot (a_j*h + b_j) mod (2^31-1), all int64
+# arithmetic DuckDB reproduces bit-identically.
 _SIG_LIST = ", ".join(
     f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P.MINHASH_PRIME}))"
     for a, b in P.minhash_coeffs(NUM_HASHES)
 )
 _SIG_CTE = f"""sig AS (
     SELECT doc_id, [{_SIG_LIST}] AS sig
-    FROM (SELECT doc_id,
-                 list_transform(shingles,
-                                s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hs
-          FROM sh)
+    FROM (SELECT doc_id, shingles AS hs FROM sh)
 )"""
 
 _BANDS_CTE = f"""bands AS (

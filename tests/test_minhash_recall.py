@@ -104,3 +104,24 @@ def test_coeffs_deterministic_and_distinct():
     assert c1 == c2
     assert len({a for a, _ in c1}) > 120  # coefficients don't collapse
     assert all(1 <= a < (1 << 31) and 0 <= b < (1 << 31) for a, b in c1)
+
+
+def test_multi_mb_doc_bounded_row(spark):
+    """r5 scale hardening: a multi-MB document must produce a bounded
+    shingle row — <= SHINGLE_CAP int64 base hashes, no string array —
+    and still dedup against a near-identical copy within the cap."""
+    n = 3_000_000  # ~3 MB text, ~3M shingle positions uncapped
+    base = _rand_text(n)
+    near = "x" + base[1:]  # differs in one char -> J ~ 1 within the cap
+    docs = spark.createDataFrame(
+        [("big-a", base, "s"), ("big-b", near, "s")],
+        "doc_id string, text string, source string",
+    )
+    sh = P.shingle_sets(docs)
+    field = sh.schema["shingles"].dataType
+    assert field.simpleString() == "array<bigint>"
+    sizes = {r["doc_id"]: r["n"] for r in sh.selectExpr("doc_id", "size(shingles) as n").collect()}
+    assert all(0 < s <= P.SHINGLE_CAP for s in sizes.values()), sizes
+    cand = {tuple(sorted((r["doc_a"], r["doc_b"])))
+            for r in P.minhash_candidate_pairs(docs).collect()}
+    assert ("big-a", "big-b") in cand
