@@ -1290,6 +1290,23 @@ def q_typed_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        .join(
+            # r5: typed-float round(decimals) — the last named reference
+            # dunder (array.py:913-916): round(a/7, 2) compressed-domain,
+            # HALF-EVEN (numpy); the oracle's round_even matches np.round
+            # exhaustively over this arm's whole value domain (x/7,
+            # x in 0..996, decimals 0-3 — pinned in tests)
+            decode_typed_df(
+                transform_typed_chain_df(ba, [("div", 7), ("round", 2)]),
+                "double",
+            ).select(
+                "doc_id",
+                F.expr(
+                    "aggregate(vals, cast(0.0 as double), (acc, x) -> acc + x)"
+                ).alias("round_sum"),
+            ),
+            "doc_id",
+        )
     )
 
 
@@ -1310,7 +1327,8 @@ SELECT doc_id,
        CAST(list_sum(list_transform(a, x -> abs(-x) * 3 - 100)) AS BIGINT) AS scalar_sum,
        CAST(list_sum(list_transform(a, x -> -x - 1)) AS BIGINT) AS inv_sum,
        CAST(list_sum(list_transform(a, x -> 500 - 100000 // (x + 1))) AS BIGINT) AS rscalar_sum,
-       CAST(length(a) - COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS inv_ge_count
+       CAST(length(a) - COALESCE(length(list_filter(range(1, length(a) + 1), i -> a[i] < b[i])), 0) AS INT) AS inv_ge_count,
+       CAST(list_sum(list_transform(a, x -> round_even(x / 7, 2))) AS DOUBLE) AS round_sum
 FROM seq"""
 
 

@@ -356,7 +356,18 @@ def _resolve_typed_op(op: str, operand=None):
         TYPED_ZIP_OPS,
     )
 
-    if op in TYPED_UNARY_OPS:
+    if op == "round":
+        # reference ``round(decimals)`` (array.py:913-916, exercised in
+        # tests/test_misc_operations.py:57-79): np.round the run values
+        # and recompress — the last named reference dunder. HALF-EVEN
+        # (numpy/IEEE) semantics, matching the reference's numpy round;
+        # the DuckDB oracle uses round_even(), NOT round() (half-away).
+        decimals = 0 if operand is None else operand
+        if not isinstance(decimals, (int, np.integer)) or isinstance(decimals, bool):
+            raise ValueError(f"round decimals must be an int, got {decimals!r}")
+        fn = lambda v, _d=int(decimals): np.round(v, _d)  # noqa: E731
+        to_bool = False
+    elif op in TYPED_UNARY_OPS:
         if operand is not None:
             raise ValueError(f"unary op {op!r} takes no operand")
         base = TYPED_UNARY_OPS[op]

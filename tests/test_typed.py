@@ -716,3 +716,61 @@ def test_transform_typed_chain_df_differential(spark):
     with _pytest.raises(ValueError, match="empty transform chain"):
         transform_typed_chain_df(blocks, [])
     blocks.unpersist()
+
+
+def test_transform_typed_round(spark):
+    """r5: named typed-float round(decimals) (reference array.py:913-916,
+    tests/test_misc_operations.py:57-79): decode equals np.round
+    (HALF-EVEN, incl. exact halves like 2.5 -> 2.0), nulls stay null,
+    decimals=0 default, chains compose, non-int decimals raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rle_array_spark.typed import (
+        decode_typed_df,
+        encode_typed_df,
+        transform_typed_chain_df,
+        transform_typed_df,
+    )
+
+    rng = np.random.default_rng(505)
+    rows = []
+    raw = {}
+    for d in range(12):
+        n = int(rng.integers(1, 90))
+        vals = np.repeat(
+            rng.uniform(-50, 50, max(n // 3, 1)), 3
+        )[:n]
+        # plant exact halves to pin half-even vs half-away
+        vals[: min(4, n)] = [2.5, 3.5, -2.5, 0.125][: min(4, n)]
+        mask = rng.random(n) < 0.15
+        rows.append(
+            (f"d{d:02d}", "s", [None if m else float(v) for v, m in zip(vals, mask)])
+        )
+        raw[f"d{d:02d}"] = (vals, mask)
+    df = spark.createDataFrame(rows, "doc_id string, source string, vals array<double>")
+    blocks = encode_typed_df(df, "vals").persist()
+
+    for decimals, operand in [(0, None), (0, 0), (2, 2)]:
+        out = transform_typed_df(blocks, "round", operand)
+        got = {r["doc_id"]: r["vals"] for r in decode_typed_df(out, "double").collect()}
+        for d, (vals, mask) in raw.items():
+            exp = np.round(vals, decimals)
+            for i in range(len(vals)):
+                if mask[i]:
+                    assert got[d][i] is None
+                else:
+                    assert got[d][i] == exp[i], (decimals, d, i, got[d][i], exp[i])
+
+    # chained: round(v / 7, 2) in one fused pass == stepwise numpy
+    chained = transform_typed_chain_df(blocks, [("div", 7), ("round", 2)])
+    got = {r["doc_id"]: r["vals"] for r in decode_typed_df(chained, "double").collect()}
+    for d, (vals, mask) in raw.items():
+        exp = np.round(vals / 7, 2)
+        for i in range(len(vals)):
+            if not mask[i]:
+                assert got[d][i] == exp[i]
+
+    with _pytest.raises(ValueError, match="decimals must be an int"):
+        transform_typed_df(blocks, "round", 1.5)
+    blocks.unpersist()
