@@ -50,6 +50,8 @@ def session(
     shuffle_partitions: int = 32,
     arrow_batch_rows: int = 1024,
     max_partition_bytes: int = 16 * 1024 * 1024,
+    reader_batch_rows: int = 256,
+    driver_memory: str = "16g",
 ) -> SparkSession:
     """Local session with the engine's required configs. On a real cluster
     the same configs ride spark-submit --conf; nothing here is local-only."""
@@ -65,7 +67,23 @@ def session(
         # Small scan splits bound per-task token mass — the no-shuffle skew
         # defense for the scan-parallel encode path.
         .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
-        .config("spark.driver.memory", "16g")
+        # Bound the parquet vectorized reader's ColumnarBatch by ROWS as well:
+        # the default 4096 sizes the scan by row count, so a corpus holding
+        # multi-hundred-MB token rows (one 100 M-token sequence = 400 MB)
+        # materializes gigabytes per scan task and OOMs a bounded executor
+        # heap before the engine's chunk defense ever runs. 256 rows keeps a
+        # normal corpus batch ~MB-sized (Arrow transfer is capped at 1024
+        # rows anyway) and measured 1.08-1.13x FASTER on the 241 M-token
+        # encode A/B (byte-identical output; BASELINE.md round 5).
+        .config("spark.sql.parquet.columnarReaderBatchSize", str(reader_batch_rows))
+        # Local mode: the driver heap IS the executor heap. 16g across 32
+        # concurrent tasks is 0.5 GB/task — enough for the engine's own
+        # bounded blocks, but a RAW corpus row of T tokens needs ~3×4T bytes
+        # per scan task transiently (vector growth + Arrow transfer), so
+        # giant-sequence ingest must size the heap like a real cluster does:
+        # heap ≳ concurrent_tasks_per_executor × 3 × max_row_bytes (see
+        # scripts/soak_giant.py and BASELINE.md round 5).
+        .config("spark.driver.memory", driver_memory)
         # Shuffle scratch on tmpfs: the sandbox's virtual disk stalls on
         # writeback and adds multi-second variance to shuffle-heavy stages.
         # On a real cluster this is the usual local-SSD spark.local.dir.

@@ -86,7 +86,14 @@ def main() -> None:
     giant_m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n_giants = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     chunk_tokens = int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 20
-    spark = session(app="soak-giant", cores=32, shuffle_partitions=PARTITIONS)
+    # Heap sized like a real cluster would for giant-row ingest: each
+    # concurrent scan task over a giant needs ~3x its raw bytes transiently
+    # (vector growth + Arrow transfer); below 16g nothing changes.
+    heap_gb = max(16, 16 + (n_giants * giant_m * 4 * 6) // 1000)
+    spark = session(
+        app="soak-giant", cores=32, shuffle_partitions=PARTITIONS,
+        driver_memory=f"{heap_gb}g",
+    )
     spark.sparkContext.setLogLevel("ERROR")
     import pyspark.sql.functions as F
 
