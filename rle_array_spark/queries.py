@@ -155,27 +155,71 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
 
 def q_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """concat (reference _algorithms.py:62-96) → DataFrame.union of two
-    disjoint encoded halves, then metadata aggregate over the union."""
+    """Three-arm stream-assembly slot (shared stat schema, house style of
+    ``zip_add_mod_paths``):
+
+    * ``concat`` — concat (reference _algorithms.py:62-96) → DataFrame
+      union of two disjoint encoded halves, then a metadata-only aggregate
+      over the union (docs/token totals + value sum + min/max, all from
+      block headers; ``tok_wsum`` is NULL on this arm — order across docs
+      is not a concat invariant).
+    * ``pack`` / ``pack_kernel`` — sequence packing (packing.py): the
+      deterministic-epoch-shuffle + fixed-length-example assembly, once
+      through the relational window/explode/regroup path and once through
+      the mapInArrow linear-pass kernel. Per-example ``tok_wsum`` is the
+      1-based position-weighted sum, so the cross-engine hash pins every
+      packed example's exact token order; both arms must match ONE DuckDB
+      re-derivation (and therefore each other)."""
+    from rle_array_spark import packing as PK
+
     seq = _sequences(spark, sf_dir)
     even = encode_df(seq.filter(F.col("doc_id").cast("long") % 2 == 0), codec="auto")
     odd = encode_df(seq.filter(F.col("doc_id").cast("long") % 2 == 1), codec="auto")
-    return (
+    concat_arm = (
         even.unionByName(odd)
         .groupBy("source")
         .agg(
             F.count("*").alias("docs"),
-            F.sum(F.col("n_values").cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_values").cast("long")).alias("n_tok"),
+            F.sum("tok_sum").alias("tok_sum"),
+            F.min("tok_min").alias("tok_min"),
+            F.max("tok_max").alias("tok_max"),
+        )
+        .select(
+            F.col("source").alias("key"),
+            "docs",
+            "n_tok",
+            "tok_sum",
+            "tok_min",
+            "tok_max",
+            F.lit(None).cast("long").alias("tok_wsum"),
+            F.lit("concat").alias("arm"),
         )
     )
+    pack_rel = PK.pack_stats(PK.pack_examples(seq), "pack")
+    pack_ker = PK.pack_stats(PK.pack_examples_kernel(seq), "pack_kernel")
+    return concat_arm.unionByName(pack_rel).unionByName(pack_ker)
 
 
-ORACLE_CONCAT_UNION = """SELECT source,
+def _concat_union_oracle() -> str:
+    from rle_array_spark import packing as PK
+
+    return f"""{_ORACLE_TOK_CTE},
+{PK.pack_oracle_select(("pack", "pack_kernel"))}
+UNION ALL
+SELECT source AS key,
        CAST(count(*) AS BIGINT) AS docs,
-       CAST(sum(length(string_split(text, ''))) AS BIGINT) AS total_tokens
-FROM documents
-WHERE length(text) > 0
+       CAST(sum(length(tokens)) AS BIGINT) AS n_tok,
+       CAST(sum(list_sum(tokens)) AS BIGINT) AS tok_sum,
+       CAST(min(list_min(tokens)) AS INT) AS tok_min,
+       CAST(max(list_max(tokens)) AS INT) AS tok_max,
+       CAST(NULL AS BIGINT) AS tok_wsum,
+       'concat' AS arm
+FROM tok
 GROUP BY source"""
+
+
+ORACLE_CONCAT_UNION = _concat_union_oracle()
 
 
 def q_runs_and_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
