@@ -360,6 +360,18 @@ def main() -> None:
 
         queries["table_writer_mixed"] = timed(table_write_job, name="table_writer_mixed")
 
+        # sequence packing (kernel path): epoch-shuffle + fixed-length
+        # example assembly over the whole corpus — one hash shuffle + an
+        # in-partition linear Arrow pass (packing.py; r5)
+        from rle_array_spark import packing as PK
+
+        queries["pack_kernel_seq512"] = timed(
+            lambda: PK.pack_examples_kernel(df, seq_len=512, n_shards=CPUS * 2)
+            .agg(F.count("*"), F.sum("n_pieces"))
+            .collect(),
+            name="pack_kernel_seq512",
+        )
+
         # relational queries on driver testdata
         q = build_queries()
         for name in (

@@ -69,6 +69,32 @@ TYPED_ZIP_OPS: dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
 COMPARISON_OPS = frozenset({"eq", "ne", "lt", "le", "gt", "ge"})
 
 
+_CANON_NAN_BITS = {2: 0x7E00, 4: 0x7FC00000, 8: 0x7FF8000000000000}
+
+
+def _canonicalize_nan(out_vals: np.ndarray) -> np.ndarray:
+    """Pin every NaN in a float ARITHMETIC RESULT to the canonical qNaN.
+
+    Hardware NaN-payload propagation for two-NaN operands is
+    width-dependent (numpy's SIMD loops pick different operands at
+    different vector widths), so run-domain compute cannot reproduce
+    full-array numpy bit-for-bit — and worse, the same logical zip could
+    emit different run merges depending on grid size. Payloads are not
+    data (pandas and SQL equate all NaNs); canonicalizing makes compressed
+    compute output byte-deterministic. Encode→decode round-trips are
+    untouched — stored payloads still survive exactly (the NaN
+    bit-pattern-run contract, codecs/typed.py)."""
+    if out_vals.dtype.kind == "f":
+        m = np.isnan(out_vals)
+        if m.any():
+            if not out_vals.flags.writeable:
+                out_vals = out_vals.copy()
+            out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize])[m] = (
+                _CANON_NAN_BITS[out_vals.dtype.itemsize]
+            )
+    return out_vals
+
+
 def _typed_run_form(name: str, payload, n: int):
     """→ (run_ends int64 (last == n), run_values ndarray of the tagged
     dtype, valid bool array | None). trle parses the run form directly;
@@ -179,6 +205,7 @@ def zip_typed_blocks(
         out_vals = np.ascontiguousarray(post_fn(out_vals))
         if post_bool:
             out_vals = out_vals.astype(np.bool_)
+    out_vals = _canonicalize_nan(out_vals)
     out_bits = out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize])
     # merge adjacent grid cells with equal output bit patterns
     if out_bits.size > 1:
@@ -230,6 +257,7 @@ def transform_typed(name: str, payload, n: int, fn, to_bool: bool = False):
     out_vals = np.ascontiguousarray(fn(vals))
     if to_bool:
         out_vals = out_vals.astype(np.bool_)
+    out_vals = _canonicalize_nan(out_vals)
     out_bits = out_vals.view(_BIT_VIEWS[out_vals.dtype.itemsize])
     if out_bits.size > 1:  # merge adjacent runs made equal by the map
         keep = np.concatenate(([True], out_bits[1:] != out_bits[:-1]))
