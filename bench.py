@@ -360,16 +360,16 @@ def main() -> None:
 
         queries["table_writer_mixed"] = timed(table_write_job, name="table_writer_mixed")
 
-        # sequence packing (kernel path): epoch-shuffle + fixed-length
-        # example assembly over the whole corpus — one hash shuffle + an
-        # in-partition linear Arrow pass (packing.py; r5)
+        # sequence packing: epoch-shuffle + fixed-length example assembly
+        # over the whole corpus (packing.py; r5). Relational path — the
+        # interleaved A/B winner over the mapInArrow kernel (ab_pack.py)
         from rle_array_spark import packing as PK
 
-        queries["pack_kernel_seq512"] = timed(
-            lambda: PK.pack_examples_kernel(df, seq_len=512, n_shards=CPUS * 2)
+        queries["pack_examples_seq512"] = timed(
+            lambda: PK.pack_examples(df, seq_len=512, n_shards=CPUS * 2)
             .agg(F.count("*"), F.sum("n_pieces"))
             .collect(),
-            name="pack_kernel_seq512",
+            name="pack_examples_seq512",
         )
 
         # relational queries on driver testdata

@@ -32,14 +32,24 @@ Design (Spark-first, two implementations sharing one contract):
   full examples leave via a single ``reshape``, and per-example piece
   counts come from two ``searchsorted`` calls over the doc-start array.
   No per-row Python; carry state per shard is a < seq_len tail plus the
-  doc starts overlapping the open example. This is the 100 TB path: it
-  replaces the relational path's explode + second shuffle + sort_array
-  regroup with a single linear pass.
+  doc starts overlapping the open example.
 
 Both paths emit identical examples (pytest pins frame equality; the
 driver gate runs both against one DuckDB oracle). Tail fragments shorter
 than ``seq_len`` are dropped per shard, exactly like a fixed-context
 pretraining loader.
+
+**Measured verdict (scripts/ab_pack.py, 241 M tokens, local[32],
+interleaved pairs): the RELATIONAL path wins** — kernel/relational
+median 0.75× at 64 shards and 0.56× at 512, every pair. The kernel's
+single linear pass does not buy back its ~2× corpus Arrow transfer into
+Python and out; Catalyst's whole-stage-codegen window + explode +
+regroup stays JVM-side end to end and clears 95-110 M tok/s. So
+:func:`pack_examples` is the default and the bench cell; the kernel is
+kept as the gate-verified second implementation (it double-checks the
+slice arithmetic through entirely different machinery) and as the seam
+where a fused tokenize→pack→encode single pass would live if packing
+ever feeds a Python-side consumer directly.
 """
 
 from __future__ import annotations
