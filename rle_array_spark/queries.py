@@ -161,8 +161,11 @@ def q_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``concat`` — concat (reference _algorithms.py:62-96) → DataFrame
       union of two disjoint encoded halves, then a metadata-only aggregate
       over the union (docs/token totals + value sum + min/max, all from
-      block headers; ``tok_wsum`` is NULL on this arm — order across docs
-      is not a concat invariant).
+      block headers; ``tok_wsum`` on this arm is the metadata
+      cross-moment Σ tok_sum·n_tok per source — order across docs is not
+      a concat invariant, but the sum↔length pairing per doc is, and NULL
+      is a gate hazard: DuckDB's pandas fetch turns BIGINT NULL into NaN
+      while Spark yields None, so the value-hash can never match).
     * ``pack`` / ``pack_kernel`` — sequence packing (packing.py): the
       deterministic-epoch-shuffle + fixed-length-example assembly, once
       through the relational window/explode/regroup path and once through
@@ -184,6 +187,9 @@ def q_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok_sum").alias("tok_sum"),
             F.min("tok_min").alias("tok_min"),
             F.max("tok_max").alias("tok_max"),
+            F.sum(F.col("tok_sum") * F.col("n_values").cast("long")).alias(
+                "tok_wsum"
+            ),
         )
         .select(
             F.col("source").alias("key"),
@@ -192,7 +198,7 @@ def q_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_sum",
             "tok_min",
             "tok_max",
-            F.lit(None).cast("long").alias("tok_wsum"),
+            "tok_wsum",
             F.lit("concat").alias("arm"),
         )
     )
@@ -213,7 +219,7 @@ SELECT source AS key,
        CAST(sum(list_sum(tokens)) AS BIGINT) AS tok_sum,
        CAST(min(list_min(tokens)) AS INT) AS tok_min,
        CAST(max(list_max(tokens)) AS INT) AS tok_max,
-       CAST(NULL AS BIGINT) AS tok_wsum,
+       CAST(sum(list_sum(tokens) * length(tokens)) AS BIGINT) AS tok_wsum,
        'concat' AS arm
 FROM tok
 GROUP BY source"""
