@@ -47,7 +47,11 @@ def run_level(cores: int, reps: int) -> float:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    # 3+ reps: the first timed rep in a fresh session can read ~2x slow
+    # (page cache + worker-pool warmup survive the single warm call only
+    # partially at low core counts) — min-of-2 recorded a false 0.38
+    # efficiency once; min-of-3 is stable (BASELINE.md round 5)
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         raise SystemExit(f"bench corpus missing at {CORPUS}; run bench.py first")
     import pyarrow.parquet as pq
