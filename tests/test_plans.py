@@ -158,3 +158,24 @@ def test_quantiles_histogram_shuffles_only_partials(spark, sequences):
     # section entries; simpler robust check: no Exchange with id < kernel_id
     ex_ids = [int(x) for x in re.findall(r"\((\d+)\)\s+Exchange", plan)]
     assert all(e > kernel_id for e in ex_ids), (kernel_id, ex_ids, plan)
+
+
+def test_pack_examples_single_exchange(spark, sequences):
+    """Sequence packing's relational plan must shuffle exactly ONCE: the
+    window's hash(shard) exchange is reused by the (shard, example_id)
+    regroup — HashPartitioning on a subset of the grouping keys satisfies
+    the aggregate's ClusteredDistribution, so Catalyst co-partitions the
+    partial+final collect_list pair with the window. This is why the
+    declarative path beat the mapInArrow kernel in the interleaved A/B
+    (BASELINE.md round 5): same single-shuffle structure, no Python
+    round-trip."""
+    import re
+
+    from rle_array_spark.packing import pack_examples
+
+    plan = explain_str(pack_examples(sequences, seq_len=64, n_shards=4))
+    # formatted mode lists each operator twice (tree + detail) — count
+    # distinct plan ids, not string occurrences
+    ex_ids = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(ex_ids) == 1, plan
+    assert "Window" in plan
