@@ -221,6 +221,72 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Epoch-pack a tokenized corpus into fixed-length training examples
+    (packing.pack_examples: seeded deterministic shuffle → sharded
+    streams → seq_len slices), then either write the packed examples as
+    plain parquet or — with ``--encode`` — feed them straight into the
+    checkpointed salted writer (encode_to_dir), so a crash mid-job
+    resumes per partition exactly like the encode job. ``--seed`` is the
+    epoch number: same corpus + different seed = a different, equally
+    deterministic permutation."""
+    from rle_array_spark.packing import pack_examples
+
+    spark = _session(args)
+    df = spark.read.schema(
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).parquet(args.input)
+    import pyspark.sql.functions as F
+
+    in_tok = df.agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0] or 0
+    packed = pack_examples(
+        df, seq_len=args.seq_len, n_shards=args.shards, seed=args.seed
+    )
+    as_seq = packed.select(
+        F.concat_ws(":", "shard", "example_id").alias("doc_id"),
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+        F.lit(f"epoch{args.seed}").alias("source"),
+    )
+    if args.encode:
+        from rle_array_spark.tableio import encode_to_dir
+
+        lineage = encode_to_dir(
+            as_seq,
+            args.output,
+            codec=args.codec,
+            num_partitions=args.partitions,
+            commit_mode=args.commit_mode,
+        )
+        n_examples = sum(r["n_rows"] for r in lineage)
+        out_tok = sum(r["n_tokens"] for r in lineage)
+        extra = {
+            "partitions": len(lineage),
+            "skipped": sum(1 for r in lineage if r["status"] == "skipped"),
+            "encoded_bytes": sum(r["encoded_bytes"] for r in lineage),
+        }
+    else:
+        as_seq.write.mode(args.mode).parquet(args.output)
+        row = spark.read.parquet(args.output).agg(
+            F.count("*"), F.sum(F.col("n_tok").cast("long"))
+        ).collect()[0]
+        n_examples, out_tok = int(row[0]), int(row[1] or 0)
+        extra = {}
+    print(json.dumps({
+        "job": "pack",
+        "seq_len": args.seq_len,
+        "shards": args.shards,
+        "seed": args.seed,
+        "examples": int(n_examples),
+        "tokens_in": int(in_tok),
+        "tokens_packed": int(out_tok),
+        "tail_dropped": int(in_tok - out_tok),
+        **extra,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rle_array_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -307,6 +373,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     tr.add_argument("--mode", default="overwrite")
 
+    pk = sub.add_parser("pack")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, default=512)
+    pk.add_argument("--shards", type=int, default=256)
+    pk.add_argument("--seed", type=int, default=1, help="epoch number")
+    pk.add_argument(
+        "--encode", action="store_true",
+        help="write compressed blocks via the checkpointed salted writer "
+        "(resumable) instead of plain packed parquet",
+    )
+    pk.add_argument("--codec", default="auto")
+    pk.add_argument("--partitions", type=int, default=128)
+    pk.add_argument(
+        "--commit-mode", default="sidecar", choices=("sidecar", "manifest")
+    )
+    pk.add_argument("--mode", default="overwrite")
+
     for s in sub.choices.values():
         s.add_argument("--cores", default="*")
 
@@ -318,6 +402,7 @@ def main(argv: list[str] | None = None) -> int:
         "stream": cmd_stream,
         "stats": cmd_stats,
         "transform": cmd_transform,
+        "pack": cmd_pack,
     }[args.cmd](args)
 
 

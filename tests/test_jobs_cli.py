@@ -182,3 +182,47 @@ def test_cli_stream_ops(tmp_path):
         "--checkpoint", str(tmp_path / "d_ckpt"),
     ])
     assert out["job"] == "stream-dedup" and out["rows"] == 3  # one dup dropped
+
+
+@pytest.mark.slow
+def test_cli_pack_plain_and_encoded(tmp_path):
+    """pack job: plain parquet output conserves tokens up to per-shard
+    tails; --encode routes through the checkpointed writer and the
+    resulting blocks decode to exactly seq_len tokens per example."""
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    pq.write_table(
+        pa.Table.from_batches([generate_block(0, 10)]),
+        os.path.join(input_dir, "p.parquet"),
+    )
+    L, shards = 64, 4
+    plain_dir = str(tmp_path / "packed")
+    res = _run([
+        "pack", "--input", input_dir, "--output", plain_dir,
+        "--seq-len", str(L), "--shards", str(shards),
+    ])
+    assert res["examples"] > 0
+    assert res["tokens_packed"] == res["examples"] * L
+    assert 0 <= res["tail_dropped"] < shards * L
+    assert res["tokens_in"] == res["tokens_packed"] + res["tail_dropped"]
+
+    # epoch 2 is a different permutation but identical conservation
+    res2 = _run([
+        "pack", "--input", input_dir, "--output", str(tmp_path / "packed2"),
+        "--seq-len", str(L), "--shards", str(shards), "--seed", "2",
+    ])
+    assert abs(res2["examples"] - res["examples"]) < shards
+    assert res2["tokens_in"] == res["tokens_in"]
+
+    enc_dir = str(tmp_path / "packed_enc")
+    rese = _run([
+        "pack", "--input", input_dir, "--output", enc_dir,
+        "--seq-len", str(L), "--shards", str(shards),
+        "--encode", "--partitions", "8",
+    ])
+    assert rese["examples"] == res["examples"]
+    assert rese["tokens_packed"] == res["tokens_packed"]
+    assert rese["encoded_bytes"] > 0
+
+    ver = _run(["verify", "--input", plain_dir, "--blocks", enc_dir])
+    assert ver["mismatches"] == 0
