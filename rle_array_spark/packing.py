@@ -143,6 +143,51 @@ def pack_examples(
 # kernel path
 # ---------------------------------------------------------------------------
 
+def _pack_segment(state: list, seg: np.ndarray, seg_lens: np.ndarray, L: int):
+    """Advance ONE shard's packing state by a contiguous stream segment.
+
+    ``state`` is ``[ex_next, tail(int32), starts(int64 global doc-start
+    coords overlapping the open example), total_seen]``; ``seg`` is the
+    segment's concatenated token values and ``seg_lens`` its positive
+    per-doc lengths. Returns ``(new_state, emitted)`` where ``emitted``
+    is ``None`` or ``(ex_ids, piece_counts, flat)`` with ``flat`` holding
+    ``len(ex_ids) * L`` tokens. Shared by the mapInArrow batch kernel and
+    the stateful streaming operator (streaming.pack_stream) so both pack
+    bit-identically for the same arrival order."""
+    ex_next, tail, starts, total = state
+    new_starts = (
+        total + np.concatenate(([0], np.cumsum(seg_lens[:-1])))
+        if len(seg_lens)
+        else np.empty(0, np.int64)
+    )
+    stream = np.concatenate([tail, seg])
+    base = ex_next * L
+    total = total + len(seg)
+    starts = np.concatenate([starts, new_starts])
+    n_full = len(stream) // L
+    if not n_full:
+        return [ex_next, stream, starts, total], None
+    ends = np.append(starts[1:], total)
+    a = base + np.arange(n_full, dtype=np.int64) * L
+    pieces = np.searchsorted(starts, a + L, side="left") - np.searchsorted(
+        ends, a, side="right"
+    )
+    ex_ids = np.arange(ex_next, ex_next + n_full)
+    flat = stream[: n_full * L].copy()
+    ex_next += n_full
+    tail = stream[n_full * L :].copy()
+    if len(tail):
+        j = np.searchsorted(starts, ex_next * L, side="right") - 1
+        starts = starts[max(j, 0) :]
+    else:
+        starts = np.empty(0, np.int64)
+    return [ex_next, tail, starts, total], (
+        ex_ids,
+        pieces.astype(np.int64),
+        flat,
+    )
+
+
 def _pack_kernel(seq_len: int):
     L = int(seq_len)
     FLUSH_TOKENS = 4 << 20  # flat int32 tokens per output RecordBatch
@@ -201,44 +246,23 @@ def _pack_kernel(seq_len: int):
             )
             for s0, s1 in zip(bounds[:-1], bounds[1:]):
                 sh = int(shards[s0])
-                ex_next, tail, starts, total = state.setdefault(
+                st = state.setdefault(
                     sh, [0, np.empty(0, np.int32), np.empty(0, np.int64), 0]
                 )
                 seg_lens = (t_off[s0 + 1 : s1 + 1] - t_off[s0:s1]).astype(
                     np.int64
                 )
-                keep = seg_lens > 0
-                seg_lens = seg_lens[keep]
-                new_starts = total + np.concatenate(
-                    ([0], np.cumsum(seg_lens[:-1]))
-                ) if len(seg_lens) else np.empty(0, np.int64)
+                seg_lens = seg_lens[seg_lens > 0]
                 seg = t_val[t_off[s0] : t_off[s1]]  # zero-copy stream slice
-                stream = np.concatenate([tail, seg])
-                base = ex_next * L  # tail always starts on an example edge
-                total = total + len(seg)
-                starts = np.concatenate([starts, new_starts])
-                n_full = len(stream) // L
-                if n_full:
-                    ends = np.append(starts[1:], total)
-                    a = base + np.arange(n_full, dtype=np.int64) * L
-                    pieces = np.searchsorted(
-                        starts, a + L, side="left"
-                    ) - np.searchsorted(ends, a, side="right")
-                    out_shard.append(np.full(n_full, sh, dtype=np.int64))
-                    out_ex.append(np.arange(ex_next, ex_next + n_full))
-                    out_np.append(pieces.astype(np.int64))
-                    out_flat.append(stream[: n_full * L].copy())
-                    flat_len += n_full * L
-                    ex_next += n_full
-                    tail = stream[n_full * L :].copy()
-                    if len(tail):
-                        j = np.searchsorted(starts, ex_next * L, side="right") - 1
-                        starts = starts[max(j, 0) :]
-                    else:
-                        starts = np.empty(0, np.int64)
-                else:
-                    tail = stream
-                state[sh] = [ex_next, tail, starts, total]
+                st, emitted = _pack_segment(st, seg, seg_lens, L)
+                state[sh] = st
+                if emitted is not None:
+                    ex_ids, pieces, flat = emitted
+                    out_shard.append(np.full(len(ex_ids), sh, dtype=np.int64))
+                    out_ex.append(ex_ids)
+                    out_np.append(pieces)
+                    out_flat.append(flat)
+                    flat_len += len(flat)
                 if flat_len >= FLUSH_TOKENS:
                     rb = flush()
                     if rb is not None:

@@ -324,3 +324,120 @@ def dedup_stream(
     )
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sequence packing
+# ---------------------------------------------------------------------------
+
+PACKED_STREAM_SCHEMA = "shard int, example_id long, n_pieces long, tokens array<int>"
+_PACK_STATE_SCHEMA = "ex_next long, tail array<int>, starts array<long>, total long"
+
+
+def _pack_stream_fn(seq_len: int):
+    """applyInPandasWithState update function factory, keyed by shard:
+    carry the open example across micro-batches — the SAME state tuple
+    (next example id, < seq_len token tail, doc starts overlapping the
+    open example, total seen) and the SAME `packing._pack_segment` step
+    the batch mapInArrow kernel runs, so the streaming operator packs
+    bit-identically to the batch kernel for the same arrival order.
+    Within a micro-batch, the shard's rows sort by (k, doc_id) — a
+    single-drain over one wave of files therefore reproduces the batch
+    pack exactly (pinned in tests); multi-wave arrival packs in arrival
+    order, which is the pack-as-you-go contract of a continuous
+    ingestion pipeline. State is bounded: tail < seq_len tokens plus the
+    open example's doc starts, independent of stream length."""
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        from rle_array_spark.packing import _pack_segment
+
+        L = seq_len
+        shard = int(key[0])
+        if state.exists:
+            ex_next, tail, starts, total = state.get
+            st = [
+                int(ex_next),
+                np.asarray(tail, dtype=np.int32),
+                np.asarray(starts, dtype=np.int64),
+                int(total),
+            ]
+        else:
+            st = [0, np.empty(0, np.int32), np.empty(0, np.int64), 0]
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[["k", "doc_id", "tokens"]])
+        out = []
+        if rows:
+            batch = pd.concat(rows).sort_values(["k", "doc_id"], kind="stable")
+            toks = [np.asarray(t, dtype=np.int32) for t in batch["tokens"]]
+            toks = [t for t in toks if len(t)]
+            if toks:
+                seg = np.concatenate(toks)
+                seg_lens = np.asarray([len(t) for t in toks], dtype=np.int64)
+                st, emitted = _pack_segment(st, seg, seg_lens, L)
+                if emitted is not None:
+                    ex_ids, pieces, flat = emitted
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "shard": np.full(len(ex_ids), shard, dtype=np.int32),
+                                "example_id": ex_ids,
+                                "n_pieces": pieces,
+                                "tokens": [
+                                    flat[i * L : (i + 1) * L].tolist()
+                                    for i in range(len(ex_ids))
+                                ],
+                            }
+                        )
+                    )
+        state.update(
+            (int(st[0]), st[1].tolist(), st[2].tolist(), int(st[3]))
+        )
+        for pdf in out:
+            yield pdf
+
+    return fn
+
+
+def pack_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: int = 1,
+):
+    """Continuous sequence packing: arriving pre-tokenized files append
+    fixed-length training examples downstream. The deterministic shuffle
+    key and shard assignment are the batch ones (packing._keyed), the
+    per-shard carry state lives in the streaming state store (restart
+    resumes the open example exactly-once), and the shard groupBy gives
+    the same hash-shuffle shape as the batch plan. Drains with
+    availableNow."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from rle_array_spark.packing import _keyed
+
+    stream = read_sequence_stream(spark, input_dir)
+    keyed = _keyed(stream, n_shards, seed).select("shard", "k", "doc_id", "tokens")
+    packed = keyed.groupBy("shard").applyInPandasWithState(
+        _pack_stream_fn(seq_len),
+        outputStructType=PACKED_STREAM_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        packed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

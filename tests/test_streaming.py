@@ -212,3 +212,86 @@ def test_streaming_running_quantiles_match_batch(spark, tmp_path):
         assert got["n_toks"] == want["n_toks"], s
         for c in ("p25", "p50", "p75"):
             assert got[c] == want[c], (s, c)
+
+
+def test_streaming_pack_parity_and_carry(spark, tmp_path):
+    """Streaming sequence packing: a single-wave drain reproduces the
+    batch kernel bit-for-bit (same sort key, same _pack_segment state
+    step); a second wave (restart, same checkpoint) continues each
+    shard's open example from the state store — dense example ids, exact
+    seq_len, and per-shard counts equal to floor(total_tokens/L) over
+    BOTH waves combined."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rle_array_spark import packing as PK
+    from rle_array_spark.streaming import pack_stream
+
+    L, NS = 32, 4
+    rng = np.random.default_rng(21)
+    input_dir = str(tmp_path / "seq_in")
+    out_dir = str(tmp_path / "packed_out")
+    ckpt = str(tmp_path / "packed_ckpt")
+    os.makedirs(input_dir)
+
+    def wave(name, ids):
+        rows = []
+        for i in ids:
+            n = int(rng.integers(1, 4 * L))
+            rows.append(
+                (f"w{i:03d}", rng.integers(0, 999, size=n).astype(np.int32))
+            )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "tokens": pa.array(
+                        [r[1].tolist() for r in rows],
+                        type=pa.list_(pa.int32()),
+                    ),
+                    "n_tok": pa.array(
+                        [len(r[1]) for r in rows], type=pa.int32()
+                    ),
+                    "source": pa.array(["s"] * len(rows), type=pa.string()),
+                }
+            ),
+            os.path.join(input_dir, name),
+        )
+
+    wave("w1.parquet", range(40))
+    pack_stream(spark, input_dir, out_dir, ckpt, seq_len=L, n_shards=NS)
+    got1 = sorted(
+        (r["shard"], r["example_id"], r["n_pieces"], tuple(r["tokens"]))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # single wave in one micro-batch == the batch kernel on the same files
+    batch = sorted(
+        (r["shard"], r["example_id"], r["n_pieces"], tuple(r["tokens"]))
+        for r in PK.pack_examples_kernel(
+            spark.read.parquet(input_dir), seq_len=L, n_shards=NS
+        ).collect()
+    )
+    assert got1 == batch and len(got1) > 5
+
+    # wave 2: restart with the same checkpoint — open examples continue
+    wave("w2.parquet", range(100, 140))
+    pack_stream(spark, input_dir, out_dir, ckpt, seq_len=L, n_shards=NS)
+    rows = spark.read.parquet(out_dir).collect()
+    assert all(len(r["tokens"]) == L for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["example_id"])
+    # expected per-shard counts from the deterministic shard assignment
+    seq_all = spark.read.parquet(input_dir)
+    totals = {
+        r["shard"]: r["tot"]
+        for r in PK._keyed(seq_all, NS, PK.PACK_SEED)
+        .groupBy("shard")
+        .agg(F.sum("n_tok").alias("tot"))
+        .collect()
+    }
+    for sh, tot in totals.items():
+        ids = sorted(by_shard.get(sh, []))
+        assert len(ids) == tot // L, (sh, len(ids), tot)
+        assert ids == list(range(len(ids)))  # dense, no dup/loss on restart
