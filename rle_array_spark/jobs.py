@@ -126,8 +126,9 @@ def cmd_stream(args) -> int:
     stats / quantiles = encode + custom stateful operator
     (applyInPandasWithState running totals / exact running quartiles);
     dedup = cross-batch exact dedup (state store extends the seen-set
-    across micro-batches and restarts). All drain with availableNow and
-    resume from --checkpoint."""
+    across micro-batches and restarts); pack = continuous sequence
+    packing (state store carries each shard's open example). All drain
+    with availableNow and resume from --checkpoint."""
     from rle_array_spark import streaming
 
     spark = _session(args)
@@ -147,6 +148,16 @@ def cmd_stream(args) -> int:
             args.checkpoint,
             codec=args.codec,
             max_files_per_trigger=args.max_files_per_trigger,
+        )
+    elif args.op == "pack":
+        streaming.pack_stream(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            seq_len=args.seq_len,
+            n_shards=args.shards,
+            seed=args.seed,
         )
     else:  # dedup
         streaming.dedup_stream(spark, args.input, args.output, args.checkpoint)
@@ -337,17 +348,21 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--codec", default="auto")
     st.add_argument(
         "--op",
-        choices=("encode", "stats", "quantiles", "dedup"),
+        choices=("encode", "stats", "quantiles", "dedup", "pack"),
         default="encode",
         help="encode blocks, running per-source stats, running exact "
-        "quantiles, or cross-batch exact dedup (dedup input: documents "
-        "parquet with doc_id/text/source)",
+        "quantiles, cross-batch exact dedup (dedup input: documents "
+        "parquet with doc_id/text/source), or continuous sequence "
+        "packing (state store carries each shard's open example)",
     )
     st.add_argument(
         "--max-files-per-trigger", type=int, default=None,
         help="split the drain into micro-batches of N input files "
         "(quantiles op; exercises cross-batch state merge)",
     )
+    st.add_argument("--seq-len", type=int, default=512)
+    st.add_argument("--shards", type=int, default=8)
+    st.add_argument("--seed", type=int, default=1)
 
     sts = sub.add_parser("stats")
     sts.add_argument("--blocks", required=True)

@@ -226,3 +226,45 @@ def test_cli_pack_plain_and_encoded(tmp_path):
 
     ver = _run(["verify", "--input", plain_dir, "--blocks", enc_dir])
     assert ver["mismatches"] == 0
+
+
+@pytest.mark.slow
+def test_cli_stream_pack(tmp_path):
+    """stream --op pack via the CLI: two micro-batches of arriving files
+    pack into exact-L examples whose per-shard counts match
+    floor(shard_tokens/L) computed offline from the same files."""
+    import numpy as np
+    import pandas as pd
+
+    seq_dir = str(tmp_path / "seq")
+    os.makedirs(seq_dir)
+    tbl = pa.Table.from_batches([generate_block(3, 6)])
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(seq_dir, "a.parquet"))
+    pq.write_table(tbl.slice(half), os.path.join(seq_dir, "b.parquet"))
+
+    L = 128
+    out = _run([
+        "stream", "--op", "pack", "--input", seq_dir,
+        "--output", str(tmp_path / "p_out"),
+        "--checkpoint", str(tmp_path / "p_ckpt"),
+        "--seq-len", str(L), "--shards", "4",
+    ])
+    assert out["job"] == "stream-pack" and out["rows"] > 0
+    packed = pd.read_parquet(str(tmp_path / "p_out"))
+    assert (packed["tokens"].map(len) == L).all()
+    # ids dense per shard; counts == floor(shard tokens / L)
+    import hashlib
+
+    toks = tbl.to_pandas()
+    shard_tot: dict[int, int] = {}
+    for _, r in toks.iterrows():
+        if len(r["tokens"]) == 0:
+            continue
+        h = hashlib.md5(f"{r['doc_id']}:1".encode()).hexdigest()[:15]
+        sh = int(h, 16) % 4
+        shard_tot[sh] = shard_tot.get(sh, 0) + len(r["tokens"])
+    for sh, tot in shard_tot.items():
+        ids = sorted(packed.loc[packed["shard"] == sh, "example_id"])
+        assert len(ids) == tot // L, (sh, len(ids), tot)
+        assert ids == list(range(len(ids)))
