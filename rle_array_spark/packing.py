@@ -69,9 +69,16 @@ PACKED_SCHEMA = "shard int, example_id bigint, n_pieces bigint, tokens array<int
 
 
 def _keyed(seq: DataFrame, n_shards: int, seed: int) -> DataFrame:
-    """Attach the deterministic epoch-shuffle key and shard id."""
+    """Attach the deterministic epoch-shuffle key and shard id.
+
+    Length comes from ``size(tokens)`` — NOT the ``n_tok`` metadata
+    column — so the relational path measures the same ground truth the
+    kernel reads from the Arrow offsets: a corrupt ``n_tok`` can skew a
+    count, never silently shear the slice arithmetic between the two
+    implementations."""
     return (
-        seq.filter(F.col("n_tok") > 0)
+        seq.withColumn("len", F.size("tokens"))
+        .filter(F.col("len") > 0)
         .withColumn(
             "k",
             F.expr(
@@ -102,16 +109,16 @@ def pack_examples(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pos = _keyed(seq, n_shards, seed).withColumn(
-        "st", F.sum(F.col("n_tok").cast("long")).over(w) - F.col("n_tok")
+        "st", F.sum(F.col("len").cast("long")).over(w) - F.col("len")
     )
     pieces = (
         pos.select(
             "shard",
             "st",
-            "n_tok",
+            "len",
             "tokens",
             F.explode(
-                F.expr(f"sequence(st div {L}, (st + n_tok - 1) div {L})")
+                F.expr(f"sequence(st div {L}, (st + len - 1) div {L})")
             ).alias("ex"),
         )
         .select(
@@ -120,7 +127,7 @@ def pack_examples(
             F.expr(f"greatest(ex * {L}, st)").alias("pstart"),
             F.expr(
                 f"slice(tokens, cast(greatest(ex * {L}, st) - st + 1 as int),"
-                f" cast(least((ex + 1) * {L}, st + n_tok)"
+                f" cast(least((ex + 1) * {L}, st + len)"
                 f" - greatest(ex * {L}, st) as int))"
             ).alias("piece"),
         )

@@ -153,3 +153,44 @@ def test_oracle_sql_differential(corpus):
         ).collect()
     )
     assert srows == orows and len(srows) > 20
+
+
+def test_corrupt_n_tok_metadata_cannot_shear_paths(spark):
+    """Both implementations must measure doc length from the tokens array
+    itself (kernel: Arrow offsets; relational: size(tokens)), so a row
+    whose n_tok metadata lies still packs identically on both paths and
+    by actual-array-length semantics."""
+    rows = [
+        ("a", [1, 2, 3, 4, 5], 3, "s"),     # n_tok under-reports
+        ("b", [6, 7], 9, "s"),              # n_tok over-reports
+        ("c", [8] * 7, 7, "s"),
+        ("d", [], 5, "s"),                  # empty array, lying n_tok
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    rel = _collect(PK.pack_examples(df, seq_len=4, n_shards=2))
+    ker = _collect(PK.pack_examples_kernel(df, seq_len=4, n_shards=2))
+    assert rel == ker
+    total_actual = sum(len(r[1]) for r in rows)
+    packed = sum(len(r[3]) for r in rel)
+    assert packed == sum(
+        4 * (n // 4)
+        for n in [
+            sum(
+                len(r[1])
+                for r in rows
+                if len(r[1])
+                and int(
+                    __import__("hashlib")
+                    .md5(f"{r[0]}:1".encode())
+                    .hexdigest()[:15],
+                    16,
+                )
+                % 2
+                == sh
+            )
+            for sh in (0, 1)
+        ]
+    )
+    assert packed <= total_actual
