@@ -194,3 +194,18 @@ def test_corrupt_n_tok_metadata_cannot_shear_paths(spark):
         ]
     )
     assert packed <= total_actual
+
+
+def test_partitioning_invariance(corpus):
+    """Packed output is a pure function of corpus content: reshuffling the
+    input into different partition counts/layouts changes nothing in
+    either implementation — the distributed-determinism guarantee that a
+    1000-executor run packs the same examples as a single-core one."""
+    base = _collect(PK.pack_examples(corpus, seq_len=L, n_shards=4))
+    for parts in (1, 13):
+        scrambled = corpus.repartition(parts)
+        assert _collect(PK.pack_examples(scrambled, seq_len=L, n_shards=4)) == base
+        assert (
+            _collect(PK.pack_examples_kernel(scrambled, seq_len=L, n_shards=4))
+            == base
+        )
