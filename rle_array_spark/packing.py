@@ -75,7 +75,10 @@ def _keyed(seq: DataFrame, n_shards: int, seed: int) -> DataFrame:
     column — so the relational path measures the same ground truth the
     kernel reads from the Arrow offsets: a corrupt ``n_tok`` can skew a
     count, never silently shear the slice arithmetic between the two
-    implementations."""
+    implementations. Null token arrays get ``size() == -1`` and drop with
+    the empties."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     return (
         seq.withColumn("len", F.size("tokens"))
         .filter(F.col("len") > 0)
@@ -103,6 +106,8 @@ def pack_examples(
     groupBy(shard, example_id) reassembles each example in stream order.
     """
     L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     w = (
         Window.partitionBy("shard")
         .orderBy("k", "doc_id")
@@ -289,6 +294,8 @@ def pack_examples_kernel(
 ) -> DataFrame:
     """Kernel packing: identical output to :func:`pack_examples` via one
     hash shuffle + in-partition sort + a linear vectorized Arrow pass."""
+    if int(seq_len) < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     keyed = _keyed(seq, n_shards, seed).select("shard", "k", "doc_id", "tokens")
     arranged = keyed.repartition(F.col("shard")).sortWithinPartitions(
         "shard", "k", "doc_id"

@@ -410,6 +410,7 @@ def pack_stream(
     seq_len: int = 512,
     n_shards: int = 8,
     seed: int = 1,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous sequence packing: arriving pre-tokenized files append
     fixed-length training examples downstream. The deterministic shuffle
@@ -417,12 +418,13 @@ def pack_stream(
     per-shard carry state lives in the streaming state store (restart
     resumes the open example exactly-once), and the shard groupBy gives
     the same hash-shuffle shape as the batch plan. Drains with
-    availableNow."""
+    availableNow; ``max_files_per_trigger`` splits the drain into
+    micro-batches of N files (exercises the cross-batch carry)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from rle_array_spark.packing import _keyed
 
-    stream = read_sequence_stream(spark, input_dir)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
     keyed = _keyed(stream, n_shards, seed).select("shard", "k", "doc_id", "tokens")
     packed = keyed.groupBy("shard").applyInPandasWithState(
         _pack_stream_fn(seq_len),

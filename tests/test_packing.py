@@ -209,3 +209,20 @@ def test_partitioning_invariance(corpus):
             _collect(PK.pack_examples_kernel(scrambled, seq_len=L, n_shards=4))
             == base
         )
+
+
+def test_param_validation_and_null_rows(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        PK.pack_examples(None, seq_len=0)  # validated before any plan
+    with pytest.raises(ValueError, match="seq_len"):
+        PK.pack_examples_kernel(None, seq_len=-3)
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "s"), ("b", None, 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="n_shards"):
+        PK.pack_examples(df, seq_len=2, n_shards=0)
+    # null token arrays drop like empties on both paths
+    rel = _collect(PK.pack_examples(df, seq_len=2, n_shards=1))
+    ker = _collect(PK.pack_examples_kernel(df, seq_len=2, n_shards=1))
+    assert rel == ker and len(rel) == 1

@@ -295,3 +295,64 @@ def test_streaming_pack_parity_and_carry(spark, tmp_path):
         ids = sorted(by_shard.get(sh, []))
         assert len(ids) == tot // L, (sh, len(ids), tot)
         assert ids == list(range(len(ids)))  # dense, no dup/loss on restart
+
+
+def test_streaming_pack_many_microbatches(spark, tmp_path):
+    """Ten single-file micro-batches: the per-shard carry state evolves
+    through ten generations and still lands on exact floor(tokens/L)
+    counts with dense ids, every example exactly L long."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rle_array_spark import packing as PK
+    from rle_array_spark.streaming import pack_stream
+
+    L, NS = 16, 2
+    rng = np.random.default_rng(33)
+    input_dir = str(tmp_path / "mb_in")
+    out_dir = str(tmp_path / "mb_out")
+    ckpt = str(tmp_path / "mb_ckpt")
+    os.makedirs(input_dir)
+    for w in range(10):
+        rows = [
+            (
+                f"f{w}d{i}",
+                rng.integers(0, 99, size=int(rng.integers(1, 3 * L)))
+                .astype(np.int32),
+            )
+            for i in range(6)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "tokens": pa.array(
+                        [r[1].tolist() for r in rows], type=pa.list_(pa.int32())
+                    ),
+                    "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+                    "source": pa.array(["s"] * len(rows), type=pa.string()),
+                }
+            ),
+            os.path.join(input_dir, f"w{w:02d}.parquet"),
+        )
+    pack_stream(
+        spark, input_dir, out_dir, ckpt,
+        seq_len=L, n_shards=NS, max_files_per_trigger=1,
+    )
+    rows = spark.read.parquet(out_dir).collect()
+    assert all(len(r["tokens"]) == L for r in rows)
+    totals = {
+        r["shard"]: r["tot"]
+        for r in PK._keyed(spark.read.parquet(input_dir), NS, PK.PACK_SEED)
+        .groupBy("shard")
+        .agg(F.sum(F.size("tokens")).alias("tot"))
+        .collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["example_id"])
+    for sh, tot in totals.items():
+        ids = sorted(by_shard.get(sh, []))
+        assert len(ids) == tot // L, (sh, len(ids), tot)
+        assert ids == list(range(len(ids)))
