@@ -158,6 +158,7 @@ def cmd_stream(args) -> int:
             seq_len=args.seq_len,
             n_shards=args.shards,
             seed=args.seed,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
     else:  # dedup
         streaming.dedup_stream(spark, args.input, args.output, args.checkpoint)
@@ -249,7 +250,14 @@ def cmd_pack(args) -> int:
     ).parquet(args.input)
     import pyspark.sql.functions as F
 
-    in_tok = df.agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0] or 0
+    # actual array lengths, not the n_tok metadata column — same ground
+    # truth packing itself measures (null arrays count 0, like the filter)
+    in_tok = (
+        df.agg(
+            F.sum(F.greatest(F.size("tokens"), F.lit(0)).cast("long"))
+        ).collect()[0][0]
+        or 0
+    )
     packed = pack_examples(
         df, seq_len=args.seq_len, n_shards=args.shards, seed=args.seed
     )
@@ -277,11 +285,16 @@ def cmd_pack(args) -> int:
             "encoded_bytes": sum(r["encoded_bytes"] for r in lineage),
         }
     else:
-        as_seq.write.mode(args.mode).parquet(args.output)
-        row = spark.read.parquet(args.output).agg(
-            F.count("*"), F.sum(F.col("n_tok").cast("long"))
-        ).collect()[0]
-        n_examples, out_tok = int(row[0]), int(row[1] or 0)
+        from pyspark.sql import Observation
+
+        obs = Observation("pack-summary")
+        as_seq.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_tok").cast("long")).alias("tok"),
+        ).write.mode(args.mode).parquet(args.output)
+        n_examples = int(obs.get["n"])
+        out_tok = int(obs.get["tok"] or 0)
         extra = {}
     print(json.dumps({
         "job": "pack",
@@ -358,10 +371,12 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument(
         "--max-files-per-trigger", type=int, default=None,
         help="split the drain into micro-batches of N input files "
-        "(quantiles op; exercises cross-batch state merge)",
+        "(quantiles and pack ops; exercises cross-batch state)",
     )
+    # shard default matches the batch `pack` job: same corpus + same seed
+    # must give the same shard assignment whichever surface packs it
     st.add_argument("--seq-len", type=int, default=512)
-    st.add_argument("--shards", type=int, default=8)
+    st.add_argument("--shards", type=int, default=256)
     st.add_argument("--seed", type=int, default=1)
 
     sts = sub.add_parser("stats")

@@ -76,12 +76,16 @@ def _keyed(seq: DataFrame, n_shards: int, seed: int) -> DataFrame:
     kernel reads from the Arrow offsets: a corrupt ``n_tok`` can skew a
     count, never silently shear the slice arithmetic between the two
     implementations. Null token arrays get ``size() == -1`` and drop with
-    the empties."""
+    the empties; null doc_ids drop too — a null identity cannot be
+    shuffle-keyed, and without the filter the three implementations would
+    diverge (relational: NULL shard rows; kernel: NaN shard crash;
+    streaming: None key crash)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     return (
         seq.withColumn("len", F.size("tokens"))
         .filter(F.col("len") > 0)
+        .filter(F.col("doc_id").isNotNull())
         .withColumn(
             "k",
             F.expr(
@@ -222,7 +226,16 @@ def _pack_kernel(seq_len: int):
             n = len(sh)
             lens = np.full(n + 1, L, dtype=np.int64)
             lens[0] = 0
-            offs = np.cumsum(lens).astype(np.int32)
+            offs64 = np.cumsum(lens)
+            if offs64[-1] > np.iinfo(np.int32).max:
+                # raise-not-wrap (the _checked_int32 policy): a batch this
+                # large means FLUSH_TOKENS was defeated by one giant
+                # segment emission at the Arrow int32-offset ceiling
+                raise ValueError(
+                    f"packed flush of {offs64[-1]} tokens overflows Arrow "
+                    "int32 list offsets"
+                )
+            offs = offs64.astype(np.int32)
             flat = (
                 np.concatenate(out_flat) if out_flat else np.empty(0, np.int32)
             )

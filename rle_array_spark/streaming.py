@@ -424,6 +424,11 @@ def pack_stream(
 
     from rle_array_spark.packing import _keyed
 
+    if int(seq_len) < 1:
+        # fail at call time like the batch entry points, not with a
+        # ZeroDivisionError on an executor after the checkpoint exists
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+
     stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
     keyed = _keyed(stream, n_shards, seed).select("shard", "k", "doc_id", "tokens")
     packed = keyed.groupBy("shard").applyInPandasWithState(

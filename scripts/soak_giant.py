@@ -89,7 +89,8 @@ def main() -> None:
     # Heap sized like a real cluster would for giant-row ingest: each
     # concurrent scan task over a giant needs ~3x its raw bytes transiently
     # (vector growth + Arrow transfer); below 16g nothing changes.
-    heap_gb = max(16, 16 + (n_giants * giant_m * 4 * 6) // 1000)
+    # 4 B/token raw x ~6 (3x transient, doubled for concurrency headroom)
+    heap_gb = 16 + (n_giants * giant_m * 4 * 6) // 1000
     spark = session(
         app="soak-giant", cores=32, shuffle_partitions=PARTITIONS,
         driver_memory=f"{heap_gb}g",

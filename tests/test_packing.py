@@ -217,12 +217,15 @@ def test_param_validation_and_null_rows(spark):
     with pytest.raises(ValueError, match="seq_len"):
         PK.pack_examples_kernel(None, seq_len=-3)
     df = spark.createDataFrame(
-        [("a", [1, 2, 3], 3, "s"), ("b", None, 0, "s")],
+        [("a", [1, 2, 3], 3, "s"), ("b", None, 0, "s"), (None, [7, 8], 2, "s")],
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
     with pytest.raises(ValueError, match="n_shards"):
         PK.pack_examples(df, seq_len=2, n_shards=0)
-    # null token arrays drop like empties on both paths
+    # null token arrays AND null doc_ids drop identically on both paths
+    # (a null identity cannot be shuffle-keyed; without the filter the
+    # kernel would crash on a NaN shard while relational emitted rows)
     rel = _collect(PK.pack_examples(df, seq_len=2, n_shards=1))
     ker = _collect(PK.pack_examples_kernel(df, seq_len=2, n_shards=1))
     assert rel == ker and len(rel) == 1
+    assert rel[0][3] == (1, 2)  # only doc "a" packs; [7,8] dropped with null id
