@@ -110,8 +110,25 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     so a pathological multi-MB doc cannot blow a single row. Hash-set
     Jaccard == string-set Jaccard up to 32-bit md5-prefix collisions —
     the same base hash MinHash already consumed, so the signature math is
-    unchanged and the DuckDB oracle replays it bit-identically."""
+    unchanged and the DuckDB oracle replays it bit-identically.
+
+    Small-file-count defense (r5): md5-per-shingle is CPU-bound at
+    ~length(text) digests per doc, but a small parquet input arrives as a
+    SINGLE scan partition (files under spark.sql.files.maxPartitionBytes
+    are never split), so the whole shingle/signature/band cascade would
+    run serially no matter how many cores the cluster has — measured 15 s
+    of a 24 s dedup_survivors run on one of 32 cores at sf0.1. When the
+    scan has fewer partitions than the cluster's parallelism, hash-
+    repartition by doc_id BEFORE the digest work (the mirror image of the
+    encode path's salted-shuffle skew defense: that one splits rows that
+    are too big, this one splits inputs that are too few). At 100 TB the
+    scan already carries thousands of partitions and the guard is a
+    no-op — no extra shuffle on the scale path. Values are row-local, so
+    placement cannot change any downstream result."""
     d = _docs_prepared(docs)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target, "doc_id")
     return d.select(
         "doc_id",
         F.expr(
