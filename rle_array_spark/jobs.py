@@ -138,7 +138,8 @@ def cmd_stream(args) -> int:
         )
     elif args.op == "stats":
         streaming.running_source_stats_stream(
-            spark, args.input, args.output, args.checkpoint, codec=args.codec
+            spark, args.input, args.output, args.checkpoint, codec=args.codec,
+            state_partitions=args.state_partitions,
         )
     elif args.op == "quantiles":
         streaming.running_quantiles_stream(
@@ -148,6 +149,7 @@ def cmd_stream(args) -> int:
             args.checkpoint,
             codec=args.codec,
             max_files_per_trigger=args.max_files_per_trigger,
+            state_partitions=args.state_partitions,
         )
     elif args.op == "pack":
         streaming.pack_stream(
@@ -159,6 +161,7 @@ def cmd_stream(args) -> int:
             n_shards=args.shards,
             seed=args.seed,
             max_files_per_trigger=args.max_files_per_trigger,
+            state_partitions=args.state_partitions,
         )
     else:  # dedup
         streaming.dedup_stream(spark, args.input, args.output, args.checkpoint)
@@ -372,6 +375,13 @@ def main(argv: list[str] | None = None) -> int:
         "--max-files-per-trigger", type=int, default=None,
         help="split the drain into micro-batches of N input files "
         "(quantiles and pack ops; exercises cross-batch state)",
+    )
+    st.add_argument(
+        "--state-partitions", type=int, default=None,
+        help="state-store partition count for the stateful ops (stats/"
+        "quantiles/pack — keys are low-cardinality: sources or shards); "
+        "fixed at the checkpoint's first batch, default = session "
+        "spark.sql.shuffle.partitions",
     )
     # shard default matches the batch `pack` job: same corpus + same seed
     # must give the same shard assignment whichever surface packs it

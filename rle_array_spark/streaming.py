@@ -12,11 +12,37 @@ blocks append downstream.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 from rle_array_spark.chooser import DEFAULT_THRESHOLD
 from rle_array_spark.engine import encode_df
 from rle_array_spark.tokenize import SEQUENCES_SCHEMA
+
+
+@contextlib.contextmanager
+def _state_partitions_conf(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming drain.
+
+    Spark fixes a stateful operator's state-store partition count from
+    this conf at the checkpoint's FIRST batch, and every micro-batch
+    thereafter runs one stateful task and commits one state-store delta
+    per partition — so for a low-cardinality grouping key (a handful of
+    sources, N pack shards) the session-wide default buys no parallelism
+    and multiplies per-batch commit overhead (measured: 32 → 8 cut a
+    4-micro-batch drain 7.3 s → 5.2 s on the sf0.1 gate corpus). The conf
+    is restored on exit; an EXISTING checkpoint keeps its recorded count
+    regardless of this setting."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_sequence_stream(
@@ -90,6 +116,7 @@ def running_source_stats_stream(
     out_dir: str,
     checkpoint_dir: str,
     codec: str = "auto",
+    state_partitions: int | None = None,
 ):
     """Continuous encode with a CUSTOM STATEFUL OPERATOR downstream: encoded
     blocks feed ``applyInPandasWithState`` keyed by source, maintaining
@@ -99,6 +126,8 @@ def running_source_stats_stream(
 
     Drains with availableNow and appends one row per touched source per
     micro-batch to ``out_dir`` (an auditable compression-progress ledger).
+    ``state_partitions`` right-sizes the stateful operator for the
+    low-cardinality ``source`` key (see :func:`_state_partitions_conf`).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -111,15 +140,16 @@ def running_source_stats_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
-        stats.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions_conf(spark, state_partitions):
+        query = (
+            stats.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return query
 
 
@@ -186,17 +216,10 @@ def running_quantiles_stream(
     micro-batches (one per N input files) so cross-batch state merge is
     actually exercised — the gated parity query uses 1.
 
-    ``state_partitions`` sizes the stateful operator: Spark fixes the
-    state-store partition count from ``spark.sql.shuffle.partitions`` at
-    the checkpoint's FIRST batch, and every micro-batch thereafter commits
-    one state-store delta per partition. The grouping key here is
-    ``source`` — typically a handful of values — so the session-wide 32
-    buys no parallelism and costs 32 state commits + 32 stateful tasks per
-    micro-batch (measured 7.3 s → 5.2 s per 4-batch drain at 8 on the
-    sf0.1 gate corpus; 8 vs 4 was a wash). On a real cluster pick roughly
-    max(#distinct sources, executor count). The session conf is restored
-    after the drain; for an existing checkpoint Spark keeps the recorded
-    count regardless."""
+    ``state_partitions`` right-sizes the stateful operator for the
+    low-cardinality ``source`` key (see :func:`_state_partitions_conf`);
+    on a real cluster pick roughly max(#distinct sources, executor
+    count)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
@@ -208,10 +231,7 @@ def running_quantiles_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _state_partitions_conf(spark, state_partitions):
         query = (
             quants.writeStream.format("parquet")
             .option("path", out_dir)
@@ -221,9 +241,6 @@ def running_quantiles_stream(
             .start()
         )
         query.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return query
 
 
@@ -305,7 +322,10 @@ def dedup_stream(
     the 'seen' set across micro-batches and job restarts, exactly-once).
     At scale the state is hash-partitioned by the md5 group key across
     executors — the same shuffle shape as the batch hash-groupBy, plus a
-    RocksDB-backed state store on a real cluster.
+    RocksDB-backed state store on a real cluster. Unlike the source-keyed
+    streams this key is HIGH-cardinality (one group per distinct text), so
+    the session's shuffle-partition count is the right state sizing and no
+    ``state_partitions`` override is offered.
 
     Drains with availableNow; appends surviving representatives to
     ``out_dir``."""
@@ -431,6 +451,7 @@ def pack_stream(
     n_shards: int = 8,
     seed: int = 1,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ):
     """Continuous sequence packing: arriving pre-tokenized files append
     fixed-length training examples downstream. The deterministic shuffle
@@ -439,7 +460,11 @@ def pack_stream(
     resumes the open example exactly-once), and the shard groupBy gives
     the same hash-shuffle shape as the batch plan. Drains with
     availableNow; ``max_files_per_trigger`` splits the drain into
-    micro-batches of N files (exercises the cross-batch carry)."""
+    micro-batches of N files (exercises the cross-batch carry).
+    ``state_partitions`` right-sizes the stateful operator — there are
+    exactly ``n_shards`` state keys, so more partitions than that only
+    add per-micro-batch state commits (see :func:`_state_partitions_conf`).
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from rle_array_spark.packing import _keyed
@@ -458,13 +483,14 @@ def pack_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
-        packed.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions_conf(spark, state_partitions):
+        query = (
+            packed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return query
