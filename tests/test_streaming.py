@@ -356,3 +356,48 @@ def test_streaming_pack_many_microbatches(spark, tmp_path):
         ids = sorted(by_shard.get(sh, []))
         assert len(ids) == tot // L, (sh, len(ids), tot)
         assert ids == list(range(len(ids)))
+
+
+def test_state_partitions_knob_invariant_and_restores_conf(spark, tmp_path):
+    """state_partitions must be INVISIBLE in results: it sizes the state
+    store (fixed at the checkpoint's first batch), never the answer.
+    Quantiles emissions with the knob equal the default run row-for-row,
+    restart continues under the knob, and the session conf is restored."""
+    from rle_array_spark.streaming import running_quantiles_stream
+
+    def drain(tag, **kw):
+        input_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        running_quantiles_stream(spark, input_dir, out_dir, ckpt, **kw)
+        return out_dir, ckpt
+
+    _write_shard(str(tmp_path / "in"), 0)
+    _write_shard(str(tmp_path / "in"), 1)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out_def, _ = drain("default", max_files_per_trigger=1)
+    out_k, ckpt_k = drain("knob", max_files_per_trigger=1, state_partitions=3)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def emissions(path):
+        return sorted(
+            tuple(r[c] for c in ("source", "n_toks", "p25", "p50", "p75"))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert emissions(out_def) == emissions(out_k)
+    assert len(emissions(out_k)) > 0
+
+    # a later shard resumes the SAME checkpoint (its recorded partition
+    # count wins) and still merges state correctly
+    _write_shard(str(tmp_path / "in"), 2)
+    running_quantiles_stream(
+        spark, str(tmp_path / "in"), out_k, ckpt_k,
+        max_files_per_trigger=1, state_partitions=3,
+    )
+    running_quantiles_stream(
+        spark, str(tmp_path / "in"), out_def, str(tmp_path / "ckpt_default"),
+        max_files_per_trigger=1,
+    )
+    assert emissions(out_def) == emissions(out_k)
