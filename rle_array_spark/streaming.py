@@ -33,10 +33,19 @@ def _state_partitions_conf(spark: SparkSession, n: int | None):
     and multiplies per-batch commit overhead (measured: 32 → 8 cut a
     4-micro-batch drain 7.3 s → 5.2 s on the sf0.1 gate corpus). The conf
     is restored on exit; an EXISTING checkpoint keeps its recorded count
-    regardless of this setting."""
+    regardless of this setting.
+
+    The conf is session-global, so don't START two streaming queries
+    concurrently from one session while inside this scope — every drain
+    in this module blocks (awaitTermination) before exiting it, which
+    keeps the sequential case safe."""
     if n is None:
         yield
         return
+    if int(n) < 1:
+        # fail at call time, not with an opaque planner error after the
+        # checkpoint directory exists (same policy as pack_stream seq_len)
+        raise ValueError(f"state_partitions must be >= 1, got {n}")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
     try:

@@ -401,3 +401,17 @@ def test_state_partitions_knob_invariant_and_restores_conf(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert emissions(out_def) == emissions(out_k)
+
+
+def test_state_partitions_rejects_nonpositive(spark, tmp_path):
+    import pytest as _pytest
+
+    from rle_array_spark.streaming import running_quantiles_stream
+
+    _write_shard(str(tmp_path / "in"), 0)
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="state_partitions"):
+            running_quantiles_stream(
+                spark, str(tmp_path / "in"), str(tmp_path / "out"),
+                str(tmp_path / "ckpt"), state_partitions=bad,
+            )
