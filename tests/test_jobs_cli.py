@@ -147,6 +147,8 @@ def test_cli_stream_ops(tmp_path):
         "--output", str(tmp_path / "q_out"),
         "--checkpoint", str(tmp_path / "q_ckpt"),
         "--max-files-per-trigger", "1",
+        # knob wired through argparse; answers below must not notice it
+        "--state-partitions", "3",
     ])
     assert out["job"] == "stream-quantiles" and out["rows"] > 0
     import pandas as pd
